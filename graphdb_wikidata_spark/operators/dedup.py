@@ -1,0 +1,238 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard similarity pairs, MinHash+LSH
+candidate generation (shingle -> minhash signature -> banded bucket
+join), and SimHash signatures. All expressed with built-in JVM
+expressions; the only hash primitive is md5 (available verbatim in the
+DuckDB oracle, so signatures hash-match bit-for-bit across engines).
+
+Scale design (the whole point of MinHash-LSH): the shingle->signature
+aggregation is a partial-agg groupBy on (doc, seed) — linear in corpus
+size; the candidate join is on (band, band_key), i.e. only near-
+duplicates ever meet in a shuffle partition, versus the O(n^2) pairwise
+join of `dedup_ngram_jaccard` (kept for verification at small scale).
+Skewed bands (e.g. boilerplate-heavy corpora) are handled by AQE skew
+join splitting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, source, shingle) with distinct 3-token
+    shingles per doc."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.select("doc_id", "source", toks.alias("toks")).filter(F.size("toks") >= 3)
+    shingles = F.array_distinct(
+        F.expr("transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))")
+    )
+    return d.select("doc_id", "source", F.explode(shingles).alias("sh"))
+
+
+# SQL fragment shared by the DuckDB oracles: distinct 3-token shingles.
+_SH_CTE = """
+    toks AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+             FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    pos AS (SELECT doc_id, source, toks, generate_subscripts(toks, 1) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+2], ' ') AS sh
+           FROM pos WHERE i <= len(toks) - 2)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(text)) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY md5(lower(text))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize -> hash -> groupBy; `keep_doc_id` is the
+    canonical survivor. Partial agg makes this one shuffle of (hash,
+    count) pairs, not of documents."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.lower("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b
+                ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    j AS (SELECT doc_a, doc_b,
+                 round(common::DOUBLE / (ca.n + cb.n - common), 4) AS jaccard
+          FROM pairs
+          JOIN cnt ca ON ca.doc_id = doc_a
+          JOIN cnt cb ON cb.doc_id = doc_b)
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard within the same source. O(pairs-sharing-
+    a-shingle) — the exact verifier; use MinHash-LSH below to find
+    candidates at scale first."""
+    sh = _shingled(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "source", "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(
+            b,
+            (a.sh == b.sh_b) & (a.source == b.source_b) & (a.doc_a < b.doc_b),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+N_SEEDS = 16  # 8 bands x 2 rows
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SH_CTE},
+    hs AS (SELECT doc_id, s.seed,
+                  min(('0x' || substr(md5(s.seed || ':' || sh), 1, 15))::BIGINT) AS mh
+           FROM sh, generate_series(0, {N_SEEDS - 1}) s(seed)
+           GROUP BY doc_id, s.seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     string_agg(mh::VARCHAR, '|' ORDER BY seed) AS band_key
+              FROM hs GROUP BY doc_id, seed // 2)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: 16 md5-derived min-hashes per
+    doc, banded 2-per-band; docs sharing any band collide. The candidate
+    join touches only colliding buckets — this is the 100 TB path."""
+    sh = _shingled(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SEEDS - 1))).alias("seed"),
+        "sh",
+    ).select(
+        "doc_id",
+        "seed",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    sigs = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    bands = (
+        sigs.withColumn("band", F.expr("CAST(seed DIV 2 AS BIGINT)"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> CAST(x.mh AS STRING))"),
+                "|",
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_key").alias("band_key_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.band == b.band_b) & (a.band_key == b.band_key_b) & (a.doc_a < b.doc_b),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@register(
+    "simhash_signature",
+    """
+    WITH tok AS (SELECT DISTINCT doc_id, t.tok
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents) t(doc_id, tok)),
+    th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+    bits AS (SELECT doc_id, b.b,
+                    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM th, generate_series(0, 31) b(b)
+             GROUP BY doc_id, b.b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over the distinct-token set (md5-derived token
+    hashes). Near-dup pairs are then `bit_count(a XOR b) <= k` — see
+    tests; the signature itself is the oracle-checked artifact."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+    th = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    bits = (
+        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+        .withColumn(
+            "contrib",
+            F.when(F.expr("shiftright(h, b) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("simhash")
+    )

@@ -1,0 +1,176 @@
+"""Event-stream operators (batch form, over the ``events`` table).
+
+The reference has no streaming/window surface (SURVEY §2.10); these are
+the extension operators: sessionization, tumbling windows, JSON
+extraction, pivot. The same logic runs under Structured Streaming in
+``graphdb_wikidata_spark.streaming`` (readStream + watermark); the batch
+forms here are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+@register(
+    "events_sessionize",
+    f"""
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) - epoch_us(
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                    >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+        FROM events)
+    SELECT user_id,
+           count(*)                     AS n_events,
+           CAST(1 + sum(new_s) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a session breaks when the gap to
+    the previous event of the same user is >= 30 min. One shuffle on
+    user_id; microsecond arithmetic so both engines see identical gaps."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.withColumn("new_s", F.when(gap >= SESSION_GAP_US, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.lit(1) + F.sum("new_s")).cast("long").alias("n_sessions"),
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    f"""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                    >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows: ``F.session_window`` in batch mode — the
+    same operator Structured Streaming uses with a watermark. The oracle
+    reconstructs identical sessions via gaps-and-islands."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 2)  AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (batch form of ``window(ts, '1 hour')``)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column -> typed value,
+    aggregated. JVM-side get_json_object, no Python."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).cast("long").alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "events_pivot",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list — explicit
+    values keep the plan a single pass (no extra distinct-values job)."""
+    e = table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+    return out

@@ -1,0 +1,612 @@
+"""Relational operator inventory, expressed Spark-first.
+
+Covers SURVEY.md §2.2-§2.6: scans with pushdown, projections, filters,
+every join shape (inner/left/semi/anti/cross), n-way join ordering (left
+to Catalyst+AQE), all seven SPARQL aggregates (COUNT/COUNT DISTINCT/SUM/
+AVG/MIN/MAX/GROUP_CONCAT/SAMPLE — reference calc_engine.rs:465-881),
+DISTINCT/REDUCED, ORDER BY + LIMIT/OFFSET (reference Slice,
+calc_engine.rs:321-338), UNION (unionByName), VALUES (inline table),
+EXISTS/NOT EXISTS as semi/anti joins, subqueries, plus window functions
+and ROLLUP as extensions the reference lacks (SURVEY.md §2.10).
+
+Every query here is paired with a DuckDB oracle over the same parquet
+tables. Scale notes are inline: dimension joins are broadcast, facts are
+shuffled on join keys only when needed, aggregates are partial-agg
+(map-side combine) by construction — Catalyst does that for every
+``groupBy``.
+
+Determinism rules for the oracle hash-match:
+- every computed column is aliased identically on both sides;
+- double aggregates are ``round``-ed (2dp money, 6dp ratios) so ULP
+  drift between engines' summation orders cannot flip the hash;
+- GROUP_CONCAT sorts its inputs; SAMPLE is implemented as ``min`` (a
+  legal deterministic choice of SAMPLE's "any value" contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (SURVEY §2.1 scan, §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_project",
+    """
+    SELECT l_orderkey, l_extendedprice,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-07-01'
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered projection; the filter and the 3-column ReadSchema both
+    reach the parquet scan (PushedFilters in .explain)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01"))
+        )
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+@register(
+    "filter_predicates",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 150000
+      AND o_orderstatus <> 'F'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND NOT (o_custkey % 10 = 3)
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound boolean predicate: AND/OR/NOT/IN/BETWEEN (reference
+    expression IR calc_data_types.rs:30-58)."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(50000, 150000)
+        & (F.col("o_orderstatus") != "F")
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & ~(F.col("o_custkey") % 10 == 3)
+    ).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4 — all 7 aggregate functions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                         AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           round(avg(l_quantity), 4)                              AS avg_qty,
+           round(avg(l_extendedprice), 4)                         AS avg_price,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by aggregation pipeline (reference sorts + walks runs,
+    calc_engine.rs:353-463; here: partial+final hash agg, map-side
+    combine before the single shuffle on the grouping key)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_full",
+    """
+    SELECT o_orderpriority,
+           count(*)                                               AS cnt,
+           count(DISTINCT o_custkey)                              AS cnt_distinct_cust,
+           round(sum(o_totalprice), 2)                            AS sum_price,
+           round(avg(o_totalprice), 4)                            AS avg_price,
+           min(o_totalprice)                                      AS min_price,
+           max(o_totalprice)                                      AS max_price,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS status_concat,
+           min(o_orderstatus)                                     AS sample_status
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All seven reference aggregates in one plan: COUNT, COUNT DISTINCT,
+    SUM, AVG, MIN, MAX, GROUP_CONCAT (sorted for determinism), SAMPLE
+    (as ``min`` — a deterministic instance of its any-value contract;
+    reference takes first row, calc_engine.rs:866-876)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("o_custkey").alias("cnt_distinct_cust"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("status_concat"),
+        F.min("o_orderstatus").alias("sample_status"),
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / ROLLUP — absent in the reference (SURVEY §2.4
+    'no grouping sets'), a standard extension here."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, small dimension broadcast: no shuffle of the
+    fact side at all (reference: sort-merge only,
+    materialized_relation.rs:690-786)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_multiway",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join. The reference orders BGP joins
+    greedily by cardinality (calc_engine.rs:109-151); here join order is
+    Catalyst's job and all three dimensions broadcast, so the only
+    shuffle is lineitem->orders on orderkey + the final agg exchange."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS order_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join (SPARQL OPTIONAL, reference LeftJoin
+    calc_engine.rs:170-192) — unmatched rows survive with NULLs, so
+    customers with zero orders count 0."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (reference re-executes the subplan and
+    checks rowcount, calc_engine.rs:1118-1121 — a non-starter at scale;
+    the semi join is the distributed form)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS / SPARQL MINUS as a left-anti join (reference Minus is
+    declared-but-todo!, calc_engine.rs:303-308)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "join_cross",
+    """
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (reference panics with todo! on no-shared-vars
+    joins, materialized_relation.rs:704-707)."""
+    a = table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("r1"), F.col("r_regionkey").alias("k1")
+    )
+    b = table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("r2"), F.col("r_regionkey").alias("k2")
+    )
+    return a.crossJoin(b).filter(F.col("k1") < F.col("k2")).select("r1", "r2")
+
+
+# ---------------------------------------------------------------------------
+# Set ops / distinct / values (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_all",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION -> unionByName (reference Union is todo!,
+    calc_engine.rs:248-253)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_orderpriority")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b)
+
+
+@register(
+    "union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "distinct_op",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (reference kernel is O(n^2), materialized_relation.rs:
+    1359-1385; here: hash aggregate with partial dedup before shuffle)."""
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "values_inline",
+    """
+    SELECT r.r_name, v.mult
+    FROM (VALUES ('EUROPE', 10), ('ASIA', 20), ('AMERICA', 30)) AS v(name, mult)
+    JOIN region r ON r.r_name = v.name
+    """,
+)
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES inline table (reference todo!, interpreter.rs:197-202)
+    joined against a real table; the literal side broadcasts."""
+    v = spark.createDataFrame(
+        [("EUROPE", 10), ("ASIA", 20), ("AMERICA", 30)], ["name", "mult"]
+    )
+    r = table(spark, sf_dir, "region")
+    return r.join(F.broadcast(v), r.r_name == v.name).select("r_name", "mult")
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / offset (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 5
+    """,
+)
+def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY (a real sort — the reference's Order executor is a no-op
+    passthrough, calc_engine.rs:224-230) + Slice. Catalyst turns
+    sort+limit into TakeOrderedAndProject: no global sort materialized."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(5)
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (reference EXISTS/scalar patterns, SURVEY §2.2, §4.1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery — Catalyst evaluates it once and
+    folds it into the filter."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "in_subquery",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery — decorrelated by Catalyst into a semi join."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar expression / function layer (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expr_string_funcs",
+    """
+    SELECT n_name,
+           lower(n_name)                                   AS lname,
+           upper(substr(n_name, 1, 3))                     AS prefix3,
+           length(n_name)                                  AS name_len,
+           replace(n_name, 'A', '@')                       AS replaced,
+           regexp_replace(n_name, '[AEIOU]', '*', 'g')     AS devoweled,
+           n_name LIKE 'A%'                                AS starts_a,
+           contains(n_name, 'AN')                          AS has_an,
+           md5(n_name)                                     AS name_md5,
+           sha256(n_name)                                  AS name_sha256,
+           concat(n_name, '#', CAST(n_nationkey AS VARCHAR)) AS tagged
+    FROM nation
+    """,
+)
+def expr_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL string function library (reference calc_engine.rs:
+    1384-2068: STRLEN/SUBSTR/UCASE/LCASE/STRSTARTS/CONTAINS/REPLACE/
+    REGEX/CONCAT) + hash functions MD5/SHA256 (calc_engine.rs:2578-2684)
+    — all JVM-side built-ins, zero Python in the row path."""
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.lower("n_name").alias("lname"),
+        F.upper(F.substring("n_name", 1, 3)).alias("prefix3"),
+        F.length("n_name").alias("name_len"),
+        F.regexp_replace("n_name", F.lit("A"), F.lit("@")).alias("replaced"),
+        F.regexp_replace("n_name", F.lit("[AEIOU]"), F.lit("*")).alias("devoweled"),
+        F.col("n_name").startswith("A").alias("starts_a"),
+        F.col("n_name").contains("AN").alias("has_an"),
+        F.md5("n_name").alias("name_md5"),
+        F.sha2("n_name", 256).alias("name_sha256"),
+        F.concat("n_name", F.lit("#"), F.col("n_nationkey").cast("string")).alias("tagged"),
+    )
+
+
+@register(
+    "expr_numeric_date",
+    """
+    SELECT o_orderkey,
+           round(abs(o_totalprice - 100000.0), 2)   AS dist_100k,
+           CAST(ceil(o_totalprice) AS DOUBLE)       AS price_ceil,
+           CAST(floor(o_totalprice) AS DOUBLE)      AS price_floor,
+           round(o_totalprice, 1)                   AS price_r1,
+           CAST(year(o_orderdate) AS INT)           AS o_year,
+           CAST(month(o_orderdate) AS INT)          AS o_month,
+           CAST(day(o_orderdate) AS INT)            AS o_day,
+           CAST(quarter(o_orderdate) AS INT)        AS o_quarter,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END                    AS bucket,
+           coalesce(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_coalesced
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def expr_numeric_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric (ABS/ROUND/CEIL/FLOOR, reference calc_engine.rs:2314-2443),
+    date part extraction (YEAR..SECONDS, calc_engine.rs:2460-2553), IF ->
+    CASE WHEN and COALESCE (calc_engine.rs:1149-1177)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("dist_100k"),
+        F.ceil("o_totalprice").cast("double").alias("price_ceil"),
+        F.floor("o_totalprice").cast("double").alias("price_floor"),
+        F.round("o_totalprice", 1).alias("price_r1"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("o_day"),
+        F.quarter("o_orderdate").cast("int").alias("o_quarter"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_coalesced"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (extension — absent in reference, SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) t
+    WHERE rnk <= 2
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-2 orders per customer. One shuffle on the
+    partition key; no global sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame (ROWS UNBOUNDED PRECEDING): running total per
+    customer ordered by date."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )

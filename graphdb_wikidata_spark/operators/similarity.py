@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus a random-
+hyperplane LSH bucketing as the approximate scale path (only vectors in
+the same bucket are compared at query time). Dot products use
+``F.zip_with`` + ``F.aggregate`` — JVM higher-order functions, no
+Python in the row path.
+
+Scale notes: brute-force top-k against a single query vector is a map +
+TakeOrdered — embarrassingly parallel, no shuffle of the corpus. For
+all-pairs similarity the LSH bucket join bounds the candidate set the
+same way MinHash-LSH does for documents.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _as_double(col: str):
+    return F.col(col).cast("array<double>")
+
+
+def dot(a, b):
+    """Sequential fold dot product (matches the oracle's list order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(
+    spark: SparkSession, corpus: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine similarity against a literal query vector."""
+    q = [float(x) for x in query_vec]
+    qnorm = math.sqrt(sum(x * x for x in q))
+    qcol = F.array(*[F.lit(x) for x in q])
+    emb = _as_double("embedding")
+    sim = F.round(dot(emb, qcol) / (norm(emb) * F.lit(qnorm)), 6)
+    return (
+        corpus.select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+@register(
+    "embedding_knn_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+    p0 AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS i,
+                  unnest(e.embedding)::DOUBLE AS x, q.qe AS qe
+           FROM e, q),
+    p AS (SELECT vec_id, x, qe[i]::DOUBLE AS y FROM p0),
+    a AS (SELECT vec_id, sum(x * y) AS dot, sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+          FROM p GROUP BY vec_id)
+    SELECT vec_id, round(dot / (nx * ny), 6) AS sim
+    FROM a ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def embedding_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbours of vec_id 0."""
+    e = table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(spark, e.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+@register(
+    "embedding_centroid_norm",
+    """
+    WITH p AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                      unnest(embedding)::DOUBLE AS val
+               FROM embeddings),
+    c AS (SELECT label, pos, avg(val) AS c FROM p GROUP BY label, pos)
+    SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
+    FROM c GROUP BY label
+    """,
+)
+def embedding_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (mean per dimension), reported by L2 norm —
+    the building block of IVF coarse quantization."""
+    e = table(spark, sf_dir, "embeddings")
+    p = e.select("label", F.posexplode(_as_double("embedding")).alias("pos", "val"))
+    c = p.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    return c.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm")
+    )
+
+
+N_PLANES = 8
+
+
+@register(
+    "embedding_lsh_buckets",
+    f"""
+    WITH r AS (SELECT j.j, i.i,
+                      ((('0x' || substr(md5(j.j || '_' || i.i), 1, 8))::BIGINT % 1000)
+                       / 1000.0 - 0.5) AS rv
+               FROM generate_series(0, {N_PLANES - 1}) j(j),
+                    generate_series(1, 64) i(i)),
+    p AS (SELECT e.vec_id, r.j, e.embedding[r.i]::DOUBLE * r.rv AS prod
+          FROM embeddings e JOIN r ON r.i <= len(e.embedding)),
+    d AS (SELECT vec_id, j, sum(prod) AS dotp FROM p GROUP BY vec_id, j)
+    SELECT vec_id,
+           CAST(sum(CASE WHEN dotp > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+    FROM d GROUP BY vec_id
+    """,
+)
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 md5-derived deterministic hyperplanes ->
+    8-bit bucket id per vector. ANN search then compares only within a
+    bucket (and its neighbours) instead of the full corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    p = e.select("vec_id", F.posexplode(_as_double("embedding")).alias("pos", "val"))
+    p = p.withColumn("i", F.col("pos") + 1)
+    planes = p.select(
+        "vec_id",
+        "val",
+        "i",
+        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"),
+    ).withColumn(
+        "rv",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit("_"), F.col("i").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+        / 1000.0
+        - 0.5,
+    )
+    d = planes.groupBy("vec_id", "j").agg(F.sum(F.col("val") * F.col("rv")).alias("dotp"))
+    return d.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dotp") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("bucket")
+    )

@@ -1,0 +1,154 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Language-ID (stopword-profile heuristic), quality scoring (length /
+token ratios), token counting (whitespace + regex "BPE-ish" word
+pieces), document fingerprinting (bag-of-words hash). All pure
+``pyspark.sql.functions`` (higher-order array functions included) —
+whole-stage-codegen'd JVM expressions, no Python in the row path, so
+they scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           length(text)                               AS n_chars_calc,
+           len(string_split(text, ' '))               AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN {STOPWORDS!r}))  AS n_stopwords,
+           round(length(replace(text, ' ', ''))::DOUBLE
+                 / len(string_split(text, ' ')), 4)   AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                                 t -> t IN {STOPWORDS!r}))::DOUBLE
+                 / len(string_split(text, ' ')), 4)   AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: char/token counts, stopword ratio,
+    average token length."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    n_toks = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_toks.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(
+            F.length(F.regexp_replace("text", F.lit(" "), F.lit(""))).cast("double") / n_toks, 4
+        ).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_toks, 4).alias("stopword_ratio"),
+    )
+
+
+LANG_PROFILES = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+}
+
+
+@register(
+    "lang_id_heuristic",
+    """
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and'))) AS s_en,
+               len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y')))   AS s_es,
+               len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und'))) AS s_de
+        FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS pred_lang
+    FROM s
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: score each candidate language by
+    stopword hits, pick argmax with a fixed tie order (en > es > de)."""
+    d = table(spark, sf_dir, "documents")
+    scores = {}
+    for code, words in LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores[code] = F.expr(f"size(filter(split(text, ' '), t -> t IN ({lst})))")
+    pred = (
+        F.when((scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), "en")
+        .when(scores["es"] >= scores["de"], "es")
+        .otherwise("de")
+    )
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register(
+    "token_count_regex",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' '))                      AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+'))     AS word_tokens,
+           len(regexp_extract_all(text, '[a-z]{4,}'))        AS long_tokens
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    word-piece count."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))).alias(
+            "word_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{4,}"), F.lit(0))).alias("long_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS bow_fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (catches shuffled/reordered near-duplicates)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")).alias(
+            "bow_fingerprint"
+        ),
+    )
