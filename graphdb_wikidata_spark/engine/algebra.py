@@ -1,0 +1,217 @@
+"""The algebra IR: the reference's 19-operator ``Operator`` enum
+(calc_data_types.rs:117-205) + its expression IR (calc_data_types.rs:
+30-58) as plain dataclasses. The compiler lowers these to DataFrames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .terms import Term
+
+# --------------------------------------------------------------------------
+# Expressions
+# --------------------------------------------------------------------------
+
+
+class Expr:
+    pass
+
+
+@dataclass(frozen=True)
+class EVar(Expr):
+    name: str
+
+
+@dataclass(frozen=True)
+class ELit(Expr):
+    term: Term
+
+
+@dataclass(frozen=True)
+class ENot(Expr):
+    arg: Expr
+
+
+@dataclass(frozen=True)
+class EBool(Expr):  # And / Or
+    op: str  # 'and' | 'or'
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class ECmp(Expr):
+    op: str  # '=' '!=' '<' '<=' '>' '>=' 'sameTerm'
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class EIn(Expr):
+    arg: Expr
+    options: tuple[Expr, ...]
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class EArith(Expr):
+    op: str  # '+' '-' '*' '/'
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class ENeg(Expr):
+    arg: Expr
+
+
+@dataclass(frozen=True)
+class EFunc(Expr):
+    name: str  # uppercase builtin name
+    args: tuple[Expr, ...]
+
+
+@dataclass(frozen=True)
+class EExists(Expr):
+    plan: "Op"
+    negated: bool = False
+
+
+# --------------------------------------------------------------------------
+# Patterns / operators
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+PatternTerm = Term | Var  # a triple position: bound term or variable
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: PatternTerm
+    p: PatternTerm
+    o: PatternTerm
+
+
+# property path atoms (reference Path IR, calc_data_types.rs:17-26)
+@dataclass(frozen=True)
+class PathExpr:
+    kind: str  # 'link','reverse','sequence','alternative','zero_or_more','one_or_more','zero_or_one','negated'
+    terms: tuple = ()  # for 'link'/'negated': predicate Terms
+    parts: tuple = ()  # sub-PathExprs
+
+
+class Op:
+    pass
+
+
+@dataclass(frozen=True)
+class Bgp(Op):
+    patterns: tuple[TriplePattern, ...]
+
+
+@dataclass(frozen=True)
+class PathPattern(Op):
+    s: PatternTerm
+    path: PathExpr
+    o: PatternTerm
+
+
+@dataclass(frozen=True)
+class Join(Op):
+    left: Op
+    right: Op
+
+
+@dataclass(frozen=True)
+class LeftJoin(Op):
+    left: Op
+    right: Op
+    expr: Expr | None = None
+
+
+@dataclass(frozen=True)
+class LateralJoin(Op):
+    left: Op
+    right: Op
+
+
+@dataclass(frozen=True)
+class Filter(Op):
+    expr: Expr
+    input: Op
+
+
+@dataclass(frozen=True)
+class Union(Op):
+    left: Op
+    right: Op
+
+
+@dataclass(frozen=True)
+class Extend(Op):
+    input: Op
+    var: str
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class Minus(Op):
+    left: Op
+    right: Op
+
+
+@dataclass(frozen=True)
+class Values(Op):
+    variables: tuple[str, ...]
+    rows: tuple[tuple[Term | None, ...], ...]  # None = UNDEF
+
+
+@dataclass(frozen=True)
+class OrderBy(Op):
+    input: Op
+    keys: tuple[tuple[Expr, bool], ...]  # (expr, ascending)
+
+
+@dataclass(frozen=True)
+class Project(Op):
+    input: Op
+    variables: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Distinct(Op):
+    input: Op
+
+
+@dataclass(frozen=True)
+class Reduced(Op):
+    input: Op
+
+
+@dataclass(frozen=True)
+class Slice(Op):
+    input: Op
+    start: int = 0
+    length: int | None = None
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    var: str  # output variable
+    func: str  # 'count','sum','avg','min','max','group_concat','sample'
+    expr: Expr | None  # None = COUNT(*)
+    distinct: bool = False
+    separator: str = " "
+
+
+@dataclass(frozen=True)
+class Group(Op):
+    input: Op
+    group_vars: tuple[str, ...]
+    aggregates: tuple[AggSpec, ...] = field(default_factory=tuple)

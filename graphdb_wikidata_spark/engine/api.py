@@ -1,0 +1,70 @@
+"""Public engine API: the Spark-native face of the reference's three
+entry points (SURVEY §3 — HTTP query, CLI, ingest). The HTTP/CLI
+wrappers call ``GraphEngine.sql_json`` / ``GraphEngine.sql``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compiler import Compiler
+from .json_result import to_sparql_json
+from .parser import parse_query
+from .scan import scan_pattern as _scan
+from .algebra import TriplePattern, Var
+from .terms import Term, parse_iri
+
+
+class GraphEngine:
+    """A SPARQL engine over a statements DataFrame.
+
+    >>> eng = GraphEngine(spark, statements_df)
+    >>> eng.sql("SELECT ?s ?p ?o WHERE { ?s ?p ?o }").count()
+    """
+
+    def __init__(self, spark: SparkSession, statements: DataFrame):
+        self.spark = spark
+        self.statements = statements
+        self._compiler = Compiler(spark, statements)
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str) -> "GraphEngine":
+        return cls(spark, spark.read.parquet(path))
+
+    @classmethod
+    def from_dump(cls, spark: SparkSession, path: str, **kwargs) -> "GraphEngine":
+        from ..ingest import load_dump
+
+        return cls(spark, load_dump(spark, path, **kwargs))
+
+    def plan(self, query: str):
+        return parse_query(query)
+
+    def sql(self, query: str) -> DataFrame:
+        """SPARQL -> DataFrame of term-struct columns (one per
+        projected variable)."""
+        return self._compiler.compile(parse_query(query))
+
+    def sql_json(self, query: str) -> str:
+        """SPARQL -> W3C SPARQL-JSON string (the reference HTTP
+        endpoint's response format, server.rs:87-141)."""
+        return to_sparql_json(self.sql(query))
+
+    def scan_pattern(self, s, p, o) -> DataFrame:
+        """Single triple-pattern scan; each argument is a Var, a Term,
+        an IRI string, or None (auto-variable)."""
+
+        def norm(x, name):
+            if x is None:
+                return Var(name)
+            if isinstance(x, (Var, Term)):
+                return x
+            if isinstance(x, str):
+                if x.startswith("?"):
+                    return Var(x[1:])
+                return parse_iri(x)
+            raise TypeError(f"bad pattern term {x!r}")
+
+        return _scan(
+            self.statements,
+            TriplePattern(norm(s, "s"), norm(p, "p"), norm(o, "o")),
+        )

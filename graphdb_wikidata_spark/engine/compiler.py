@@ -1,0 +1,283 @@
+"""Plan compiler: algebra Op tree -> DataFrame.
+
+Replaces the reference's recursive_qep_traversal (calc_engine.rs:
+105-351), which materializes every operator's output. Here each
+operator adds declarative DataFrame transformations and Catalyst picks
+physical strategies: natural joins become broadcast/SMJ as statistics
+dictate, EXISTS becomes a semi join instead of a re-executed subplan
+(calc_engine.rs:1118-1121), filters push into the parquet scan.
+
+Join-order note (reference BGP greedy ordering, calc_engine.rs:
+109-151): patterns are pre-ordered most-bound-first — a zero-cost
+selectivity heuristic — then chained so every join shares a variable
+when possible (avoiding accidental cartesians); AQE re-plans at
+runtime with real sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model.schema import TERM_T
+from .algebra import (
+    AggSpec,
+    Bgp,
+    Distinct,
+    EExists,
+    Extend,
+    Filter,
+    Group,
+    Join,
+    LateralJoin,
+    LeftJoin,
+    Minus,
+    Op,
+    OrderBy,
+    PathPattern,
+    Project,
+    Reduced,
+    Slice,
+    TriplePattern,
+    Union,
+    Values,
+    Var,
+)
+from .expressions import ExprCompiler, ebv, lit_term, num, render, sort_key
+from .scan import scan_pattern
+from .terms import Term
+
+
+class Compiler:
+    def __init__(self, spark: SparkSession, statements: DataFrame):
+        self.spark = spark
+        self.statements = statements
+
+    # ---------------- helpers
+
+    def _expr_compiler(self, df: DataFrame) -> ExprCompiler:
+        def compile_exists(e: EExists) -> Column:
+            raise NotImplementedError(
+                "EXISTS inside general expressions; use FILTER EXISTS at group level"
+            )
+
+        return ExprCompiler(df, compile_exists)
+
+    def _natural_join(self, left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+        shared = [c for c in left.columns if c in right.columns]
+        if not shared:
+            if how == "inner":
+                return left.crossJoin(right)
+            # left outer with no shared vars: every combination (SPARQL
+            # OPTIONAL with disjoint domains) — cross join keeps lefts
+            return left.crossJoin(right)
+        return left.join(right, on=shared, how=how)
+
+    # ---------------- main dispatch
+
+    def compile(self, op: Op) -> DataFrame:
+        m = getattr(self, "_c_" + type(op).__name__.lower(), None)
+        if m is None:
+            raise NotImplementedError(f"operator {type(op).__name__}")
+        return m(op)
+
+    def _c_bgp(self, op: Bgp) -> DataFrame:
+        if not op.patterns:
+            return self.spark.range(1).select()
+        # most-bound-first ordering; then prefer joining a pattern that
+        # shares a variable with what we have (calc_engine.rs:138-143)
+        def bound_count(tp: TriplePattern) -> int:
+            return sum(0 if isinstance(x, Var) else 1 for x in (tp.s, tp.p, tp.o))
+
+        remaining = sorted(op.patterns, key=bound_count, reverse=True)
+        dfs = [(tp, scan_pattern(self.statements, tp)) for tp in remaining]
+        tp0, df = dfs.pop(0)
+        while dfs:
+            idx = next(
+                (i for i, (_, d) in enumerate(dfs) if set(d.columns) & set(df.columns)),
+                0,
+            )
+            _, d = dfs.pop(idx)
+            df = self._natural_join(df, d)
+        return df
+
+    def _c_triplepattern(self, op: TriplePattern) -> DataFrame:
+        return scan_pattern(self.statements, op)
+
+    def _c_join(self, op: Join) -> DataFrame:
+        return self._natural_join(self.compile(op.left), self.compile(op.right))
+
+    def _c_lateraljoin(self, op: LateralJoin) -> DataFrame:
+        # executed as inner join, like the reference (calc_engine.rs:194-201)
+        return self._natural_join(self.compile(op.left), self.compile(op.right))
+
+    def _c_leftjoin(self, op: LeftJoin) -> DataFrame:
+        left, right = self.compile(op.left), self.compile(op.right)
+        shared = [c for c in left.columns if c in right.columns]
+        if op.expr is None:
+            return self._natural_join(left, right, "left_outer")
+        # SPARQL-correct: the filter expression belongs to the join
+        # condition (the reference instead pre-filters the left input —
+        # calc_engine.rs:176-190 — a simplification we do not copy).
+        r2 = right
+        for c in right.columns:
+            r2 = r2.withColumnRenamed(c, "__r_" + c)
+
+        def resolve(name: str) -> Column:
+            if name in left.columns:
+                return left[name]
+            if "__r_" + name in r2.columns:
+                return r2["__r_" + name]
+            return F.lit(None).cast(TERM_T)
+
+        ec = ExprCompiler(left, resolve=resolve)
+        cond = F.coalesce(ebv(ec.col(op.expr)), F.lit(False))
+        for c in shared:
+            cond = cond & (left[c] == r2["__r_" + c])
+        joined = left.join(r2, cond, "left_outer")
+        out = [joined[c].alias(c) for c in left.columns]
+        out += [
+            joined["__r_" + c].alias(c) for c in right.columns if c not in shared
+        ]
+        return joined.select(*out)
+
+    def _c_filter(self, op: Filter) -> DataFrame:
+        df = self.compile(op.input)
+        expr = op.expr
+        # FILTER EXISTS / NOT EXISTS -> semi/anti join on shared vars
+        if isinstance(expr, EExists):
+            sub = self.compile(expr.plan)
+            shared = [c for c in df.columns if c in sub.columns]
+            how = "left_anti" if expr.negated else "left_semi"
+            if not shared:
+                cnt = sub.limit(1).count()
+                nonempty = cnt > 0
+                keep = (not expr.negated) == nonempty
+                return df if keep else df.limit(0)
+            return df.join(sub.select(*shared).distinct(), on=shared, how=how)
+        ec = self._expr_compiler(df)
+        return df.filter(ec.boolean(expr))
+
+    def _c_union(self, op: Union) -> DataFrame:
+        left, right = self.compile(op.left), self.compile(op.right)
+        allcols = list(dict.fromkeys(left.columns + right.columns))
+        def pad(df: DataFrame) -> DataFrame:
+            for c in allcols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(TERM_T))
+            return df.select(*allcols)
+        return pad(left).unionByName(pad(right))
+
+    def _c_extend(self, op: Extend) -> DataFrame:
+        df = self.compile(op.input)
+        ec = self._expr_compiler(df)
+        return df.withColumn(op.var, ec.col(op.expr))
+
+    def _c_minus(self, op: Minus) -> DataFrame:
+        left, right = self.compile(op.left), self.compile(op.right)
+        shared = [c for c in left.columns if c in right.columns]
+        if not shared:
+            return left  # disjoint domains remove nothing
+        return left.join(right.select(*shared).distinct(), on=shared, how="left_anti")
+
+    def _c_values(self, op: Values) -> DataFrame:
+        rows = []
+        for row in op.rows:
+            cols = []
+            for var, term in zip(op.variables, row):
+                cols.append(
+                    (F.lit(None).cast(TERM_T) if term is None else lit_term(term)).alias(var)
+                )
+            rows.append(self.spark.range(1).select(*cols))
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    def _c_orderby(self, op: OrderBy) -> DataFrame:
+        df = self.compile(op.input)
+        ec = self._expr_compiler(df)
+        keys = []
+        for expr, asc in op.keys:
+            k = sort_key(ec.col(expr))
+            keys.append(k.asc() if asc else k.desc())
+        return df.orderBy(*keys)
+
+    def _c_project(self, op: Project) -> DataFrame:
+        df = self.compile(op.input)
+        cols = [
+            df[v].alias(v) if v in df.columns else F.lit(None).cast(TERM_T).alias(v)
+            for v in op.variables
+        ]
+        return df.select(*cols)
+
+    def _c_distinct(self, op: Distinct) -> DataFrame:
+        return self.compile(op.input).distinct()
+
+    def _c_reduced(self, op: Reduced) -> DataFrame:
+        # REDUCED permits (does not require) dedup; distinct is legal
+        # (the reference's Reduced is todo!, calc_engine.rs:315-319)
+        return self.compile(op.input).distinct()
+
+    def _c_slice(self, op: Slice) -> DataFrame:
+        df = self.compile(op.input)
+        if op.start:
+            df = df.offset(op.start)
+        if op.length is not None:
+            df = df.limit(op.length)
+        return df
+
+    def _agg_column(self, spec: AggSpec, ec: ExprCompiler) -> Column:
+        from ..model.schema import make_term
+
+        e = ec.col(spec.expr) if spec.expr is not None else None
+        f = spec.func
+        if f == "count":
+            if e is None:
+                c = F.count(F.lit(1))
+            elif spec.distinct:
+                c = F.count_distinct(e)
+            else:
+                c = F.count(e)
+            return make_term(t="int", i=c).alias(spec.var)
+        if f == "sum":
+            v = num(e)
+            c = F.sum_distinct(v) if spec.distinct else F.sum(v)
+            return make_term(t="double", d=c).alias(spec.var)
+        if f == "avg":
+            v = num(e)
+            c = F.avg(v)  # AVG DISTINCT: mean over distinct numeric values
+            if spec.distinct:
+                c = F.sum_distinct(v) / F.count_distinct(v)
+            return make_term(t="double", d=c).alias(spec.var)
+        if f == "min":
+            return F.min_by(e, sort_key(e)).alias(spec.var)
+        if f == "max":
+            return F.max_by(e, sort_key(e)).alias(spec.var)
+        if f == "group_concat":
+            r = render(e)
+            lst = F.collect_set(r) if spec.distinct else F.collect_list(r)
+            # sorted for determinism (the reference concatenates in row
+            # order, which is only defined single-threaded)
+            return make_term(
+                t="str", k="string", s=F.array_join(F.array_sort(lst), spec.separator)
+            ).alias(spec.var)
+        if f == "sample":
+            return F.first(e, ignorenulls=True).alias(spec.var)
+        raise NotImplementedError(f"aggregate {f}")
+
+    def _c_group(self, op: Group) -> DataFrame:
+        df = self.compile(op.input)
+        ec = self._expr_compiler(df)
+        aggs = [self._agg_column(s, ec) for s in op.aggregates]
+        if not op.group_vars:
+            return df.agg(*aggs) if aggs else df.limit(1).select()
+        gcols = [df[v] for v in op.group_vars]
+        if not aggs:
+            return df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+        return df.groupBy(*gcols).agg(*aggs)
+
+    def _c_pathpattern(self, op: PathPattern) -> DataFrame:
+        from .paths import compile_path
+
+        return compile_path(self, op)

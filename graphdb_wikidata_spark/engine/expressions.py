@@ -1,0 +1,517 @@
+"""Expression translation: algebra Expr -> Spark Column over term
+structs.
+
+Re-expresses the reference's per-row interpreter (calculate_expression
+calc_engine.rs:993-1183 and the function dispatcher calc_engine.rs:
+1186-2936) as Catalyst Column expressions — whole-stage-codegen'd, no
+Python in the row path.
+
+Semantics preserved / deviations (each flagged in SURVEY §2.7):
+- '=' has int<->float cross-type equality (calc_engine.rs:2938-2944);
+  sameTerm is strict identity (1039-1044).
+- Effective boolean value per data_types.rs:244-252 (bool / nonempty
+  string / nonzero int / nonzero non-NaN float; other types -> NULL,
+  dropping the row in FILTER).
+- STR returns the real lexical form (the reference returns the
+  datatype IRI — a bug, calc_engine.rs:1233); STRLEN counts chars (ref
+  counts bytes); UCASE/LCASE are full Unicode (ref ASCII-only); ROUND
+  ties go toward +inf per SPARQL (floor(x+0.5)); arithmetic is double
+  (ref promotes everything to f32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..model.schema import TERM_T, make_term
+from .algebra import (
+    EArith,
+    EBool,
+    ECmp,
+    EExists,
+    EFunc,
+    EIn,
+    ELit,
+    ENeg,
+    ENot,
+    EVar,
+    Expr,
+)
+from .terms import Term
+
+# --------------------------------------------------------------------------
+# term-struct helpers
+# --------------------------------------------------------------------------
+
+
+def lit_term(t: Term) -> Column:
+    """Bound python Term -> term-struct literal column."""
+    kw = {f: getattr(t, f) for f in ("t", "k", "e", "s", "lang", "i", "d", "b")}
+    if kw["t"] == "null":
+        return F.lit(None).cast(TERM_T)
+    return make_term(**{k: v for k, v in kw.items() if v is not None})
+
+
+def is_num(c: Column) -> Column:
+    return c["t"].isin("int", "double")
+
+
+def num(c: Column) -> Column:
+    """Numeric value as double (int/double branches only)."""
+    return (
+        F.when(c["t"] == "int", c["i"].cast("double"))
+        .when(c["t"] == "double", c["d"])
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def str_val(c: Column) -> Column:
+    """The string value accepted by SPARQL string functions: plain or
+    lang-tagged strings."""
+    return F.when(c["t"].isin("str", "mono"), c["s"]).otherwise(F.lit(None).cast("string"))
+
+
+def ebv(c: Column) -> Column:
+    """Effective boolean value (data_types.rs:244-252)."""
+    return (
+        F.when(c["t"] == "bool", c["b"])
+        .when(c["t"].isin("str", "mono"), F.length(c["s"]) > 0)
+        .when(c["t"] == "int", c["i"] != 0)
+        .when(c["t"] == "double", (c["d"] != 0.0) & ~F.isnan(c["d"]))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def render(c: Column) -> Column:
+    """Lexical rendering (STR, GROUP_CONCAT): entity/stmt -> IRI, else
+    the lexical form (to_json_result.rs term rendering)."""
+    wd = "http://www.wikidata.org/entity/"
+    wdt = "http://www.wikidata.org/prop/direct/"
+    pns = "http://www.wikidata.org/prop/"
+    return (
+        F.when(
+            c["t"] == "entity",
+            F.when(c["k"] == "P", F.concat(F.lit(wdt), F.lit("P"), c["e"].cast("string")))
+            .when(c["k"] == "Pstmt", F.concat(F.lit(pns), F.lit("P"), c["e"].cast("string")))
+            .otherwise(F.concat(F.lit(wd), c["k"], c["e"].cast("string"))),
+        )
+        .when(c["t"] == "stmt", F.concat(F.lit(wd + "statement/"), c["s"]))
+        .when(c["t"].isin("str", "mono"), c["s"])
+        .when(c["t"] == "int", c["i"].cast("string"))
+        .when(c["t"] == "double", c["d"].cast("string"))
+        .when(c["t"] == "bool", F.when(c["b"], "true").otherwise("false"))
+        .when(
+            c["t"] == "time",
+            F.concat(
+                c["time"]["year"].cast("string"),
+                F.lit("-"),
+                F.lpad(c["time"]["month"].cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad(c["time"]["day"].cast("string"), 2, "0"),
+                F.lit("T"),
+                F.lpad(c["time"]["hour"].cast("string"), 2, "0"),
+                F.lit(":"),
+                F.lpad(c["time"]["minute"].cast("string"), 2, "0"),
+                F.lit(":"),
+                F.lpad(c["time"]["second"].cast("string"), 2, "0"),
+                F.lit("Z"),
+            ),
+        )
+        .when(c["t"] == "qty", c["qty"]["amount"])
+        .when(
+            c["t"] == "coord",
+            F.concat(
+                F.lit("Point("),
+                c["coord"]["lon"].cast("string"),
+                F.lit(" "),
+                c["coord"]["lat"].cast("string"),
+                F.lit(")"),
+            ),
+        )
+        .when(c["t"] == "termpred", F.concat(c["k"], F.lit("("), c["lang"], F.lit(")")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+_TIME_KEY_PAD = [("year", 6), ("month", 2), ("day", 2), ("hour", 2), ("minute", 2), ("second", 2)]
+
+
+def _time_key(c: Column) -> Column:
+    """Sortable string key for time structs (proleptic; negative years
+    sort via offset so -500 < 900)."""
+    parts = [F.lpad((c["time"]["year"] + F.lit(1_000_000)).cast("string"), 8, "0")]
+    for f, w in _TIME_KEY_PAD[1:]:
+        parts.append(F.lpad(F.coalesce(c["time"][f], F.lit(0)).cast("string"), w, "0"))
+    return F.concat(*parts)
+
+
+def sort_key(c: Column) -> Column:
+    """Total-order key for ORDER BY / MIN / MAX over terms.
+
+    The reference uses a *partial* order (DataValue::partial_cmp,
+    data_types.rs:277-323 — cross-type incomparable, first-value-wins
+    in MIN/MAX). We deviate to a deterministic total order grouped by
+    type class, which is a superset: comparisons the reference defines
+    order identically; incomparable pairs get a stable order instead
+    of depending on input order."""
+    rank = (
+        F.when(c.isNull(), 0)
+        .when(c["t"].isin("int", "double"), 1)
+        .when(c["t"] == "bool", 2)
+        .when(c["t"] == "time", 3)
+        .when(c["t"].isin("str", "mono"), 4)
+        .when(c["t"] == "qty", 5)
+        .when(c["t"] == "entity", 6)
+        .when(c["t"] == "stmt", 7)
+        .otherwise(9)
+    )
+    d = (
+        F.when(c["t"].isin("int", "double"), num(c))
+        .when(c["t"] == "bool", c["b"].cast("double"))
+        .when(c["t"] == "qty", c["qty"]["amount_d"])
+        .when(c["t"] == "entity", c["e"].cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    s = (
+        F.when(c["t"].isin("str", "mono"), c["s"])
+        .when(c["t"] == "time", _time_key(c))
+        .when(c["t"] == "entity", c["k"])
+        .when(c["t"] == "stmt", c["s"])
+        .otherwise(F.lit(""))
+    )
+    return F.struct(rank.alias("r"), s.alias("s"), d.alias("d"))
+
+
+def eq_terms(a: Column, b: Column) -> Column:
+    """'=' with numeric cross-type equality (calc_engine.rs:2938-2944)."""
+    return F.when(is_num(a) & is_num(b), num(a) == num(b)).otherwise(a == b)
+
+
+def cmp_terms(a: Column, b: Column, op: str) -> Column:
+    """Ordering comparisons: defined within compatible type classes,
+    NULL otherwise (partial order, data_types.rs:277-323)."""
+    import operator
+
+    ops = {"<": operator.lt, "<=": operator.le, ">": operator.gt, ">=": operator.ge}
+    f = ops[op]
+    qty_ok = (a["t"] == "qty") & (b["t"] == "qty") & (a["qty"]["unit"].eqNullSafe(b["qty"]["unit"]))
+    mono_ok = (a["t"] == "mono") & (b["t"] == "mono") & (a["lang"] == b["lang"])
+    return (
+        F.when(is_num(a) & is_num(b), f(num(a), num(b)))
+        .when((a["t"] == "str") & (b["t"] == "str"), f(a["s"], b["s"]))
+        .when(mono_ok, f(a["s"], b["s"]))
+        .when((a["t"] == "time") & (b["t"] == "time"), f(_time_key(a), _time_key(b)))
+        .when(qty_ok, f(a["qty"]["amount_d"], b["qty"]["amount_d"]))
+        .when((a["t"] == "bool") & (b["t"] == "bool"), f(a["b"], b["b"]))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+# --------------------------------------------------------------------------
+# function library (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+def _str_result(inp: Column, new_s: Column) -> Column:
+    """String-function result: preserves the lang tag of lang-tagged
+    inputs (SPARQL), else a plain string."""
+    return F.when(
+        inp["t"] == "mono", make_term(t="mono", s=new_s, lang=inp["lang"])
+    ).otherwise(make_term(t="str", k="string", s=new_s))
+
+
+def _plain(new_s: Column) -> Column:
+    return make_term(t="str", k="string", s=new_s)
+
+
+def _num_result(x: Column) -> Column:
+    return make_term(t="double", d=x)
+
+
+def _int_result(x: Column) -> Column:
+    return make_term(t="int", i=x)
+
+
+def _bool_result(x: Column) -> Column:
+    return make_term(t="bool", b=x)
+
+
+def _regex_pattern(pattern: Column, flags: str | None) -> Column:
+    """Translate SPARQL REGEX flags to Java inline flags — the same
+    trick the reference uses (calc_engine.rs:1990-2068)."""
+    if not flags:
+        return pattern
+    inline = "".join(ch for ch in flags if ch in "ismx")
+    if "q" in flags:
+        pattern = F.concat(F.lit(r"\Q"), pattern, F.lit(r"\E"))
+    if inline:
+        pattern = F.concat(F.lit(f"(?{inline})"), pattern)
+    return pattern
+
+
+def _flags_of(args: tuple[Expr, ...], idx: int) -> str | None:
+    if len(args) > idx and isinstance(args[idx], ELit):
+        return args[idx].term.s
+    return None
+
+
+def build_function(name: str, args: list[Column], raw_args: tuple[Expr, ...]) -> Column:
+    """Builtin function dispatch (reference calculate_function_call,
+    calc_engine.rs:1186-2936)."""
+    n = name.upper()
+    a = args[0] if args else None
+
+    if n == "STR":
+        return _plain(render(a))
+    if n == "LANG":
+        return _plain(F.when(a["t"] == "mono", a["lang"]).otherwise(F.lit("")))
+    if n == "LANGMATCHES":
+        lang, rng = F.lower(str_val(args[0])), F.lower(str_val(args[1]))
+        m = F.when(rng == "*", F.length(lang) > 0).otherwise(
+            (lang == rng) | lang.startswith(F.concat(rng, F.lit("-")))
+        )
+        return _bool_result(m)
+    if n == "DATATYPE":
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        dt = (
+            F.when(a["t"] == "str", F.lit(xsd + "string"))
+            .when(a["t"] == "mono", F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+            .when(a["t"] == "int", F.lit(xsd + "integer"))
+            .when(a["t"] == "double", F.lit(xsd + "double"))
+            .when(a["t"] == "bool", F.lit(xsd + "boolean"))
+            .when(a["t"] == "time", F.lit(xsd + "dateTime"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return _plain(dt)
+    if n == "BOUND":
+        return _bool_result(a.isNotNull())
+    if n in ("ISIRI", "ISURI"):
+        return _bool_result(a["t"].isin("entity", "stmt"))
+    if n == "ISBLANK":
+        return _bool_result(F.lit(False))  # no bnodes stored (ref 1204)
+    if n == "ISLITERAL":
+        return _bool_result(a["t"].isin("str", "mono", "int", "double", "bool", "time", "qty", "coord"))
+    if n == "ISNUMERIC":
+        return _bool_result(is_num(a))
+    if n == "IRI" or n == "URI":
+        # runtime IRI construction: recognize entity IRIs, else keep str
+        sv = str_val(a)
+        ent = F.regexp_extract(sv, r"[/#]([QPL])(\d+)$", 1)
+        num_ = F.regexp_extract(sv, r"[/#]([QPL])(\d+)$", 2)
+        return F.when(
+            ent != "", make_term(t="entity", k=ent, e=num_.try_cast("long"))
+        ).otherwise(_plain(sv))
+    if n == "STRLANG":
+        return make_term(t="mono", s=str_val(args[0]), lang=str_val(args[1]))
+    if n == "STRDT":
+        lex, dt = str_val(args[0]), str_val(args[1])
+        return (
+            F.when(dt.contains("integer"), make_term(t="int", i=lex.try_cast("long")))
+            .when(
+                dt.contains("double") | dt.contains("decimal") | dt.contains("float"),
+                make_term(t="double", d=lex.try_cast("double")),
+            )
+            .when(dt.contains("boolean"), make_term(t="bool", b=lex.try_cast("boolean")))
+            .otherwise(_plain(lex))
+        )
+    if n == "BNODE":
+        return _plain(F.concat(F.lit("_:b"), F.abs(F.xxhash64(F.rand())).cast("string")))
+    if n == "UUID":
+        return _plain(F.concat(F.lit("urn:uuid:"), F.expr("uuid()")))
+    if n == "STRUUID":
+        return _plain(F.expr("uuid()"))
+
+    # ---- strings
+    if n == "STRLEN":
+        return _int_result(F.length(str_val(a)).cast("long"))
+    if n == "SUBSTR":
+        start = num(args[1]).cast("int")
+        if len(args) > 2:
+            return _str_result(a, F.substring(str_val(a), start, num(args[2]).cast("int")))
+        return _str_result(a, F.substring(str_val(a), start, F.lit(1 << 30)))
+    if n == "UCASE":
+        return _str_result(a, F.upper(str_val(a)))
+    if n == "LCASE":
+        return _str_result(a, F.lower(str_val(a)))
+    if n == "STRSTARTS":
+        return _bool_result(str_val(args[0]).startswith(str_val(args[1])))
+    if n == "STRENDS":
+        return _bool_result(str_val(args[0]).endswith(str_val(args[1])))
+    if n == "CONTAINS":
+        return _bool_result(str_val(args[0]).contains(str_val(args[1])))
+    if n == "STRBEFORE":
+        s1, s2 = str_val(args[0]), str_val(args[1])
+        pos = F.instr(s1, s2)
+        res = F.when(s2 == "", F.lit("")).when(pos > 0, F.substring(s1, 1, pos - 1)).otherwise(
+            F.lit("")
+        )
+        return _str_result(a, res)
+    if n == "STRAFTER":
+        s1, s2 = str_val(args[0]), str_val(args[1])
+        pos = F.instr(s1, s2)
+        res = (
+            F.when(s2 == "", s1)
+            .when(pos > 0, F.substring(s1, pos + F.length(s2), F.lit(1 << 30)))
+            .otherwise(F.lit(""))
+        )
+        return _str_result(a, res)
+    if n == "ENCODE_FOR_URI":
+        # url_encode is form-encoding; fix the two RFC 3986 deltas
+        enc = F.regexp_replace(F.url_encode(str_val(a)), r"\+", "%20")
+        enc = F.regexp_replace(enc, r"%7E", "~")
+        return _plain(enc)
+    if n == "CONCAT":
+        # strings only; any non-string arg nulls the result (ref 1861)
+        return _plain(F.concat(*[str_val(x) for x in args]))
+    if n == "REGEX":
+        pat = _regex_pattern(str_val(args[1]), _flags_of(raw_args, 2))
+        return _bool_result(F.regexp_like(str_val(args[0]), pat))
+    if n == "REPLACE":
+        pat = _regex_pattern(str_val(args[1]), _flags_of(raw_args, 3))
+        return _str_result(a, F.regexp_replace(str_val(args[0]), pat, str_val(args[2])))
+
+    # ---- numerics
+    if n == "ABS":
+        return F.when(a["t"] == "int", _int_result(F.abs(a["i"]))).otherwise(
+            _num_result(F.abs(num(a)))
+        )
+    if n == "ROUND":
+        # SPARQL: ties round toward +inf -> floor(x + 0.5)
+        return F.when(a["t"] == "int", a).otherwise(
+            _num_result(F.floor(num(a) + F.lit(0.5)).cast("double"))
+        )
+    if n == "CEIL":
+        return F.when(a["t"] == "int", a).otherwise(_num_result(F.ceil(num(a)).cast("double")))
+    if n == "FLOOR":
+        return F.when(a["t"] == "int", a).otherwise(_num_result(F.floor(num(a)).cast("double")))
+    if n == "RAND":
+        return _num_result(F.rand())
+
+    # ---- date/time (on time terms)
+    if n in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+        fld = {
+            "YEAR": "year",
+            "MONTH": "month",
+            "DAY": "day",
+            "HOURS": "hour",
+            "MINUTES": "minute",
+            "SECONDS": "second",
+        }[n]
+        return _int_result(a["time"][fld].cast("long"))
+    if n == "NOW":
+        now = F.current_timestamp()
+        return make_term(
+            t="time",
+            time=F.struct(
+                F.year(now).cast("long").alias("year"),
+                F.month(now).cast("int").alias("month"),
+                F.dayofmonth(now).cast("int").alias("day"),
+                F.hour(now).cast("int").alias("hour"),
+                F.minute(now).cast("int").alias("minute"),
+                F.second(now).cast("int").alias("second"),
+                F.lit(0).alias("before"),
+                F.lit(0).alias("after"),
+                F.lit(14).alias("precision"),
+                F.lit(0).alias("tz"),
+                F.lit(None).cast("string").alias("cal"),
+            ),
+        )
+    if n == "TIMEZONE" or n == "TZ":
+        tz = a["time"]["tz"]
+        return _plain(
+            F.when(tz.isNull(), F.lit(""))
+            .when(tz == 0, F.lit("Z"))
+            .otherwise(
+                F.concat(
+                    F.when(tz < 0, "-").otherwise("+"),
+                    F.lpad((F.abs(tz) / 60).cast("int").cast("string"), 2, "0"),
+                    F.lit(":"),
+                    F.lpad((F.abs(tz) % 60).cast("string"), 2, "0"),
+                )
+            )
+        )
+
+    # ---- hashes
+    if n == "MD5":
+        return _plain(F.md5(str_val(a)))
+    if n == "SHA1":
+        return _plain(F.sha1(str_val(a)))
+    if n in ("SHA256", "SHA384", "SHA512"):
+        return _plain(F.sha2(str_val(a), int(n[3:])))
+
+    raise NotImplementedError(f"SPARQL function {name}")
+
+
+# --------------------------------------------------------------------------
+# expression compiler
+# --------------------------------------------------------------------------
+
+
+class ExprCompiler:
+    """Compiles Expr trees to Columns. EXISTS subplans need the
+    operator compiler, injected via ``compile_op``."""
+
+    def __init__(self, df: DataFrame, compile_exists=None, resolve=None):
+        self.df = df
+        self.compile_exists = compile_exists
+        self.resolve = resolve  # optional: var name -> Column
+
+    def col(self, e: Expr) -> Column:
+        """Compile to a term-struct Column."""
+        if isinstance(e, EVar):
+            if self.resolve is not None:
+                return self.resolve(e.name)
+            return self.df[e.name] if e.name in self.df.columns else F.lit(None).cast(TERM_T)
+        if isinstance(e, ELit):
+            return lit_term(e.term)
+        if isinstance(e, ENot):
+            return _bool_result(~ebv(self.col(e.arg)))
+        if isinstance(e, EBool):
+            l, r = ebv(self.col(e.left)), ebv(self.col(e.right))
+            return _bool_result(l & r if e.op == "and" else l | r)
+        if isinstance(e, ECmp):
+            l, r = self.col(e.left), self.col(e.right)
+            if e.op == "=":
+                return _bool_result(eq_terms(l, r))
+            if e.op == "!=":
+                return _bool_result(~eq_terms(l, r))
+            if e.op == "sameTerm":
+                return _bool_result(l == r)
+            return _bool_result(cmp_terms(l, r, e.op))
+        if isinstance(e, EIn):
+            l = self.col(e.arg)
+            anyeq = F.lit(False)
+            for opt in e.options:
+                anyeq = anyeq | eq_terms(l, self.col(opt))
+            return _bool_result(~anyeq if e.negated else anyeq)
+        if isinstance(e, EArith):
+            l, r = num(self.col(e.left)), num(self.col(e.right))
+            if e.op == "+":
+                return _num_result(l + r)
+            if e.op == "-":
+                return _num_result(l - r)
+            if e.op == "*":
+                return _num_result(l * r)
+            return _num_result(l / r)
+        if isinstance(e, ENeg):
+            return _num_result(-num(self.col(e.arg)))
+        if isinstance(e, EExists):
+            if self.compile_exists is None:
+                raise NotImplementedError("EXISTS not supported in this context")
+            return self.compile_exists(e)
+        if isinstance(e, EFunc):
+            n = e.name.upper()
+            if n == "IF":
+                c = ebv(self.col(e.args[0]))
+                return F.when(c, self.col(e.args[1])).otherwise(self.col(e.args[2]))
+            if n == "COALESCE":
+                return F.coalesce(*[self.col(x) for x in e.args])
+            args = [self.col(x) for x in e.args]
+            return build_function(e.name, args, e.args)
+        raise NotImplementedError(f"expression {e!r}")
+
+    def boolean(self, e: Expr) -> Column:
+        """Compile to a filter predicate: EBV, NULL -> drop row."""
+        c = self.col(e)
+        return F.coalesce(ebv(c), F.lit(False))

@@ -1,0 +1,67 @@
+"""W3C SPARQL 1.1 JSON results serializer (reference
+to_json_result.rs:33-103 + RDF term rendering data_types.rs:69-242).
+
+Builds {"head": {"vars": [...]}, "results": {"bindings": [...]}} where
+each cell is {"type": uri|literal, "value": ..., "xml:lang"?,
+"datatype"?}. The per-cell struct is computed as a JVM expression and
+collected once — no per-row Python."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .expressions import render
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _cell(c) -> "F.Column":
+    typ = (
+        F.when(c["t"].isin("entity", "stmt"), "uri")
+        .otherwise("literal")
+    )
+    datatype = (
+        F.when(c["t"] == "int", F.lit(_XSD + "integer"))
+        .when(c["t"] == "double", F.lit(_XSD + "double"))
+        .when(c["t"] == "bool", F.lit(_XSD + "boolean"))
+        .when(c["t"] == "time", F.lit(_XSD + "dateTime"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    lang = F.when(c["t"] == "mono", c["lang"]).otherwise(F.lit(None).cast("string"))
+    return F.when(
+        c.isNull(),
+        F.lit(None).cast(
+            "struct<type:string,value:string,`xml:lang`:string,datatype:string>"
+        ),
+    ).otherwise(
+        F.struct(
+            typ.alias("type"),
+            render(c).alias("value"),
+            lang.alias("xml:lang"),
+            datatype.alias("datatype"),
+        )
+    )
+
+
+def to_sparql_json(df: DataFrame) -> str:
+    vars_ = df.columns
+    cells = df.select(*[_cell(df[v]).alias(v) for v in vars_])
+    rows = cells.collect()
+    bindings = []
+    for row in rows:
+        b = {}
+        for v in vars_:
+            cell = row[v]
+            if cell is None:
+                continue
+            d = {"type": cell["type"], "value": cell["value"]}
+            if cell["xml:lang"]:
+                d["xml:lang"] = cell["xml:lang"]
+            if cell["datatype"]:
+                d["datatype"] = cell["datatype"]
+            b[v] = d
+        bindings.append(b)
+    return json.dumps({"head": {"vars": vars_}, "results": {"bindings": bindings}})

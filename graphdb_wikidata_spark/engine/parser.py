@@ -1,0 +1,755 @@
+"""SPARQL 1.1 SELECT/ASK parser -> algebra.
+
+Replaces the reference's use of the spargebra crate (interpreter.rs:
+97-131) with a self-contained recursive-descent parser. Covers the
+reference's declared surface (SURVEY §2.8): BGPs, property paths,
+FILTER (incl. EXISTS/NOT EXISTS), OPTIONAL, UNION, MINUS, BIND,
+VALUES, subselects, GROUP BY + aggregates, HAVING, ORDER BY, LIMIT/
+OFFSET, DISTINCT/REDUCED — with the standard 21-prefix header
+prepended (interpreter.rs:58-94).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .algebra import (
+    AggSpec,
+    Bgp,
+    Distinct,
+    EArith,
+    EBool,
+    ECmp,
+    EExists,
+    EFunc,
+    EIn,
+    ELit,
+    ENeg,
+    ENot,
+    EVar,
+    Expr,
+    Extend,
+    Filter,
+    Group,
+    Join,
+    LeftJoin,
+    Minus,
+    Op,
+    OrderBy,
+    PathExpr,
+    PathPattern,
+    Project,
+    Reduced,
+    Slice,
+    TriplePattern,
+    Union,
+    Values,
+    Var,
+)
+from .terms import PREFIXES, Term, expand_pname, parse_iri, parse_literal
+
+# --------------------------------------------------------------------------
+# Lexer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_][A-Za-z0-9_.\-]*|[A-Za-z_][A-Za-z0-9_\-]*:)
+  | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>&&|\|\||!=|<=|>=|\^\^|[{}()\[\].;,*/|^?+\-=<>!@])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Token:
+    kind: str
+    value: str
+    pos: int
+
+
+def tokenize(text: str) -> list[Token]:
+    out: list[Token] = []
+    i = 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise SyntaxError(f"cannot tokenize at offset {i}: {text[i:i+30]!r}")
+        kind = m.lastgroup
+        if kind != "WS":
+            out.append(Token(kind, m.group(), i))
+        i = m.end()
+    out.append(Token("EOF", "", len(text)))
+    return out
+
+
+_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), body)
+
+
+AGG_NAMES = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
+
+BUILTIN_NAMES = {
+    "STR", "LANG", "LANGMATCHES", "DATATYPE", "BOUND", "IRI", "URI", "BNODE",
+    "RAND", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT", "STRLEN", "UCASE",
+    "LCASE", "ENCODE_FOR_URI", "CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE",
+    "STRAFTER", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+    "TIMEZONE", "TZ", "NOW", "UUID", "STRUUID", "MD5", "SHA1", "SHA256",
+    "SHA384", "SHA512", "COALESCE", "IF", "STRLANG", "STRDT", "SAMETERM",
+    "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "REGEX", "REPLACE",
+    "SUBSTR",
+}
+
+
+@dataclass
+class SelectSpec:
+    star: bool = False
+    items: list = field(default_factory=list)  # list of (varname, Expr|None)
+    distinct: bool = False
+    reduced: bool = False
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.tokens = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self._agg_counter = 0
+        self._aggs: list[AggSpec] = []
+
+    # ---- token helpers
+    def peek(self, ahead: int = 0) -> Token:
+        return self.tokens[min(self.i + ahead, len(self.tokens) - 1)]
+
+    def next(self) -> Token:
+        t = self.tokens[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, value: str | None = None, kind: str | None = None) -> Token | None:
+        t = self.peek()
+        if kind and t.kind != kind:
+            return None
+        if value is not None:
+            if t.kind == "KEYWORD":
+                if t.value.upper() != value.upper():
+                    return None
+            elif t.value != value:
+                return None
+        return self.next()
+
+    def expect(self, value: str | None = None, kind: str | None = None) -> Token:
+        t = self.accept(value, kind)
+        if t is None:
+            cur = self.peek()
+            raise SyntaxError(f"expected {value or kind}, got {cur.value!r} at {cur.pos}")
+        return t
+
+    def at_keyword(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "KEYWORD" and t.value.upper() in words
+
+    # ---- entry
+    def parse_query(self) -> Op:
+        while self.at_keyword("PREFIX", "BASE"):
+            kw = self.next().value.upper()
+            if kw == "PREFIX":
+                pname = self.expect(kind="PNAME").value
+                iri = self.expect(kind="IRIREF").value
+                self.prefixes[pname[:-1]] = iri[1:-1]
+            else:
+                self.expect(kind="IRIREF")
+        if self.at_keyword("ASK"):
+            self.next()
+            pattern = self.parse_group_graph_pattern()
+            return Slice(pattern, 0, 1)
+        return self.parse_select_query()
+
+    # ---- SELECT
+    def parse_select_query(self) -> Op:
+        spec = self.parse_select_clause()
+        self.accept("WHERE")
+        pattern = self.parse_group_graph_pattern()
+        return self.finish_select(spec, pattern)
+
+    def parse_select_clause(self) -> SelectSpec:
+        self.expect("SELECT")
+        spec = SelectSpec()
+        if self.accept("DISTINCT"):
+            spec.distinct = True
+        elif self.accept("REDUCED"):
+            spec.reduced = True
+        if self.accept("*"):
+            spec.star = True
+            return spec
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                self.next()
+                spec.items.append((t.value[1:], None))
+            elif t.value == "(":
+                self.next()
+                expr = self.parse_expression()
+                self.expect("AS")
+                var = self.expect(kind="VAR").value[1:]
+                self.expect(")")
+                spec.items.append((var, expr))
+            else:
+                break
+        if not spec.items:
+            raise SyntaxError("empty SELECT clause")
+        return spec
+
+    def finish_select(self, spec: SelectSpec, pattern: Op) -> Op:
+        # solution modifiers
+        group_vars: list[str] = []
+        group_exprs: list[tuple[str, Expr]] = []
+        having: Expr | None = None
+        order: list[tuple[Expr, bool]] = []
+        offset = 0
+        limit: int | None = None
+        has_group = False
+
+        if self.at_keyword("GROUP"):
+            self.next()
+            self.expect("BY")
+            has_group = True
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    group_vars.append(t.value[1:])
+                elif t.value == "(":
+                    self.next()
+                    e = self.parse_expression()
+                    self.expect("AS")
+                    v = self.expect(kind="VAR").value[1:]
+                    self.expect(")")
+                    group_exprs.append((v, e))
+                    group_vars.append(v)
+                else:
+                    break
+        if self.at_keyword("HAVING"):
+            self.next()
+            having = self.parse_expression()
+        if self.at_keyword("ORDER"):
+            self.next()
+            self.expect("BY")
+            while True:
+                if self.at_keyword("ASC", "DESC"):
+                    asc = self.next().value.upper() == "ASC"
+                    self.expect("(")
+                    e = self.parse_expression()
+                    self.expect(")")
+                    order.append((e, asc))
+                elif self.peek().kind == "VAR" or self.peek().value == "(":
+                    if self.peek().value == "(":
+                        self.next()
+                        e = self.parse_expression()
+                        self.expect(")")
+                    else:
+                        e = EVar(self.next().value[1:])
+                    order.append((e, True))
+                else:
+                    break
+        # LIMIT/OFFSET in either order
+        for _ in range(2):
+            if self.at_keyword("LIMIT"):
+                self.next()
+                limit = int(self.expect(kind="NUMBER").value)
+            elif self.at_keyword("OFFSET"):
+                self.next()
+                offset = int(self.expect(kind="NUMBER").value)
+        if self.at_keyword("VALUES"):
+            self.next()
+            pattern = Join(pattern, self.parse_inline_data())
+
+        # aggregate extraction from select items / having
+        self._aggs = []
+        proj_items: list[tuple[str, Expr | None]] = []
+        for var, expr in spec.items:
+            if expr is not None:
+                expr = self._extract_aggregates(expr)
+            proj_items.append((var, expr))
+        if having is not None:
+            having = self._extract_aggregates(having)
+        needs_group = has_group or bool(self._aggs)
+
+        plan: Op = pattern
+        for v, e in group_exprs:
+            plan = Extend(plan, v, e)
+        if needs_group:
+            plan = Group(plan, tuple(group_vars), tuple(self._aggs))
+        if having is not None:
+            plan = Filter(having, plan)
+
+        out_vars: list[str] = []
+        for var, expr in proj_items:
+            out_vars.append(var)
+            if expr is None:
+                continue
+            if isinstance(expr, EVar) and expr.name == var:
+                continue  # direct aggregate alias
+            plan = Extend(plan, var, expr)
+        if order:
+            plan = OrderBy(plan, tuple(order))
+        if not spec.star:
+            plan = Project(plan, tuple(out_vars))
+        if spec.distinct:
+            plan = Distinct(plan)
+        elif spec.reduced:
+            plan = Reduced(plan)
+        if offset or limit is not None:
+            plan = Slice(plan, offset, limit)
+        return plan
+
+    def _extract_aggregates(self, e: Expr) -> Expr:
+        """Replace aggregate calls with fresh variables, recording
+        AggSpecs (the algebra keeps aggregates only inside Group)."""
+        if isinstance(e, EFunc) and e.name.upper() in AGG_NAMES:
+            raise AssertionError("aggregates are parsed as EAggMarker")
+        if isinstance(e, _EAgg):
+            var = f"__agg{self._agg_counter}"
+            self._agg_counter += 1
+            self._aggs.append(
+                AggSpec(var, e.func, e.expr, distinct=e.distinct, separator=e.separator)
+            )
+            return EVar(var)
+        if isinstance(e, EBool):
+            return EBool(e.op, self._extract_aggregates(e.left), self._extract_aggregates(e.right))
+        if isinstance(e, ENot):
+            return ENot(self._extract_aggregates(e.arg))
+        if isinstance(e, ECmp):
+            return ECmp(e.op, self._extract_aggregates(e.left), self._extract_aggregates(e.right))
+        if isinstance(e, EArith):
+            return EArith(e.op, self._extract_aggregates(e.left), self._extract_aggregates(e.right))
+        if isinstance(e, ENeg):
+            return ENeg(self._extract_aggregates(e.arg))
+        if isinstance(e, EFunc):
+            return EFunc(e.name, tuple(self._extract_aggregates(a) for a in e.args))
+        if isinstance(e, EIn):
+            return EIn(
+                self._extract_aggregates(e.arg),
+                tuple(self._extract_aggregates(o) for o in e.options),
+                e.negated,
+            )
+        return e
+
+    # ---- group graph pattern
+    def parse_group_graph_pattern(self) -> Op:
+        self.expect("{")
+        if self.at_keyword("SELECT"):
+            sub = self.parse_select_query()
+            self.expect("}")
+            return sub
+        current: Op | None = None
+        filters: list[Expr] = []
+
+        def add(op: Op):
+            nonlocal current
+            current = op if current is None else Join(current, op)
+
+        while not self.accept("}"):
+            if self.at_keyword("FILTER"):
+                self.next()
+                filters.append(self.parse_constraint())
+            elif self.at_keyword("OPTIONAL"):
+                self.next()
+                inner = self.parse_group_graph_pattern()
+                expr = None
+                if isinstance(inner, Filter):  # OPTIONAL { P FILTER(e) }
+                    expr, inner = inner.expr, inner.input
+                current = LeftJoin(current or Bgp(()), inner, expr)
+            elif self.at_keyword("MINUS"):
+                self.next()
+                inner = self.parse_group_graph_pattern()
+                current = Minus(current or Bgp(()), inner)
+            elif self.at_keyword("BIND"):
+                self.next()
+                self.expect("(")
+                e = self.parse_expression()
+                self.expect("AS")
+                v = self.expect(kind="VAR").value[1:]
+                self.expect(")")
+                current = Extend(current or Bgp(()), v, e)
+            elif self.at_keyword("VALUES"):
+                self.next()
+                add(self.parse_inline_data())
+            elif self.peek().value == "{":
+                sub = self.parse_group_graph_pattern()
+                while self.at_keyword("UNION"):
+                    self.next()
+                    sub = Union(sub, self.parse_group_graph_pattern())
+                add(sub)
+            else:
+                add(self.parse_triples_block())
+            self.accept(".")
+        plan = current or Bgp(())
+        for fexpr in filters:
+            plan = Filter(fexpr, plan)
+        return plan
+
+    def parse_constraint(self) -> Expr:
+        if self.at_keyword("EXISTS"):
+            self.next()
+            return EExists(self.parse_group_graph_pattern())
+        if self.at_keyword("NOT"):
+            self.next()
+            self.expect("EXISTS")
+            return EExists(self.parse_group_graph_pattern(), negated=True)
+        self.expect("(")
+        e = self.parse_expression()
+        self.expect(")")
+        return e
+
+    # ---- triples
+    def parse_triples_block(self) -> Op:
+        patterns: list[TriplePattern] = []
+        paths: list[PathPattern] = []
+        while True:
+            subj = self.parse_var_or_term()
+            self._parse_property_list(subj, patterns, paths)
+            if not self.accept("."):
+                break
+            t = self.peek()
+            if t.value in ("}",) or t.kind == "EOF" or (
+                t.kind == "KEYWORD"
+                and t.value.upper()
+                in ("FILTER", "OPTIONAL", "MINUS", "BIND", "VALUES", "UNION", "GROUP",
+                    "HAVING", "ORDER", "LIMIT", "OFFSET", "SELECT")
+            ) or t.value == "{":
+                break
+        plan: Op = Bgp(tuple(patterns))
+        for pp in paths:
+            plan = Join(plan, pp) if patterns or len(paths) > 1 else pp
+        if not patterns and len(paths) == 1:
+            return paths[0]
+        return plan
+
+    def _parse_property_list(self, subj, patterns, paths):
+        while True:
+            if self.peek().kind == "VAR":
+                pvar = Var(self.next().value[1:])
+                path = PathExpr("link", terms=(pvar,))
+            else:
+                path = self.parse_path()
+            while True:
+                obj = self.parse_var_or_term()
+                if path.kind == "link" and len(path.terms) == 1:
+                    patterns.append(TriplePattern(subj, path.terms[0], obj))
+                else:
+                    paths.append(PathPattern(subj, path, obj))
+                if not self.accept(","):
+                    break
+            if not self.accept(";"):
+                break
+            if self.peek().value in (".", "}") :
+                break
+
+    # ---- property paths (SPARQL 1.1 §9; reference IR calc_data_types.rs:17-26)
+    def parse_path(self):
+        return self._path_alternative()
+
+    def _path_alternative(self) -> PathExpr:
+        parts = [self._path_sequence()]
+        while self.accept("|"):
+            parts.append(self._path_sequence())
+        if len(parts) == 1:
+            return parts[0]
+        return PathExpr("alternative", parts=tuple(parts))
+
+    def _path_sequence(self) -> PathExpr:
+        parts = [self._path_elt()]
+        while self.accept("/"):
+            parts.append(self._path_elt())
+        if len(parts) == 1:
+            return parts[0]
+        return PathExpr("sequence", parts=tuple(parts))
+
+    def _path_elt(self) -> PathExpr:
+        inverse = bool(self.accept("^"))
+        p = self._path_primary()
+        t = self.peek()
+        if t.value == "*":
+            self.next()
+            p = PathExpr("zero_or_more", parts=(p,))
+        elif t.value == "+":
+            self.next()
+            p = PathExpr("one_or_more", parts=(p,))
+        elif t.value == "?" and t.kind == "OP":
+            self.next()
+            p = PathExpr("zero_or_one", parts=(p,))
+        if inverse:
+            p = PathExpr("reverse", parts=(p,))
+        return p
+
+    def _path_primary(self) -> PathExpr:
+        t = self.peek()
+        if t.value == "(":
+            self.next()
+            p = self.parse_path()
+            self.expect(")")
+            return p
+        if t.value == "!":
+            self.next()
+            inner = self._path_primary()
+            terms = inner.terms if inner.kind == "link" else ()
+            return PathExpr("negated", terms=terms)
+        if t.kind == "KEYWORD" and t.value == "a":
+            self.next()
+            return PathExpr("link", terms=(parse_iri(PREFIXES["rdf"] + "type"),))
+        term = self.parse_iri_term()
+        return PathExpr("link", terms=(term,))
+
+    def parse_iri_term(self) -> Term:
+        t = self.peek()
+        if t.kind == "IRIREF":
+            self.next()
+            return parse_iri(t.value[1:-1])
+        if t.kind == "PNAME":
+            self.next()
+            prefix, local = t.value.split(":", 1)
+            return parse_iri(expand_pname(prefix, local, self.prefixes))
+        raise SyntaxError(f"expected IRI at {t.pos}, got {t.value!r}")
+
+    def parse_var_or_term(self):
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return Var(t.value[1:])
+        if t.kind == "STRING":
+            return self._parse_literal_token()
+        if t.kind == "NUMBER":
+            self.next()
+            if re.fullmatch(r"[+-]?\d+", t.value):
+                return Term(t="int", i=int(t.value))
+            return Term(t="double", d=float(t.value))
+        if t.kind == "KEYWORD" and t.value.lower() in ("true", "false"):
+            self.next()
+            return Term(t="bool", b=t.value.lower() == "true")
+        return self.parse_iri_term()
+
+    def _parse_literal_token(self) -> Term:
+        t = self.next()
+        lexical = _unquote(t.value)
+        if self.peek().value == "@":
+            self.next()
+            lang = self.expect(kind="KEYWORD").value
+            return parse_literal(lexical, lang, None)
+        if self.accept("^^"):
+            dt = self.parse_iri_term()
+            dt_iri = None
+            if dt.t == "str":
+                dt_iri = dt.s
+            elif dt.t == "entity":
+                dt_iri = f"entity/{dt.k}{dt.e}"
+            return parse_literal(lexical, None, dt_iri or "")
+        return parse_literal(lexical, None, None)
+
+    # ---- VALUES
+    def parse_inline_data(self) -> Values:
+        t = self.peek()
+        variables: list[str] = []
+        if t.kind == "VAR":
+            variables.append(self.next().value[1:])
+        else:
+            self.expect("(")
+            while self.peek().kind == "VAR":
+                variables.append(self.next().value[1:])
+            self.expect(")")
+        rows: list[tuple] = []
+        self.expect("{")
+        while not self.accept("}"):
+            if len(variables) == 1 and self.peek().value != "(":
+                rows.append((self._parse_data_value(),))
+            else:
+                self.expect("(")
+                row = []
+                while self.peek().value != ")":
+                    row.append(self._parse_data_value())
+                self.expect(")")
+                rows.append(tuple(row))
+        return Values(tuple(variables), tuple(rows))
+
+    def _parse_data_value(self):
+        if self.at_keyword("UNDEF"):
+            self.next()
+            return None
+        v = self.parse_var_or_term()
+        if isinstance(v, Var):
+            raise SyntaxError("variable in VALUES data block")
+        return v
+
+    # ---- expressions
+    def parse_expression(self) -> Expr:
+        return self._expr_or()
+
+    def _expr_or(self) -> Expr:
+        e = self._expr_and()
+        while self.accept("||"):
+            e = EBool("or", e, self._expr_and())
+        return e
+
+    def _expr_and(self) -> Expr:
+        e = self._expr_rel()
+        while self.accept("&&"):
+            e = EBool("and", e, self._expr_rel())
+        return e
+
+    def _expr_rel(self) -> Expr:
+        e = self._expr_add()
+        t = self.peek()
+        if t.value in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ECmp(t.value, e, self._expr_add())
+        if self.at_keyword("IN"):
+            self.next()
+            return EIn(e, tuple(self._parse_expr_list()))
+        if self.at_keyword("NOT"):
+            self.next()
+            self.expect("IN")
+            return EIn(e, tuple(self._parse_expr_list()), negated=True)
+        return e
+
+    def _parse_expr_list(self) -> list[Expr]:
+        self.expect("(")
+        out = []
+        if self.peek().value != ")":
+            out.append(self.parse_expression())
+            while self.accept(","):
+                out.append(self.parse_expression())
+        self.expect(")")
+        return out
+
+    def _expr_add(self) -> Expr:
+        e = self._expr_mul()
+        while True:
+            t = self.peek()
+            if t.value == "+":
+                self.next()
+                e = EArith("+", e, self._expr_mul())
+            elif t.value == "-":
+                self.next()
+                e = EArith("-", e, self._expr_mul())
+            else:
+                return e
+
+    def _expr_mul(self) -> Expr:
+        e = self._expr_unary()
+        while True:
+            t = self.peek()
+            if t.value == "*":
+                self.next()
+                e = EArith("*", e, self._expr_unary())
+            elif t.value == "/":
+                self.next()
+                e = EArith("/", e, self._expr_unary())
+            else:
+                return e
+
+    def _expr_unary(self) -> Expr:
+        t = self.peek()
+        if t.value == "!":
+            self.next()
+            return ENot(self._expr_unary())
+        if t.value == "-":
+            self.next()
+            return ENeg(self._expr_unary())
+        if t.value == "+":
+            self.next()
+            return self._expr_unary()
+        return self._expr_primary()
+
+    def _expr_primary(self) -> Expr:
+        t = self.peek()
+        if t.value == "(":
+            self.next()
+            e = self.parse_expression()
+            self.expect(")")
+            return e
+        if t.kind == "VAR":
+            self.next()
+            return EVar(t.value[1:])
+        if t.kind == "NUMBER":
+            self.next()
+            if re.fullmatch(r"[+-]?\d+", t.value):
+                return ELit(Term(t="int", i=int(t.value)))
+            return ELit(Term(t="double", d=float(t.value)))
+        if t.kind == "STRING":
+            return ELit(self._parse_literal_token())
+        if t.kind == "KEYWORD":
+            up = t.value.upper()
+            if up in ("TRUE", "FALSE"):
+                self.next()
+                return ELit(Term(t="bool", b=up == "TRUE"))
+            if up in AGG_NAMES:
+                return self._parse_aggregate()
+            if up == "EXISTS":
+                self.next()
+                return EExists(self.parse_group_graph_pattern())
+            if up == "NOT":
+                self.next()
+                self.expect("EXISTS")
+                return EExists(self.parse_group_graph_pattern(), negated=True)
+            if up in BUILTIN_NAMES:
+                self.next()
+                if up in ("NOW", "RAND", "UUID", "STRUUID") and self.peek().value == "(":
+                    self.expect("(")
+                    self.expect(")")
+                    return EFunc(up, ())
+                if up == "SAMETERM":
+                    args = self._parse_expr_list()
+                    return ECmp("sameTerm", args[0], args[1])
+                args = self._parse_expr_list()
+                return EFunc(up, tuple(args))
+        # IRI function call or plain term literal
+        term = self.parse_var_or_term()
+        if isinstance(term, Term):
+            return ELit(term)
+        raise SyntaxError(f"unexpected token {t.value!r} at {t.pos}")
+
+    def _parse_aggregate(self) -> Expr:
+        name = self.next().value.upper()
+        self.expect("(")
+        distinct = bool(self.accept("DISTINCT"))
+        expr: Expr | None = None
+        sep = " "
+        if self.accept("*"):
+            pass
+        else:
+            expr = self.parse_expression()
+        if name == "GROUP_CONCAT" and self.accept(";"):
+            kw = self.expect(kind="KEYWORD").value.upper()
+            if kw != "SEPARATOR":
+                raise SyntaxError("expected SEPARATOR")
+            self.expect("=")
+            sep_tok = self.expect(kind="STRING")
+            sep = _unquote(sep_tok.value)
+        self.expect(")")
+        return _EAgg(name.lower(), expr, distinct, sep)
+
+
+@dataclass(frozen=True)
+class _EAgg(Expr):
+    """Parse-time aggregate marker, replaced by variables referencing
+    Group output during finish_select."""
+
+    func: str
+    expr: Expr | None
+    distinct: bool
+    separator: str
+
+
+def parse_query(text: str) -> Op:
+    return Parser(text).parse_query()

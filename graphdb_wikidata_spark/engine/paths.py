@@ -1,0 +1,138 @@
+"""Property-path compilation (reference Path operator — declared but
+todo!, calc_data_types.rs:17-26, calc_engine.rs:153-156; semantics from
+SPARQL 1.1 §9.1).
+
+- link         -> plain triple-pattern scan
+- reverse (^)  -> swap subject/object
+- sequence (/) -> chained joins through fresh intermediate variables
+- alternative  -> union
+- zero_or_one  -> union with the identity mapping
+- negated (!)  -> scan with predicate not-in set
+- zero/one_or_more (* +) -> iterative frontier expansion (distributed
+  semi-naive transitive closure): frontier = frontier JOIN step MINUS
+  seen, localCheckpoint per iteration to cut lineage. This is the one
+  operator with no declarative Spark primitive (SURVEY §7 M4) — the
+  loop is driver-side but every step is a full cluster-parallel join.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .algebra import PathExpr, PathPattern, TriplePattern, Var
+from .terms import Term
+
+
+def _fresh() -> Var:
+    return Var("__p" + uuid.uuid4().hex[:8])
+
+
+def _pairs(compiler, path: PathExpr, s: Var, o: Var) -> DataFrame:
+    """Compile a path into a DataFrame with columns [s.name, o.name]."""
+    from .scan import scan_pattern
+
+    if path.kind == "link":
+        return scan_pattern(compiler.statements, TriplePattern(s, path.terms[0], o))
+    if path.kind == "reverse":
+        inner = _pairs(compiler, path.parts[0], o, s)
+        return inner.select(s.name, o.name)
+    if path.kind == "sequence":
+        parts = path.parts
+        mid_vars = [s] + [_fresh() for _ in range(len(parts) - 1)] + [o]
+        df = _pairs(compiler, parts[0], mid_vars[0], mid_vars[1])
+        for i, part in enumerate(parts[1:], start=1):
+            nxt = _pairs(compiler, part, mid_vars[i], mid_vars[i + 1])
+            df = df.join(nxt, on=mid_vars[i].name).drop(mid_vars[i].name)
+        return df.select(s.name, o.name)
+    if path.kind == "alternative":
+        dfs = [_pairs(compiler, p, s, o) for p in path.parts]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+    if path.kind == "zero_or_one":
+        step = _pairs(compiler, path.parts[0], s, o)
+        return step.unionByName(_identity_pairs(compiler, s, o)).distinct()
+    if path.kind == "negated":
+        return _negated_pairs(compiler, path, s, o)
+    if path.kind in ("zero_or_more", "one_or_more"):
+        step = _pairs(compiler, path.parts[0], s, o).distinct()
+        closure = _transitive_closure(step, s.name, o.name)
+        if path.kind == "zero_or_more":
+            closure = closure.unionByName(_identity_pairs(compiler, s, o)).distinct()
+        return closure
+    raise NotImplementedError(f"path kind {path.kind}")
+
+
+def _identity_pairs(compiler, s: Var, o: Var) -> DataFrame:
+    """{(x, x) | x is any subject or object node} — the SPARQL
+    zero-length-path node set."""
+    from .scan import scan_pattern
+
+    subs = scan_pattern(
+        compiler.statements, TriplePattern(s, Var("__ip"), Var("__io"))
+    ).select(s.name)
+    objs = scan_pattern(
+        compiler.statements, TriplePattern(Var("__is"), Var("__ip2"), s)
+    ).select(s.name)
+    nodes = subs.unionByName(objs).distinct()
+    return nodes.select(F.col(s.name), F.col(s.name).alias(o.name))
+
+
+def _negated_pairs(compiler, path: PathExpr, s: Var, o: Var) -> DataFrame:
+    from .scan import scan_pattern
+
+    pvar = _fresh()
+    df = scan_pattern(compiler.statements, TriplePattern(s, pvar, o))
+    excluded = [t for t in path.terms if isinstance(t, Term) and t.t == "entity"]
+    cond = F.lit(True)
+    for t in excluded:
+        cond = cond & ~(
+            (F.col(pvar.name)["t"] == "entity")
+            & (F.col(pvar.name)["k"] == t.k)
+            & (F.col(pvar.name)["e"] == t.e)
+        )
+    return df.filter(cond).select(s.name, o.name)
+
+
+def _transitive_closure(step: DataFrame, s: str, o: str, max_iters: int = 30) -> DataFrame:
+    """Semi-naive iteration: paths grows by joining the newest frontier
+    with the one-step edge relation; stops at a fixed point.
+
+    Scale notes: `step` is cached once; each iteration is one shuffle
+    join on the frontier (small after a few rounds for typical graphs);
+    localCheckpoint() truncates lineage so plans don't grow unboundedly.
+    """
+    step = step.localCheckpoint()
+    paths = step
+    frontier = step
+    for _ in range(max_iters):
+        grown = (
+            frontier.withColumnRenamed(o, "__mid")
+            .join(step.withColumnRenamed(s, "__mid"), on="__mid")
+            .select(s, o)
+            .distinct()
+        )
+        new = grown.join(paths, on=[s, o], how="left_anti").localCheckpoint()
+        if new.limit(1).count() == 0:
+            break
+        paths = paths.unionByName(new).localCheckpoint()
+        frontier = new
+    return paths
+
+
+def compile_path(compiler, op: PathPattern) -> DataFrame:
+    s = op.s if isinstance(op.s, Var) else _fresh()
+    o = op.o if isinstance(op.o, Var) else _fresh()
+    df = _pairs(compiler, op.path, s, o)
+
+    from .expressions import lit_term
+
+    if not isinstance(op.s, Var):
+        df = df.filter(F.col(s.name).eqNullSafe(lit_term(op.s))).drop(s.name)
+    if not isinstance(op.o, Var):
+        df = df.filter(F.col(o.name).eqNullSafe(lit_term(op.o))).drop(o.name)
+    return df

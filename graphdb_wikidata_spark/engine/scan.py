@@ -1,0 +1,191 @@
+"""Triple-pattern scan: the Spark analogue of triplepattern_match
+(reference calc_engine.rs:3074-3284).
+
+The reference dispatches 8 ways on which of s/p/o are bound and picks
+one of four sorted quad copies for a binary search. Here there is ONE
+function: build a conjunctive filter over the ``statements`` DataFrame
+from the bound positions and project term-struct columns for the
+variable positions — Catalyst pushes the filters into the parquet scan
+(the moral equivalent of index selection), and partition/row-group
+pruning replaces the sorted copies.
+
+Wikidata-specific routing preserved (SURVEY §2.9):
+- ``wdt:Pn`` (direct): filter pred, bind object value.
+- ``p:Pn`` (Pstmt): filter pred, bind the *statement id* as object
+  (calc_engine.rs:3135-3141).
+- ``wds:...`` object: filter on statement_id; a variable predicate
+  then binds the Pstmt form (calc_engine.rs:3119-3124).
+- Variable predicate binds the stored predicate node: P entity for
+  claims, the Label/Description/Alias(lang) node for term edges.
+
+Deviation (documented): the reference's subject-bound/var-predicate
+case unions direct-form + statement-form rows (calc_engine.rs:
+3182-3203), but its published test cardinalities (test_requests.txt:
+15-20 = 1354 rows = raw edge count of Q31) correspond to the plain
+single-form scan, which is what we implement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..model.schema import make_term
+from .algebra import TriplePattern, Var
+from .terms import Term
+
+
+def _subject_term() -> Column:
+    return F.when(
+        F.col("subject_kind") == "stmt",
+        make_term(t="stmt", s=F.col("subject_stmt")),
+    ).otherwise(
+        make_term(t="entity", k=F.col("subject_kind"), e=F.col("subject_id"))
+    )
+
+
+def _predicate_term(as_pstmt: bool = False) -> Column:
+    kind = F.lit("Pstmt") if as_pstmt else F.lit("P")
+    return F.when(
+        F.col("pred_kind") == "P",
+        make_term(t="entity", k=kind, e=F.col("pred_id")),
+    ).otherwise(
+        make_term(t="termpred", k=F.col("pred_kind"), lang=F.col("pred_lang"))
+    )
+
+
+def _object_term() -> Column:
+    """Stored object -> canonical term struct (all typed branches)."""
+    return (
+        F.when(
+            F.col("obj_type") == "entity",
+            make_term(t="entity", k=F.col("obj_entity_kind"), e=F.col("obj_entity_id")),
+        )
+        .when(
+            F.col("obj_type") == "string",
+            make_term(t="str", k=F.col("obj_entity_kind"), s=F.col("obj_string")),
+        )
+        .when(
+            F.col("obj_type") == "mono",
+            make_term(t="mono", s=F.col("obj_string"), lang=F.col("obj_lang")),
+        )
+        .when(
+            F.col("obj_type") == "int",
+            make_term(t="int", i=F.col("obj_string").try_cast("long")),
+        )
+        .when(
+            F.col("obj_type") == "double",
+            make_term(t="double", d=F.col("obj_string").try_cast("double")),
+        )
+        .when(
+            F.col("obj_type") == "bool",
+            make_term(t="bool", b=F.lower(F.col("obj_string")).try_cast("boolean")),
+        )
+        .when(F.col("obj_type") == "time", make_term(t="time", time=F.col("obj_time")))
+        .when(F.col("obj_type") == "qty", make_term(t="qty", qty=F.col("obj_qty")))
+        .when(F.col("obj_type") == "coord", make_term(t="coord", coord=F.col("obj_coord")))
+        .otherwise(make_term(t="null"))
+    )
+
+
+def _stmt_id_term() -> Column:
+    return make_term(t="stmt", s=F.col("statement_id"))
+
+
+def _filter_subject(t: Term) -> Column:
+    if t.t == "stmt":
+        return (F.col("subject_kind") == "stmt") & (F.col("subject_stmt") == t.s)
+    if t.t == "entity":
+        return (F.col("subject_kind") == t.k) & (F.col("subject_id") == t.e)
+    return F.lit(False)
+
+
+def _filter_object(t: Term) -> Column:
+    if t.t == "entity":
+        return (
+            (F.col("obj_type") == "entity")
+            & (F.col("obj_entity_kind") == t.k)
+            & (F.col("obj_entity_id") == t.e)
+        )
+    if t.t == "str":
+        return (
+            (F.col("obj_type") == "string")
+            & (F.col("obj_entity_kind") == (t.k or "string"))
+            & (F.col("obj_string") == t.s)
+        )
+    if t.t == "mono":
+        return (
+            (F.col("obj_type") == "mono")
+            & (F.col("obj_string") == t.s)
+            & (F.col("obj_lang") == t.lang)
+        )
+    if t.t == "int":
+        return (F.col("obj_type") == "int") & (
+            F.col("obj_string").try_cast("long") == t.i
+        )
+    if t.t == "double":
+        return (F.col("obj_type") == "double") & (
+            F.col("obj_string").try_cast("double") == t.d
+        )
+    if t.t == "bool":
+        return (F.col("obj_type") == "bool") & (
+            F.lower(F.col("obj_string")).try_cast("boolean") == F.lit(t.b)
+        )
+    return F.lit(False)
+
+
+def scan_pattern(statements: DataFrame, tp: TriplePattern) -> DataFrame:
+    """Compile one triple pattern into a filtered projection of
+    ``statements`` whose columns are the pattern's variables (term
+    structs)."""
+    s, p, o = tp.s, tp.p, tp.o
+    cond = F.lit(True)
+    out: dict[str, Column] = {}
+
+    # ---- predicate routing flags
+    stmt_pred = isinstance(p, Term) and p.t == "entity" and p.k == "Pstmt"
+    stmt_object = isinstance(o, Term) and o.t == "stmt"
+
+    # ---- subject
+    if isinstance(s, Var):
+        out[s.name] = _subject_term()
+    else:
+        cond = cond & _filter_subject(s)
+
+    # ---- predicate
+    if isinstance(p, Var):
+        out[p.name] = _predicate_term(as_pstmt=stmt_object)
+    else:
+        if p.t != "entity" or p.k not in ("P", "Pstmt"):
+            # non-property predicate IRI: nothing stored can match
+            cond = F.lit(False)
+        else:
+            cond = cond & (F.col("pred_kind") == "P") & (F.col("pred_id") == p.e)
+
+    # ---- object
+    if isinstance(o, Var):
+        out[o.name] = _stmt_id_term() if stmt_pred else _object_term()
+    elif stmt_object:
+        # wds: object -> the pattern constrains the statement id; with a
+        # bound direct predicate this is the impossible combination
+        # (calc_engine.rs: stmt/object alignment check -> empty)
+        if isinstance(p, Term) and not stmt_pred:
+            cond = F.lit(False)
+        cond = cond & (F.col("statement_id") == o.s)
+    else:
+        if stmt_pred:
+            cond = F.lit(False)  # p:Pn with a non-statement object
+        cond = cond & _filter_object(o)
+
+    # repeated variables within one pattern (?x ?p ?x) -> positional equality
+    pairs = [(pos, v.name) for pos, v in (("s", s), ("p", p), ("o", o)) if isinstance(v, Var)]
+    seen: dict[str, Column] = {}
+    for pos, name in pairs:
+        col = out[name]
+        if name in seen:
+            cond = cond & seen[name].eqNullSafe(col)
+        else:
+            seen[name] = col
+
+    df = statements.filter(cond)
+    return df.select(*[c.alias(n) for n, c in out.items()]) if out else df.select()

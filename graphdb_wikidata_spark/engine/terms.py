@@ -1,0 +1,124 @@
+"""RDF term parsing: IRIs and literals -> bound Term values.
+
+Mirrors the reference's str_to_datavalue (calc_engine.rs:3031-3069) and
+literal_to_datavalue (calc_engine.rs:3304-3349), with one documented
+deviation: the reference's IRI regexes only recognize Q/L ids in the
+``entity/`` namespace, yet its own test corpus writes ``wdt:Q31`` (the
+``prop/direct/`` namespace) and documents entity semantics for it — so
+we resolve entity ids by *local name* in any wikidata namespace, which
+reproduces the published corpus cardinalities (test_requests.txt).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# The 21-prefix header prepended to every query
+# (reference interpreter.rs:58-94).
+PREFIXES: dict[str, str] = {
+    "bd": "http://www.bigdata.com/rdf#",
+    "cc": "http://creativecommons.org/ns#",
+    "dct": "http://purl.org/dc/terms/",
+    "geo": "http://www.opengis.net/ont/geosparql#",
+    "ontolex": "http://www.w3.org/ns/lemon/ontolex#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "schema": "http://schema.org/",
+    "prov": "http://www.w3.org/ns/prov#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "p": "http://www.wikidata.org/prop/",
+    "pq": "http://www.wikidata.org/prop/qualifier/",
+    "pqn": "http://www.wikidata.org/prop/qualifier/value-normalized/",
+    "pqv": "http://www.wikidata.org/prop/qualifier/value/",
+    "pr": "http://www.wikidata.org/prop/reference/",
+    "prn": "http://www.wikidata.org/prop/reference/value-normalized/",
+    "prv": "http://www.wikidata.org/prop/reference/value/",
+    "ps": "http://www.wikidata.org/prop/statement/",
+    "psn": "http://www.wikidata.org/prop/statement/value-normalized/",
+    "psv": "http://www.wikidata.org/prop/statement/value/",
+    "wd": "http://www.wikidata.org/entity/",
+    "wdata": "http://www.wikidata.org/wiki/Special:EntityData/",
+    "wdno": "http://www.wikidata.org/prop/novalue/",
+    "wdref": "http://www.wikidata.org/reference/",
+    "wds": "http://www.wikidata.org/entity/statement/",
+    "wdt": "http://www.wikidata.org/prop/direct/",
+    "wdtn": "http://www.wikidata.org/prop/direct-normalized/",
+    "wdv": "http://www.wikidata.org/value/",
+    "wikibase": "http://wikiba.se/ontology#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+
+@dataclass(frozen=True)
+class Term:
+    """A bound RDF term (python-side). ``t`` mirrors the term-struct
+    tag; see model/schema.py."""
+
+    t: str  # 'entity','stmt','str','mono','int','double','bool','null'
+    k: str | None = None  # entity kind Q/P/L/Pstmt; string subtype
+    e: int | None = None
+    s: str | None = None
+    lang: str | None = None
+    i: int | None = None
+    d: float | None = None
+    b: bool | None = None
+
+
+_RE_STMT = re.compile(r"/entity/statement/(.+)$")
+_RE_DIRECT_P = re.compile(r"/prop/direct(?:-normalized)?/P(\d+)$")
+_RE_STMT_P = re.compile(r"/prop/P(\d+)$")
+_RE_LOCAL_ENTITY = re.compile(r"[/#]([QPL])(\d+)$")
+
+
+def parse_iri(iri: str) -> Term:
+    """IRI -> Term (str_to_datavalue semantics + local-name deviation)."""
+    m = _RE_STMT.search(iri)
+    if m:
+        return Term(t="stmt", s=m.group(1).replace("$", "-"))
+    m = _RE_DIRECT_P.search(iri)
+    if m:
+        return Term(t="entity", k="P", e=int(m.group(1)))
+    m = _RE_STMT_P.search(iri)
+    if m:
+        return Term(t="entity", k="Pstmt", e=int(m.group(1)))
+    m = _RE_LOCAL_ENTITY.search(iri)
+    if m:
+        kind, num = m.group(1), int(m.group(2))
+        return Term(t="entity", k=kind, e=num)
+    return Term(t="str", k="string", s=iri)
+
+
+def parse_literal(lexical: str, lang: str | None, datatype: str | None) -> Term:
+    """Literal -> Term (literal_to_datavalue: integer -> int,
+    decimal/double/float -> double, boolean -> bool, plain -> string;
+    unknown datatype -> null node; lang-tagged -> monolingual)."""
+    if lang:
+        return Term(t="mono", s=lexical, lang=lang)
+    if datatype is None:
+        return Term(t="str", k="string", s=lexical)
+    if "integer" in datatype or datatype.endswith(("#int", "#long", "#short")):
+        try:
+            return Term(t="int", i=int(lexical))
+        except ValueError:
+            return Term(t="null")
+    if "decimal" in datatype or "double" in datatype or "float" in datatype:
+        try:
+            return Term(t="double", d=float(lexical))
+        except ValueError:
+            return Term(t="null")
+    if "boolean" in datatype:
+        if lexical in ("true", "false"):
+            return Term(t="bool", b=lexical == "true")
+        return Term(t="null")
+    if "string" in datatype:
+        return Term(t="str", k="string", s=lexical)
+    return Term(t="null")
+
+
+def expand_pname(prefix: str, local: str, extra: dict[str, str] | None = None) -> str:
+    ns = (extra or {}).get(prefix) or PREFIXES.get(prefix)
+    if ns is None:
+        raise ValueError(f"unknown prefix: {prefix}:")
+    return ns + local

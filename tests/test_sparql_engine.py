@@ -1,0 +1,203 @@
+"""End-to-end SPARQL engine tests against the reference's own fixture
+and golden cardinalities (/root/reference/test_requests.txt — the
+5-entity Wikidata dump yields 3385 quads etc.)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from graphdb_wikidata_spark.engine import GraphEngine
+
+FIXTURE = "/root/reference/tests/data/first_5_lines.txt"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from graphdb_wikidata_spark.ingest import load_dump
+
+    df = load_dump(spark, FIXTURE).cache()
+    return GraphEngine(spark, df)
+
+
+def test_full_scan_3385(engine):
+    # test_requests.txt:7-13
+    assert engine.sql("SELECT ?sub ?pred ?obj WHERE { ?sub ?pred ?obj . }").count() == 3385
+
+
+def test_subject_bound_1354(engine):
+    # test_requests.txt:15-20
+    assert engine.sql("SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }").count() == 1354
+
+
+def test_object_bound_1(engine):
+    # test_requests.txt:22-27
+    assert engine.sql("SELECT ?p2 ?b WHERE { ?b ?p2 wdt:Q31 . }").count() == 1
+
+
+def test_bgp_join_1(engine):
+    # test_requests.txt:29-35
+    df = engine.sql(
+        "SELECT ?p ?b ?p2 WHERE { wdt:Q31 ?p ?b . ?b ?p2 wdt:Q31 . }"
+    )
+    assert df.count() == 1
+
+
+def test_belgium_instance_of(engine):
+    # test_requests.txt:1-6 (wdt:Q31 wdt:P31 ?item)
+    rows = engine.sql("SELECT ?item WHERE { wdt:Q31 wdt:P31 ?item . }").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["item"]["t"] == "entity"
+
+
+def test_group_by_counts(engine):
+    # test_requests.txt:37-42
+    df = engine.sql(
+        """
+        SELECT ?s (COUNT(DISTINCT ?p) as ?dis_number_pred) (COUNT(?p) as ?number_pred)
+        WHERE { ?s ?p ?x } GROUP BY ?s
+        """
+    )
+    rows = df.collect()
+    # 5 entities + the qualifier statement-node subjects
+    assert len(rows) > 5
+    total = sum(r["number_pred"]["i"] for r in rows)
+    assert total == 3385  # every quad counted exactly once
+
+
+def test_group_concat_sample(engine):
+    # test_requests.txt:44-49
+    df = engine.sql(
+        """
+        SELECT ?s (COUNT(?o) as ?count_objects)
+               (GROUP_CONCAT(?o;SEPARATOR = ",") as ?group_concat)
+               (SAMPLE(?o) as ?sample)
+        WHERE { ?s wdt:P31 ?o } GROUP BY ?s
+        """
+    )
+    rows = df.collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["count_objects"]["i"] >= 1
+        assert r["group_concat"]["s"]
+
+
+def test_min_max(engine):
+    # test_requests.txt:51-56
+    df = engine.sql(
+        "SELECT ?s (MAX(?o) as ?max) (MIN(?o) as ?min) WHERE { ?s wdt:P31 ?o } GROUP BY ?s"
+    )
+    rows = df.collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["max"] is not None and r["min"] is not None
+
+
+def test_filter_regex_and_lang(engine):
+    df = engine.sql(
+        """
+        SELECT ?label WHERE {
+          wdt:Q31 ?p ?label .
+          FILTER(REGEX(?label, "^Bel", "i"))
+        }
+        """
+    )
+    assert df.count() > 0
+
+
+def test_optional_and_bind(engine):
+    df = engine.sql(
+        """
+        SELECT ?item ?iso (STRLEN(?iso) AS ?len) WHERE {
+          wdt:Q31 wdt:P31 ?item .
+          OPTIONAL { ?item wdt:P297 ?iso . }
+        }
+        """
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_union(engine):
+    df = engine.sql(
+        """
+        SELECT ?x WHERE {
+          { wdt:Q31 wdt:P31 ?x . } UNION { wdt:Q31 wdt:P297 ?x . }
+        }
+        """
+    )
+    n_union = df.count()
+    n_a = engine.sql("SELECT ?x WHERE { wdt:Q31 wdt:P31 ?x . }").count()
+    n_b = engine.sql("SELECT ?x WHERE { wdt:Q31 wdt:P297 ?x . }").count()
+    assert n_union == n_a + n_b
+
+
+def test_values_join(engine):
+    df = engine.sql(
+        """
+        SELECT ?x ?o WHERE {
+          VALUES ?x { wd:Q31 }
+          ?x wdt:P31 ?o .
+        }
+        """
+    )
+    assert df.count() > 0
+
+
+def test_order_limit(engine):
+    df = engine.sql(
+        """
+        SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } ORDER BY ?b LIMIT 5
+        """
+    )
+    assert df.count() == 5
+
+
+def test_exists_not_exists(engine):
+    with_iso = engine.sql(
+        """
+        SELECT ?item WHERE {
+          wdt:Q31 wdt:P31 ?item .
+          FILTER EXISTS { ?item ?p2 wdt:Q31 . }
+        }
+        """
+    ).count()
+    without = engine.sql(
+        """
+        SELECT ?item WHERE {
+          wdt:Q31 wdt:P31 ?item .
+          FILTER NOT EXISTS { ?item ?p2 wdt:Q31 . }
+        }
+        """
+    ).count()
+    total = engine.sql("SELECT ?item WHERE { wdt:Q31 wdt:P31 ?item . }").count()
+    assert with_iso + without == total
+
+
+def test_pstmt_statement_binding(engine):
+    # p: predicates bind the statement id (SURVEY §2.9)
+    df = engine.sql("SELECT ?stmt WHERE { wd:Q31 p:P31 ?stmt . }")
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["stmt"]["t"] == "stmt"
+    # and the statement id round-trips through a qualifier-style lookup
+    n_direct = engine.sql("SELECT ?o WHERE { wd:Q31 wdt:P31 ?o . }").count()
+    assert len(rows) == n_direct
+
+
+def test_sparql_json_output(engine):
+    out = engine.sql_json("SELECT ?item WHERE { wdt:Q31 wdt:P31 ?item . }")
+    doc = json.loads(out)
+    assert doc["head"]["vars"] == ["item"]
+    assert len(doc["results"]["bindings"]) > 0
+    cell = doc["results"]["bindings"][0]["item"]
+    assert cell["type"] == "uri"
+    assert cell["value"].startswith("http://www.wikidata.org/entity/Q")
+
+
+def test_ask_query(engine):
+    assert engine.sql("ASK { wdt:Q31 wdt:P31 ?x }").count() == 1
+    assert engine.sql("ASK { wdt:Q31 wdt:P999999 ?x }").count() == 0
