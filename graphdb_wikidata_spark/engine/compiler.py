@@ -154,7 +154,9 @@ class Compiler:
                 nonempty = cnt > 0
                 keep = (not expr.negated) == nonempty
                 return df if keep else df.limit(0)
-            return df.join(sub.select(*shared).distinct(), on=shared, how=how)
+            # no distinct() on the right: semi/anti joins never
+            # duplicate left rows, and the dedup costs two exchanges
+            return self._keyed_join(df, sub.select(*shared), shared, how)
         ec = self._expr_compiler(df)
         return df.filter(ec.boolean(expr))
 
@@ -178,7 +180,23 @@ class Compiler:
         shared = [c for c in left.columns if c in right.columns]
         if not shared:
             return left  # disjoint domains remove nothing
-        return left.join(right.select(*shared).distinct(), on=shared, how="left_anti")
+        return self._keyed_join(left, right.select(*shared), shared, "left_anti")
+
+    def _keyed_join(self, left: DataFrame, right: DataFrame, keys: list[str], how: str) -> DataFrame:
+        """Semi/anti join on *serialized* term keys.
+
+        Joining on the raw term structs trips a Catalyst bug: nested-
+        column aliasing pushes a downstream field extraction below the
+        join while the join key still needs the whole struct
+        (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at BindReferences). Flat
+        string keys also hash/compare cheaper than 12-field structs at
+        shuffle time. `=` on a NULL key never matches — same as the
+        struct-equality semantics this replaces."""
+        lk = left.withColumn("__kj", F.to_json(F.struct(*[left[k] for k in keys])))
+        rk = right.select(
+            F.to_json(F.struct(*[right[k] for k in keys])).alias("__kj")
+        )
+        return lk.join(rk, on="__kj", how=how).drop("__kj")
 
     def _c_values(self, op: Values) -> DataFrame:
         rows = []

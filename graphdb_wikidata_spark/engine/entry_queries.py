@@ -1,0 +1,271 @@
+"""SPARQL-engine queries for the driver's oracle gate.
+
+Each query runs SPARQL text through the FULL pipeline (parser ->
+algebra -> compiler -> Catalyst) over the deterministic TPC-H-derived
+statements graph (tpch_graph.py), then unwraps term structs into plain
+columns so DuckDB oracles over the base tables can hash-match.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .api import GraphEngine
+from .tpch_graph import tpch_statements
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_ENGINES: dict[tuple[int, str], GraphEngine] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> GraphEngine:
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        _ENGINES[key] = GraphEngine(spark, tpch_statements(spark, sf_dir))
+    return _ENGINES[key]
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _e(col: str):
+    """entity term -> its synthetic numeric id"""
+    return F.col(col)["e"].alias(col)
+
+
+def _s(col: str):
+    return F.col(col)["s"].alias(col)
+
+
+def _i(col: str):
+    return F.col(col)["i"].alias(col)
+
+
+def _d(col: str):
+    return F.col(col)["d"].alias(col)
+
+
+@register(
+    "sparql_bgp_join",
+    """
+    SELECT 2000000 + o_orderkey AS o, 1000000 + o_custkey AS c
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_nationkey = 7
+    """,
+)
+def sparql_bgp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-pattern BGP join through the full SPARQL pipeline (the
+    reference's flagship test shape, test_requests.txt:29-35)."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT ?o ?c WHERE { ?o wdt:P1 ?c . ?c wdt:P2 wd:Q3000007 . }"
+    )
+    return df.select(_e("o"), _e("c"))
+
+
+@register(
+    "sparql_filter_agg",
+    """
+    SELECT 1000000 + o_custkey AS c, count(*) AS cnt
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY o_custkey
+    """,
+)
+def sparql_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER on a numeric object + GROUP BY + COUNT through the engine."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?c (COUNT(?o) AS ?cnt) WHERE {
+          ?o wdt:P1 ?c . ?o wdt:P4 ?price .
+          FILTER(?price > 100000)
+        } GROUP BY ?c
+        """
+    )
+    return df.select(_e("c"), _i("cnt"))
+
+
+@register(
+    "sparql_optional",
+    """
+    SELECT 1000000 + c_custkey AS c, 2000000 + o_orderkey AS o
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    WHERE c_nationkey = 7
+    """,
+)
+def sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL -> left outer join; customers without orders keep NULL."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?c ?o WHERE {
+          ?c wdt:P2 wd:Q3000007 .
+          OPTIONAL { ?o wdt:P1 ?c . }
+        }
+        """
+    )
+    return df.select(_e("c"), _e("o"))
+
+
+@register(
+    "sparql_union",
+    """
+    SELECT 2000000 + o_orderkey AS o, o_orderpriority AS prio
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    """,
+)
+def sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?o ?prio WHERE {
+          { ?o wdt:P6 "1-URGENT" . ?o wdt:P6 ?prio . }
+          UNION
+          { ?o wdt:P6 "5-LOW" . ?o wdt:P6 ?prio . }
+        }
+        """
+    )
+    return df.select(_e("o"), _s("prio"))
+
+
+@register(
+    "sparql_minus",
+    """
+    SELECT 1000000 + c_custkey AS c FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINUS (anti-semijoin on the shared variable)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?c WHERE {
+          ?c wdt:P2 ?n .
+          MINUS { ?o wdt:P1 ?c . }
+        }
+        """
+    )
+    return df.select(_e("c"))
+
+
+@register(
+    "sparql_exists",
+    """
+    SELECT 1000000 + c_custkey AS c FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+    """,
+)
+def sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?c WHERE {
+          ?c wdt:P2 ?n .
+          FILTER EXISTS { ?o wdt:P1 ?c . ?o wdt:P6 "1-URGENT" . }
+        }
+        """
+    )
+    return df.select(_e("c"))
+
+
+@register(
+    "sparql_path_sequence",
+    """
+    SELECT 2000000 + o_orderkey AS o, 3000000 + c_nationkey AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def sparql_path_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path sequence wdt:P1/wdt:P2 (order -> customer -> nation)."""
+    df = _engine(spark, sf_dir).sql("SELECT ?o ?n WHERE { ?o wdt:P1/wdt:P2 ?n . }")
+    return df.select(_e("o"), _e("n"))
+
+
+@register(
+    "sparql_path_transitive",
+    """
+    SELECT 3000000 + a.n_nationkey AS src, 3000000 + b.n_nationkey AS dst
+    FROM nation a JOIN nation b ON b.n_nationkey < a.n_nationkey
+    """,
+)
+def sparql_path_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wdt:P8+ over the linear nation chain: the one-or-more closure of
+    n -> n-1 is exactly {(a,b) | b < a} — an oracle without recursion."""
+    df = _engine(spark, sf_dir).sql("SELECT ?src ?dst WHERE { ?src wdt:P8+ ?dst . }")
+    return df.select(_e("src"), _e("dst"))
+
+
+@register(
+    "sparql_order_limit",
+    """
+    SELECT 2000000 + o_orderkey AS o, o_totalprice AS price
+    FROM orders ORDER BY price DESC, o LIMIT 10
+    """,
+)
+def sparql_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?o ?price WHERE { ?o wdt:P4 ?price . }
+        ORDER BY DESC(?price) ?o LIMIT 10
+        """
+    )
+    return df.select(_e("o"), _d("price"))
+
+
+@register(
+    "sparql_agg_suite",
+    """
+    SELECT 3000000 + c_nationkey AS n,
+           count(*) AS cnt,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def sparql_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/SUM/COUNT over the engine's term-typed aggregation."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n (COUNT(?o) AS ?cnt) (MIN(?price) AS ?minp)
+               (MAX(?price) AS ?maxp) (SUM(?price) AS ?sump)
+        WHERE {
+          ?o wdt:P1 ?c . ?c wdt:P2 ?n . ?o wdt:P4 ?price .
+        } GROUP BY ?n
+        """
+    )
+    return df.select(
+        _e("n"),
+        F.col("cnt")["i"].alias("cnt"),
+        F.round(F.col("minp")["d"], 2).alias("min_price"),
+        F.round(F.col("maxp")["d"], 2).alias("max_price"),
+        F.round(F.col("sump")["d"], 2).alias("sum_price"),
+    )
+
+
+@register(
+    "sparql_label_lookup",
+    """
+    SELECT 3000000 + n_nationkey AS n, n_name AS label FROM nation
+    """,
+)
+def sparql_label_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-predicate scan restricted by a FILTER on LANG-tagged
+    term edges — the raw form of the label service."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n ?label WHERE {
+          ?n wdt:P3 ?r . ?n ?p ?label . FILTER(isLiteral(?label) && STRLEN(?label) > 0)
+        }
+        """
+    )
+    # keep only the label edges (the only string objects on nations)
+    return df.filter(F.col("label")["t"] == "str").select(_e("n"), _s("label"))

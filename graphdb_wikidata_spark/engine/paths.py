@@ -106,22 +106,31 @@ def _transitive_closure(step: DataFrame, s: str, o: str, max_iters: int = 30) ->
     join on the frontier (small after a few rounds for typical graphs);
     localCheckpoint() truncates lineage so plans don't grow unboundedly.
     """
+    # join/dedup on flat serialized keys, not the raw term structs:
+    # struct join keys + downstream nested-field extraction trip a
+    # Catalyst binding bug (see Compiler._keyed_join), and flat string
+    # keys hash cheaper at shuffle time anyway.
+    def with_key(df: DataFrame) -> DataFrame:
+        return df.withColumn("__pk", F.to_json(F.struct(F.col(s), F.col(o))))
+
     step = step.localCheckpoint()
-    paths = step
+    paths = with_key(step)
     frontier = step
     for _ in range(max_iters):
         grown = (
             frontier.withColumnRenamed(o, "__mid")
             .join(step.withColumnRenamed(s, "__mid"), on="__mid")
             .select(s, o)
-            .distinct()
         )
-        new = grown.join(paths, on=[s, o], how="left_anti").localCheckpoint()
+        grown = with_key(grown).dropDuplicates(["__pk"])
+        new = grown.join(
+            paths.select("__pk"), on="__pk", how="left_anti"
+        ).localCheckpoint()
         if new.limit(1).count() == 0:
             break
         paths = paths.unionByName(new).localCheckpoint()
-        frontier = new
-    return paths
+        frontier = new.drop("__pk")
+    return paths.drop("__pk")
 
 
 def compile_path(compiler, op: PathPattern) -> DataFrame:

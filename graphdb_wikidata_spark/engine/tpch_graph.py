@@ -1,0 +1,123 @@
+"""Deterministic statements graph derived from the TPC-H-ish testdata.
+
+Lets the driver's DuckDB-oracle gate exercise the *SPARQL engine
+itself*: entities get stable synthetic Q-ids, so every SPARQL result
+over the graph is reproducible with plain SQL over the base tables.
+
+Entity id scheme (all Q-kind):
+    customer  -> 1_000_000 + c_custkey
+    order     -> 2_000_000 + o_orderkey
+    nation    -> 3_000_000 + n_nationkey
+    region    -> 4_000_000 + r_regionkey
+    supplier  -> 5_000_000 + s_suppkey
+
+Predicates:
+    P1  order    placed_by   customer     (entity)
+    P2  customer in_nation   nation       (entity)
+    P3  nation   in_region   region       (entity)
+    P4  order    total_price (double)
+    P5  order    status      (string)
+    P6  order    priority    (string)
+    P7  supplier in_nation   nation       (entity)
+    P8  nation   chain_next  nation(n-1)  (entity; linear chain for
+                                           transitive-path tests)
+    label(en)    nation/customer names
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model.schema import COORD_T, QTY_T, STATEMENT_COLUMNS, TIME_T
+from ..tables import table
+
+C, O, N, R, S = 1_000_000, 2_000_000, 3_000_000, 4_000_000, 5_000_000
+
+
+def _stmt(
+    subj_id,
+    pred_id: int,
+    *,
+    obj_entity=None,
+    obj_string=None,
+    obj_double=None,
+    pred_kind: str = "P",
+    pred_lang=None,
+) -> list:
+    """Column template for one statement row."""
+    cols = [
+        F.lit("Q").alias("subject_kind"),
+        subj_id.cast("long").alias("subject_id"),
+        F.lit(None).cast("string").alias("subject_stmt"),
+        F.lit(pred_kind).alias("pred_kind"),
+        (F.lit(pred_id).cast("long") if pred_kind == "P" else F.lit(None).cast("long")).alias(
+            "pred_id"
+        ),
+        F.lit(pred_lang).cast("string").alias("pred_lang"),
+    ]
+    if obj_entity is not None:
+        cols += [
+            F.lit("entity").alias("obj_type"),
+            F.lit("Q").alias("obj_entity_kind"),
+            obj_entity.cast("long").alias("obj_entity_id"),
+            F.lit(None).cast("string").alias("obj_string"),
+        ]
+    elif obj_double is not None:
+        cols += [
+            F.lit("double").alias("obj_type"),
+            F.lit(None).cast("string").alias("obj_entity_kind"),
+            F.lit(None).cast("long").alias("obj_entity_id"),
+            obj_double.cast("double").cast("string").alias("obj_string"),
+        ]
+    else:
+        cols += [
+            F.lit("string").alias("obj_type"),
+            F.lit("string").alias("obj_entity_kind"),
+            F.lit(None).cast("long").alias("obj_entity_id"),
+            obj_string.cast("string").alias("obj_string"),
+        ]
+    cols += [
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast(TIME_T).alias("obj_time"),
+        F.lit(None).cast(QTY_T).alias("obj_qty"),
+        F.lit(None).cast(COORD_T).alias("obj_coord"),
+        F.concat(
+            F.lit("s"),
+            F.lit(pred_id).cast("string"),
+            F.lit("-"),
+            subj_id.cast("string"),
+        ).alias("statement_id"),
+    ]
+    return cols
+
+
+def tpch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    supp = table(spark, sf_dir, "supplier")
+
+    parts = [
+        orders.select(*_stmt(F.col("o_orderkey") + O, 1, obj_entity=F.col("o_custkey") + C)),
+        cust.select(*_stmt(F.col("c_custkey") + C, 2, obj_entity=F.col("c_nationkey") + N)),
+        nation.select(*_stmt(F.col("n_nationkey") + N, 3, obj_entity=F.col("n_regionkey") + R)),
+        orders.select(*_stmt(F.col("o_orderkey") + O, 4, obj_double=F.col("o_totalprice"))),
+        orders.select(*_stmt(F.col("o_orderkey") + O, 5, obj_string=F.col("o_orderstatus"))),
+        orders.select(*_stmt(F.col("o_orderkey") + O, 6, obj_string=F.col("o_orderpriority"))),
+        supp.select(*_stmt(F.col("s_suppkey") + S, 7, obj_entity=F.col("s_nationkey") + N)),
+        nation.filter(F.col("n_nationkey") > 0).select(
+            *_stmt(F.col("n_nationkey") + N, 8, obj_entity=F.col("n_nationkey") - 1 + N)
+        ),
+        nation.select(
+            *_stmt(F.col("n_nationkey") + N, 0, obj_string=F.col("n_name"), pred_kind="label", pred_lang="en")
+        ),
+        cust.select(
+            *_stmt(F.col("c_custkey") + C, 0, obj_string=F.col("c_name"), pred_kind="label", pred_lang="en")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*STATEMENT_COLUMNS)
