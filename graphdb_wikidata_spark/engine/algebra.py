@@ -215,3 +215,68 @@ class Group(Op):
     input: Op
     group_vars: tuple[str, ...]
     aggregates: tuple[AggSpec, ...] = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Construct(Op):
+    """CONSTRUCT query form (interpreter.rs:114-129 todo!): instantiate
+    the template per solution of the input pattern; the result is a
+    graph — (subject, predicate, object) rows, incomplete triples
+    dropped, duplicates merged."""
+
+    input: Op
+    template: tuple[TriplePattern, ...]
+
+
+@dataclass(frozen=True)
+class Describe(Op):
+    """DESCRIBE query form (interpreter.rs:114-129 todo!): all
+    statements whose subject is one of the described nodes (explicit
+    IRIs + the bindings of the described variables)."""
+
+    nodes: tuple[Term, ...]
+    variables: tuple[str, ...]
+    input: Op | None
+
+
+@dataclass(frozen=True)
+class LabelService(Op):
+    """The wikibase:label SERVICE rewrite target (reference
+    rewrite_label_service, interpreter.rs:784-917): for each target
+    (new_var, base_var, kind) add a language-prioritized lookup of the
+    base entity's label/description/alias term edges."""
+
+    input: Op
+    langs: tuple[str, ...]
+    targets: tuple[tuple[str, str, str], ...]  # (new_var, base_var, kind)
+
+
+def pattern_vars(op: Op) -> set[str]:
+    """All variable names an operator tree can bind."""
+    out: set[str] = set()
+    if isinstance(op, Bgp):
+        for tp in op.patterns:
+            for x in (tp.s, tp.p, tp.o):
+                if isinstance(x, Var):
+                    out.add(x.name)
+    elif isinstance(op, PathPattern):
+        for x in (op.s, op.o):
+            if isinstance(x, Var):
+                out.add(x.name)
+    elif isinstance(op, Values):
+        out.update(op.variables)
+    elif isinstance(op, Extend):
+        out = pattern_vars(op.input) | {op.var}
+    elif isinstance(op, Project):
+        out.update(op.variables)
+    elif isinstance(op, Group):
+        out.update(op.group_vars)
+        out.update(a.var for a in op.aggregates)
+    elif isinstance(op, LabelService):
+        out = pattern_vars(op.input) | {t[0] for t in op.targets}
+    else:
+        for f_ in getattr(op, "__dataclass_fields__", {}):
+            v = getattr(op, f_)
+            if isinstance(v, Op):
+                out |= pattern_vars(v)
+    return out

@@ -299,3 +299,138 @@ class Compiler:
         from .paths import compile_path
 
         return compile_path(self, op)
+
+    def _c_construct(self, op) -> DataFrame:
+        """Template instantiation: one select per template triple over
+        the solution set, unioned; incomplete triples dropped and the
+        graph deduplicated (SPARQL 1.1 §16.2)."""
+        sols = self.compile(op.input)
+        parts = []
+        for tp in op.template:
+            cols = []
+            skip = False
+            for pos, x in (("subject", tp.s), ("predicate", tp.p), ("object", tp.o)):
+                if isinstance(x, Var):
+                    if x.name not in sols.columns:
+                        skip = True
+                        break
+                    cols.append(F.col(x.name).alias(pos))
+                else:
+                    cols.append(lit_term(x).alias(pos))
+            if not skip:
+                parts.append(sols.select(*cols))
+        if not parts:
+            return self.spark.range(0).select(
+                *[F.lit(None).cast(TERM_T).alias(c) for c in ("subject", "predicate", "object")]
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.filter(
+            F.col("subject").isNotNull()
+            & F.col("predicate").isNotNull()
+            & F.col("object").isNotNull()
+        )
+        return out.dropDuplicates(["subject", "predicate", "object"])
+
+    def _c_describe(self, op) -> DataFrame:
+        """All statements about the described nodes: scan the full
+        graph as (subject, predicate, object) and semi-join the subject
+        against the node set on flat entity keys."""
+        spo = scan_pattern(
+            self.statements,
+            TriplePattern(Var("subject"), Var("predicate"), Var("object")),
+        )
+        node_sets = []
+        for t in op.nodes:
+            node_sets.append(
+                self.spark.range(1).select(
+                    F.lit(t.k).alias("__nk"), F.lit(t.e).cast("long").alias("__ne")
+                )
+            )
+        if op.variables:
+            if op.input is None:
+                raise ValueError("DESCRIBE ?var requires a WHERE pattern")
+            sols = self.compile(op.input)
+            for v in op.variables:
+                if v in sols.columns:
+                    node_sets.append(
+                        sols.filter(F.col(v)["t"] == "entity").select(
+                            F.col(v)["k"].alias("__nk"), F.col(v)["e"].alias("__ne")
+                        )
+                    )
+        nodes = node_sets[0]
+        for n in node_sets[1:]:
+            nodes = nodes.unionByName(n)
+        keyed = spo.withColumn("__sk", F.col("subject")["k"]).withColumn(
+            "__se", F.col("subject")["e"]
+        )
+        out = keyed.join(
+            nodes.withColumnRenamed("__nk", "__sk").withColumnRenamed("__ne", "__se").distinct(),
+            on=["__sk", "__se"],
+            how="left_semi",
+        )
+        return out.drop("__sk", "__se")
+
+    def _c_labelservice(self, op) -> DataFrame:
+        """wikibase:label service: each target var becomes a left join
+        against the term edges with language-priority fallback — the
+        set-based form of the reference's per-row getLabel/getAlias/
+        getDescription point lookups (calc_engine.rs:2685-2908): first
+        language in the requested list that has a term wins; no term in
+        any requested language -> NULL (the reference returns Null)."""
+        from pyspark.sql.window import Window
+
+        from ..model.schema import make_term
+
+        df = self.compile(op.input)
+        langs = list(op.langs)
+        prio = F.array_position(
+            F.array(*[F.lit(x) for x in langs]), F.col("__tl")
+        )
+        for new_var, base, kind in op.targets:
+            terms = (
+                self.statements.filter(
+                    (F.col("pred_kind") == kind) & F.col("pred_lang").isin(langs)
+                )
+                .select(
+                    F.col("subject_kind").alias("__tk"),
+                    F.col("subject_id").alias("__te"),
+                    F.col("pred_lang").alias("__tl"),
+                    F.col("obj_string").alias("__tv"),
+                )
+            )
+            if kind == "alias":
+                # getAlias concatenates ALL aliases of the winning
+                # language (calc_engine.rs:2892-2908); sorted for
+                # distributed determinism
+                terms = terms.groupBy("__tk", "__te", "__tl").agg(
+                    F.array_join(F.array_sort(F.collect_list("__tv")), ", ").alias("__tv")
+                )
+            w = Window.partitionBy("__tk", "__te").orderBy(prio, F.col("__tv"))
+            best = (
+                terms.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("__tk", "__te", "__tv")
+            )
+            # flat key columns materialized pre-join (struct-field
+            # extraction inside join conditions trips nested-pruning
+            # bugs; see _keyed_join)
+            df = (
+                df.withColumn("__bk", F.col(base)["k"])
+                .withColumn("__be", F.col(base)["e"])
+                .join(
+                    best,
+                    (F.col("__bk") == best["__tk"]) & (F.col("__be") == best["__te"]),
+                    "left",
+                )
+                .withColumn(
+                    new_var,
+                    F.when(
+                        F.col("__tv").isNotNull(),
+                        make_term(t="str", k="string", s=F.col("__tv")),
+                    ),
+                )
+                .drop("__bk", "__be", "__tk", "__te", "__tv")
+            )
+        return df

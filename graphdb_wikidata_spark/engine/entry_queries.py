@@ -252,6 +252,64 @@ def sparql_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_construct",
+    """
+    SELECT DISTINCT 1000000 + c_custkey AS s, 3000000 + c_nationkey AS o
+    FROM customer
+    """,
+)
+def sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT form: template instantiation over the solution set."""
+    df = _engine(spark, sf_dir).sql(
+        "CONSTRUCT { ?c wdt:P99 ?n } WHERE { ?c wdt:P2 ?n . }"
+    )
+    return df.select(
+        F.col("subject")["e"].alias("s"), F.col("object")["e"].alias("o")
+    )
+
+
+@register(
+    "sparql_describe",
+    """
+    SELECT 3000000 + n_nationkey AS s, 3 AS p, 4000000 + n_regionkey AS o FROM nation
+    UNION ALL
+    SELECT 3000000 + n_nationkey, 8, 3000000 + n_nationkey - 1 FROM nation
+    WHERE n_nationkey > 0
+    """,
+)
+def sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE form: all statements about the bound nations; kept to
+    the entity-object claims so the oracle is closed-form."""
+    df = _engine(spark, sf_dir).sql("DESCRIBE ?n WHERE { ?n wdt:P3 ?r . }")
+    return df.filter(F.col("object")["t"] == "entity").select(
+        F.col("subject")["e"].alias("s"),
+        F.col("predicate")["e"].alias("p"),
+        F.col("object")["e"].alias("o"),
+    )
+
+
+@register(
+    "sparql_label_service",
+    """
+    SELECT 3000000 + n_nationkey AS n, n_name AS "nLabel" FROM nation
+    """,
+)
+def sparql_label_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE wikibase:label rewrite (SURVEY §2.9.4): ?nLabel bound by
+    language-prioritized left join on the label term edges ('de' has no
+    terms in the graph, so the 'en' fallback must kick in)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n ?nLabel WHERE {
+          ?n wdt:P3 ?r .
+          SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en". }
+        }
+        """
+    )
+    return df.select(_e("n"), F.col("nLabel")["s"].alias("nLabel"))
+
+
+@register(
     "sparql_label_lookup",
     """
     SELECT 3000000 + n_nationkey AS n, n_name AS label FROM nation

@@ -33,6 +33,7 @@ from .algebra import (
     Filter,
     Group,
     Join,
+    LabelService,
     LeftJoin,
     Minus,
     Op,
@@ -127,6 +128,7 @@ class Parser:
         self.prefixes: dict[str, str] = {}
         self._agg_counter = 0
         self._aggs: list[AggSpec] = []
+        self._label_langs: list[str] = []
 
     # ---- token helpers
     def peek(self, ahead: int = 0) -> Token:
@@ -174,7 +176,75 @@ class Parser:
             self.next()
             pattern = self.parse_group_graph_pattern()
             return Slice(pattern, 0, 1)
+        if self.at_keyword("CONSTRUCT"):
+            return self.parse_construct_query()
+        if self.at_keyword("DESCRIBE"):
+            return self.parse_describe_query()
         return self.parse_select_query()
+
+    def parse_construct_query(self) -> Op:
+        from .algebra import Construct
+
+        self.expect("CONSTRUCT")
+        template: tuple[TriplePattern, ...] = ()
+        if self.peek().value == "{":  # explicit template
+            self.expect("{")
+            tmpl_op = self.parse_triples_block() if self.peek().value != "}" else Bgp(())
+            self.expect("}")
+            if not isinstance(tmpl_op, Bgp):
+                raise SyntaxError("property paths are not allowed in CONSTRUCT templates")
+            template = tmpl_op.patterns
+            self.accept("WHERE")
+            pattern = self.parse_group_graph_pattern()
+        else:  # CONSTRUCT WHERE { pattern }: template = pattern
+            self.expect("WHERE")
+            pattern = self.parse_group_graph_pattern()
+            if not isinstance(pattern, Bgp):
+                raise SyntaxError("CONSTRUCT WHERE shorthand requires a plain BGP")
+            template = pattern.patterns
+        plan: Op = Construct(pattern, template)
+        # solution modifiers apply to the underlying solutions; support
+        # the common LIMIT/OFFSET form
+        offset, limit = 0, None
+        for _ in range(2):
+            if self.at_keyword("LIMIT"):
+                self.next()
+                limit = int(self.expect(kind="NUMBER").value)
+            elif self.at_keyword("OFFSET"):
+                self.next()
+                offset = int(self.expect(kind="NUMBER").value)
+        if offset or limit is not None:
+            plan = Slice(plan, offset, limit)
+        return plan
+
+    def parse_describe_query(self) -> Op:
+        from .algebra import Describe
+
+        self.expect("DESCRIBE")
+        nodes: list[Term] = []
+        variables: list[str] = []
+        if self.accept("*"):
+            star = True
+        else:
+            star = False
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    variables.append(self.next().value[1:])
+                elif t.kind in ("PNAME", "IRIREF"):
+                    nodes.append(self.parse_iri_term())
+                else:
+                    break
+        pattern: Op | None = None
+        if self.accept("WHERE") or self.peek().value == "{":
+            pattern = self.parse_group_graph_pattern()
+            if star:
+                from .algebra import pattern_vars
+
+                variables = sorted(pattern_vars(pattern))
+        if not nodes and not variables:
+            raise SyntaxError("DESCRIBE needs at least one IRI or variable")
+        return Describe(tuple(nodes), tuple(variables), pattern)
 
     # ---- SELECT
     def parse_select_query(self) -> Op:
@@ -274,6 +344,28 @@ class Parser:
         if self.at_keyword("VALUES"):
             self.next()
             pattern = Join(pattern, self.parse_inline_data())
+
+        # label-service rewrite (interpreter.rs:784-917): projected
+        # ?xLabel / ?xAltLabel / ?xDescription vars whose base ?x is
+        # bound in the pattern become prioritized term lookups
+        if self._label_langs:
+            from .algebra import pattern_vars
+
+            pvars = pattern_vars(pattern)
+            targets = []
+            for var, expr in spec.items:
+                if expr is not None:
+                    continue
+                for suffix, kind in (
+                    ("AltLabel", "alias"),
+                    ("Label", "label"),
+                    ("Description", "description"),
+                ):
+                    if var.endswith(suffix) and var[: -len(suffix)] in pvars:
+                        targets.append((var, var[: -len(suffix)], kind))
+                        break
+            if targets:
+                pattern = LabelService(pattern, tuple(self._label_langs), tuple(targets))
 
         # aggregate extraction from select items / having
         self._aggs = []
@@ -386,6 +478,9 @@ class Parser:
             elif self.at_keyword("VALUES"):
                 self.next()
                 add(self.parse_inline_data())
+            elif self.at_keyword("SERVICE"):
+                self.next()
+                self.parse_service_clause()
             elif self.peek().value == "{":
                 sub = self.parse_group_graph_pattern()
                 while self.at_keyword("UNION"):
@@ -399,6 +494,37 @@ class Parser:
         for fexpr in filters:
             plan = Filter(fexpr, plan)
         return plan
+
+    def parse_service_clause(self) -> None:
+        """SERVICE [SILENT] <iri> { ... } — only wikibase:label is
+        recognized (same as the reference: interpreter.rs:655-659
+        panics on any other SERVICE IRI). The body is scanned for
+        ``bd:serviceParam wikibase:language "en,de"``; the actual
+        rewrite happens in finish_select against the projection."""
+        self.accept("SILENT")
+        t = self.next()
+        if t.kind == "PNAME":
+            prefix, _, local = t.value.partition(":")
+            iri = expand_pname(prefix, local, self.prefixes)
+        elif t.kind == "IRIREF":
+            iri = t.value[1:-1]
+        else:
+            raise SyntaxError(f"SERVICE expects an IRI, got {t.value!r}")
+        if iri != PREFIXES["wikibase"] + "label":
+            raise NotImplementedError(f"SERVICE {iri} (only wikibase:label)")
+        self.expect("{")
+        depth, langs = 1, None
+        while depth:
+            tok = self.next()
+            if tok.kind == "EOF":
+                raise SyntaxError("unterminated SERVICE block")
+            if tok.value == "{":
+                depth += 1
+            elif tok.value == "}":
+                depth -= 1
+            elif tok.kind == "PNAME" and tok.value.endswith(":language"):
+                langs = _unquote(self.expect(kind="STRING").value)
+        self._label_langs = [l.strip() for l in (langs or "en").split(",") if l.strip()]
 
     def parse_constraint(self) -> Expr:
         if self.at_keyword("EXISTS"):
@@ -427,7 +553,7 @@ class Parser:
                 t.kind == "KEYWORD"
                 and t.value.upper()
                 in ("FILTER", "OPTIONAL", "MINUS", "BIND", "VALUES", "UNION", "GROUP",
-                    "HAVING", "ORDER", "LIMIT", "OFFSET", "SELECT")
+                    "HAVING", "ORDER", "LIMIT", "OFFSET", "SELECT", "SERVICE")
             ) or t.value == "{":
                 break
         plan: Op = Bgp(tuple(patterns))

@@ -201,3 +201,68 @@ def test_sparql_json_output(engine):
 def test_ask_query(engine):
     assert engine.sql("ASK { wdt:Q31 wdt:P31 ?x }").count() == 1
     assert engine.sql("ASK { wdt:Q31 wdt:P999999 ?x }").count() == 0
+
+
+def test_label_service(spark):
+    """SERVICE wikibase:label: language priority, alias concatenation,
+    NULL when no term exists in a requested language (the reference's
+    getLabel/getAlias/getDescription, calc_engine.rs:2685-2908)."""
+    from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+    quads = [
+        ("Q1", "P2", "Q3", "s1"),
+        ("Q1", ("label", "de"), "Belgien", None),
+        ("Q1", ("label", "en"), "Belgium", None),
+        ("Q1", ("alias", "en"), "Kingdom of Belgium", None),
+        ("Q1", ("alias", "en"), "BE", None),
+        ("Q1", ("description", "fr"), "pays d'Europe", None),
+        ("Q3", "P2", "Q1", "s2"),
+    ]
+    eng = GraphEngine(spark, statements_from_quads(spark, quads))
+    rows = {
+        r["s"]["e"]: r
+        for r in eng.sql(
+            """
+            SELECT ?s ?sLabel ?sAltLabel ?sDescription WHERE {
+              ?s wdt:P2 ?o .
+              SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en". }
+            }
+            """
+        ).collect()
+    }
+    q1 = rows[1]
+    assert q1["sLabel"]["s"] == "Belgien"  # de beats en
+    assert q1["sAltLabel"]["s"] == "BE, Kingdom of Belgium"  # all aliases, sorted
+    assert q1["sDescription"] is None  # fr not requested
+    q3 = rows[3]
+    assert q3["sLabel"] is None and q3["sAltLabel"] is None
+
+
+def test_construct_query(engine):
+    # every direct P31 edge of Q31 re-emitted under a template predicate
+    g = engine.sql(
+        "CONSTRUCT { ?x wdt:P999 wdt:Q31 } WHERE { wdt:Q31 wdt:P31 ?x . }"
+    )
+    rows = g.collect()
+    n = engine.sql("SELECT ?x WHERE { wdt:Q31 wdt:P31 ?x . }").count()
+    assert len(rows) == n > 0
+    assert set(g.columns) == {"subject", "predicate", "object"}
+    for r in rows:
+        assert r["predicate"]["e"] == 999
+        assert r["object"]["e"] == 31
+
+
+def test_construct_where_shorthand(engine):
+    g = engine.sql("CONSTRUCT WHERE { wdt:Q31 wdt:P31 ?x . }")
+    assert g.count() == engine.sql("SELECT ?x WHERE { wdt:Q31 wdt:P31 ?x . }").count()
+
+
+def test_describe_query(engine):
+    d = engine.sql("DESCRIBE wd:Q31")
+    # all 1354 direct edges of Q31 (test_requests.txt:15-20)
+    assert d.count() == 1354
+    # ?b binds entities that exist as subjects in the fixture
+    d2 = engine.sql("DESCRIBE ?b WHERE { ?b ?p2 wdt:Q31 . }")
+    assert d2.count() > 0
+    for r in d2.limit(5).collect():
+        assert r["subject"]["t"] == "entity"
