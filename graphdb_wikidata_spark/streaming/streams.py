@@ -1,0 +1,151 @@
+"""Structured Streaming operators over the ``events`` stream.
+
+The reference has NO streaming surface (SURVEY §2.10) — these are the
+north-star extensions, built on Spark's native streaming semantics:
+file source -> watermarked event-time windows / stateful operators ->
+any sink. Every operator takes and returns a (streaming) DataFrame, so
+the same transformations compose onto Kafka or rate sources in
+production; tests drive them with Trigger.availableNow into a memory
+sink and cross-check against the batch equivalents.
+
+Scale notes: windowed aggregations shuffle on (window, key) — state
+store size is bounded by the watermark horizon, not the stream length;
+``running_user_totals`` keys state by user_id so state scales with the
+user population and partitions across executors. No driver-side
+collection anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the column
+# arrives as bigint nanos (see tables.table) and we rebuild micros.
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream (one parquet today; a
+    directory of arriving files in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file stream sources need a directory: point at the sf dir and
+    # glob-filter to the events file(s)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """1-hour tumbling windows per event_type; late rows beyond the
+    watermark are dropped, state for closed windows is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w").start.alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_avg(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """1-hour windows sliding every 15 minutes — each event lands in 4
+    windows; Spark expands then aggregates (shuffle on window+type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w").start.alias("win_start"), "event_type", "avg_value")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes",
+                  watermark: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based) — the streaming-native form
+    of the batch gaps-and-islands sessionization (operators/events.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w").start.alias("session_start"),
+            F.col("w").end.alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon: the
+    streaming analogue of exact dedup — state holds only ids newer than
+    the watermark, so memory is bounded for unbounded streams."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_TOTALS_STATE = "n bigint, total double"
+
+
+def _totals_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Cumulative per-user running totals across micro-batches —
+    arbitrary stateful processing via applyInPandasWithState."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user lifetime event count and
+    value total, updated every micro-batch (unbounded state keyed by
+    user — for real deployments pair with a TTL timeout policy)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion on the available
+    data (Trigger.availableNow) into a memory sink; returns the result
+    as a batch DataFrame. Test/bench harness only — production sinks
+    are writeStream.format('delta'/'kafka'/...)."""
+    name = "mem_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,68 @@
+"""Multimodal plumbing: binary payload columns, Arrow-batched decode
+stubs, frame sampling. The decode is a deterministic fake (no codecs in
+the container) — these tests pin the Spark-side contract: schemas,
+batch flow, and the stub math itself."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphdb_wikidata_spark.operators.multimodal import (
+    _decode_payload,
+    byte_histogram_features,
+    decode_media,
+    media_table,
+    sample_frames,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return media_table(spark, SF).cache()
+
+
+def test_media_table_schema(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta_t = dict(media.dtypes)["meta"]
+    assert "width" in meta_t and "n_frames" in meta_t
+    assert media.count() > 0
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_stub_math():
+    px = _decode_payload(b"\x00\x01\x02\x03", width=2, height=3)
+    assert px.shape == (3, 2)
+    # np.resize tiles: [0,1,2,3,0,1] -> mean 7/6
+    assert abs(px.mean() - 7 / 6) < 1e-9
+
+
+def test_decode_media(media):
+    out = decode_media(media)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    for r in rows[:20]:
+        assert r["n_bytes"] > 0
+        assert 0.0 <= r["mean_intensity"] <= 255.0
+
+
+def test_byte_histogram_features(media):
+    out = byte_histogram_features(media).collect()
+    for r in out[:20]:
+        f = np.array(r["feature"])
+        assert f.shape == (8,)
+        assert abs(f.sum() - 1.0) < 1e-5
+
+
+def test_sample_frames(media):
+    out = sample_frames(media, step=4)
+    pdf = out.toPandas()
+    # only video rows, every 4th index, within n_frames
+    meta = {r["media_id"]: r["meta"] for r in media.filter("kind='video'").collect()}
+    assert set(pdf["media_id"]) == set(meta)
+    for mid, grp in pdf.groupby("media_id"):
+        n = meta[mid]["n_frames"]
+        assert sorted(grp["frame_idx"]) == list(range(0, n, 4))
