@@ -1,0 +1,241 @@
+"""Batch graph analytics over the statements edge list.
+
+Extension beyond the reference (BASELINE.json north star: "GraphX for
+analytics, not OLTP traversal"): PageRank, connected components and
+BFS as iterative DataFrame algorithms — every step is a cluster-wide
+shuffle join, the driver only counts iterations. localCheckpoint()
+truncates lineage so plans stay flat across rounds.
+
+Scale notes:
+- PageRank: one join + one aggregation per iteration, both keyed on
+  node id; ranks and degrees co-partition after the first shuffle so
+  AQE reuses the exchange. Dangling mass is redistributed uniformly.
+- Connected components: min-label propagation with a path-halving
+  step (comp <- min(comp, comp[comp])) each round — O(log diameter)
+  rounds instead of O(diameter) plain propagation.
+- BFS: frontier expansion with an anti-join against visited — the
+  frontier shrinks geometrically on expander-ish graphs; each round
+  is one join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# algorithms (generic over an edges DataFrame with columns src, dst)
+# --------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    dangling: str = "redistribute",
+) -> DataFrame:
+    """Iterative PageRank -> (node, rank). Uniform init over the node
+    set. ``dangling='redistribute'`` (canonical: sinks' mass spread
+    uniformly, ranks sum to 1) or ``'drop'`` (sink mass leaks — the
+    variant with closed forms on simple graphs, used by the oracle)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "inner")
+            .join(edges, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        if dangling == "redistribute":
+            # dangling mass = total rank NOT held by nodes with out-edges
+            linked = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_semi")
+            total = ranks.agg(F.sum("rank")).first()[0]
+            d_mass = total - (linked.agg(F.sum("rank")).first()[0] or 0.0)
+        else:
+            d_mass = 0.0
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(d_mass / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Undirected connected components -> (node, component) where
+    component = min node id in the component. Min-label propagation
+    plus path halving, converging in O(log diameter) rounds."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    comp = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # neighbor min: smallest component label among self + neighbors
+        nbr = (
+            und.join(comp, und["dst"] == comp["node"], "inner")
+            .select(F.col("src").alias("node"), F.col("comp"))
+        )
+        new = (
+            comp.select("node", "comp")
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # path halving: comp <- comp[comp]
+        c2 = new.select(F.col("node").alias("n2"), F.col("comp").alias("c2"))
+        new = (
+            new.join(c2, new["comp"] == c2["n2"], "left")
+            .select("node", F.least(F.col("comp"), F.coalesce(F.col("c2"), F.col("comp"))).alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(comp.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp
+
+
+def bfs_distances(edges: DataFrame, source: int, max_iters: int = 50) -> DataFrame:
+    """Single-source BFS hop distances -> (node, dist)."""
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], "node long, dist int").localCheckpoint()
+    frontier = visited
+    for depth in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"], "inner")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+# --------------------------------------------------------------------------
+# driver-contract entries (over the deterministic TPC-H statements graph)
+# --------------------------------------------------------------------------
+
+
+def _entity_edges(spark: SparkSession, sf_dir: str, preds: list[int] | None = None) -> DataFrame:
+    """Entity->entity claim edges of the TPC-H-derived graph."""
+    from ..engine.tpch_graph import tpch_statements
+
+    st = tpch_statements(spark, sf_dir).filter(
+        (F.col("pred_kind") == "P") & (F.col("obj_type") == "entity")
+    )
+    if preds is not None:
+        st = st.filter(F.col("pred_id").isin(preds))
+    return st.select(
+        F.col("subject_id").alias("src"), F.col("obj_entity_id").alias("dst")
+    )
+
+
+@register(
+    "graph_pagerank_chain",
+    # closed form for 10 drop-dangling iterations on the 25-node chain
+    # n -> n-1 (in-neighbor of v is v+1, head node 24 has no in-edges):
+    # unrolling r_{t+1}(v) = a + d*r_t(v+1) with r_t(24) = a (t>=1),
+    # r_0 = 1/25 gives, with m = 24 - v:
+    #   r_10(v) = a*(1-d^min(10,m))/(1-d)
+    #           + (d^10/25 if m >= 10 else d^m * a)
+    """
+    SELECT 3000000 + n_nationkey AS node,
+           round(
+             0.006 * (1 - power(0.85, least(10, 24 - n_nationkey))) / 0.15
+             + CASE WHEN 24 - n_nationkey >= 10 THEN power(0.85, 10) / 25
+                    ELSE power(0.85, 24 - n_nationkey) * 0.006 END,
+             8) AS rank
+    FROM nation
+    """,
+)
+def graph_pagerank_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the linear nation chain (P8), drop-dangling variant:
+    10 damped iterations have an exact closed form — a hash-exact
+    oracle without recursive SQL. (The canonical redistribute variant
+    is exercised by unit tests.)"""
+    edges = _entity_edges(spark, sf_dir, preds=[8])
+    r = pagerank(edges, iterations=10, damping=0.85, dangling="drop")
+    return r.select("node", F.round(F.col("rank"), 8).alias("rank"))
+
+
+@register(
+    "graph_connected_components",
+    # the chain joins all nations; customers/orders/suppliers/regions
+    # attach to nations -> one giant component whose min node id is the
+    # smallest customer id
+    """
+    WITH nodes AS (
+      SELECT 1000000 + c_custkey AS node FROM customer
+      UNION SELECT 2000000 + o_orderkey FROM orders
+      UNION SELECT 3000000 + n_nationkey FROM nation
+      UNION SELECT 4000000 + r_regionkey FROM region
+      UNION SELECT 5000000 + s_suppkey FROM supplier)
+    SELECT node, (SELECT min(node) FROM nodes) AS component FROM nodes
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(_entity_edges(spark, sf_dir)).select("node", "comp").withColumnRenamed("comp", "component")
+
+
+@register(
+    "graph_bfs_chain",
+    """
+    SELECT 3000000 + n_nationkey AS node,
+           24 - n_nationkey AS dist
+    FROM nation
+    """,
+)
+def graph_bfs_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances from the chain head (nation 24) along P8."""
+    return bfs_distances(_entity_edges(spark, sf_dir, preds=[8]), source=3000024)

@@ -1,0 +1,41 @@
+"""Graph analytics unit tests on small explicit graphs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_wikidata_spark.operators.graph import (
+    bfs_distances,
+    connected_components,
+    pagerank,
+)
+
+
+@pytest.fixture(scope="module")
+def tri_plus_pair(spark):
+    # triangle 1-2-3 (directed cycle) + disjoint edge 10->11
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11)], "src long, dst long"
+    )
+
+
+def test_pagerank_redistribute_sums_to_one(tri_plus_pair):
+    r = pagerank(tri_plus_pair, iterations=15)
+    total = r.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-6
+    ranks = {row["node"]: row["rank"] for row in r.collect()}
+    # cycle nodes are symmetric
+    assert abs(ranks[1] - ranks[2]) < 1e-6 and abs(ranks[2] - ranks[3]) < 1e-6
+    # 11 receives from 10, so it outranks 10
+    assert ranks[11] > ranks[10]
+
+
+def test_connected_components_two_islands(tri_plus_pair):
+    comp = {r["node"]: r["comp"] for r in connected_components(tri_plus_pair).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_bfs_distances_cycle(tri_plus_pair):
+    d = {r["node"]: r["dist"] for r in bfs_distances(tri_plus_pair, source=1).collect()}
+    assert d == {1: 0, 2: 1, 3: 2}
