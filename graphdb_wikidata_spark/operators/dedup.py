@@ -135,9 +135,12 @@ N_SEEDS = 16  # 8 bands x 2 rows
     "dedup_minhash_lsh",
     f"""
     WITH {_SH_CTE},
-    hs AS (SELECT doc_id, s.seed,
-                  min(('0x' || substr(md5(s.seed || ':' || sh), 1, 15))::BIGINT) AS mh
-           FROM sh, generate_series(0, {N_SEEDS - 1}) s(seed)
+    sh2 AS (SELECT doc_id,
+                   ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
+            FROM sh),
+    hs AS (SELECT doc_id, s.seed, min(h1 + s.seed * h2) AS mh
+           FROM sh2, generate_series(0, {N_SEEDS - 1}) s(seed)
            GROUP BY doc_id, s.seed),
     bands AS (SELECT doc_id, seed // 2 AS band,
                      string_agg(mh::VARCHAR, '|' ORDER BY seed) AS band_key
@@ -148,35 +151,37 @@ N_SEEDS = 16  # 8 bands x 2 rows
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates: 16 md5-derived min-hashes per
-    doc, banded 2-per-band; docs sharing any band collide. The candidate
-    join touches only colliding buckets — this is the 100 TB path."""
+    """MinHash + LSH near-dup candidates, banded 2 rows x 8 bands.
+
+    One md5 per distinct (doc, shingle), split into two 32-bit halves;
+    the 16 hash functions are Kirsch-Mitzenmacher combinations
+    h1 + seed*h2 (32-bit values, seed < 16 -> no 64-bit overflow, so
+    Spark and DuckDB agree bit-for-bit). All 16 min-signatures are
+    computed as map-side-combinable aggregates of ONE groupBy — no 16x
+    row explosion, one shuffle of (doc_id, 16 longs). The candidate
+    join then only meets docs sharing a band bucket — the 100 TB path
+    (AQE splits skewed boilerplate buckets)."""
     sh = _shingled(spark, sf_dir)
-    hashed = sh.select(
+    md5 = F.md5("sh")
+    base = sh.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_SEEDS - 1))).alias("seed"),
-        "sh",
-    ).select(
-        "doc_id",
-        "seed",
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))), 1, 15),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h2"),
     )
-    sigs = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    bands = (
-        sigs.withColumn("band", F.expr("CAST(seed DIV 2 AS BIGINT)"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> CAST(x.mh AS STRING))"),
-                "|",
-            ).alias("band_key")
-        )
+    sigs = base.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(s) * F.col("h2")).alias(f"mh{s}")
+            for s in range(N_SEEDS)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws("|", F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}"))
+            for i in range(N_SEEDS // 2)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(
