@@ -25,6 +25,7 @@ from .algebra import (
     Bgp,
     Distinct,
     EExists,
+    Expr,
     Extend,
     Filter,
     Group,
@@ -55,13 +56,70 @@ class Compiler:
 
     # ---------------- helpers
 
-    def _expr_compiler(self, df: DataFrame) -> ExprCompiler:
+    def _expr_compiler(self, df: DataFrame, markers: dict | None = None) -> ExprCompiler:
+        from .expressions import _bool_result
+
         def compile_exists(e: EExists) -> Column:
-            raise NotImplementedError(
-                "EXISTS inside general expressions; use FILTER EXISTS at group level"
-            )
+            if not markers or id(e) not in markers:
+                raise NotImplementedError("EXISTS marker not bound for this expression")
+            m = F.col(markers[id(e)])
+            return _bool_result(~m if e.negated else m)
 
         return ExprCompiler(df, compile_exists)
+
+    def _bind_exists_markers(self, df: DataFrame, exprs) -> tuple[DataFrame, dict]:
+        """Pre-compute a boolean column per EXISTS subexpression:
+        EXISTS in a general expression (BIND, nested FILTER logic,
+        ORDER BY) becomes a left join against the subplan's shared-
+        variable set — the decorrelated form of the reference's
+        re-execute-subplan-per-expression (calc_engine.rs:1118-1121)."""
+        markers: dict[int, str] = {}
+        holder = [df]
+
+        def visit(e) -> None:
+            if isinstance(e, EExists):
+                if id(e) in markers:
+                    return
+                sub = self.compile(e.plan)
+                d = holder[0]
+                shared = [
+                    c for c in d.columns if c in sub.columns and not c.startswith("__ex")
+                ]
+                m = f"__ex{len(markers)}"
+                if not shared:
+                    d = d.withColumn(m, F.lit(bool(sub.limit(1).count() > 0)))
+                else:
+                    rk = (
+                        sub.select(
+                            F.to_json(F.struct(*[sub[c] for c in shared])).alias("__kj")
+                        )
+                        .distinct()
+                        .withColumn("__exm", F.lit(True))
+                    )
+                    d = (
+                        d.withColumn(
+                            "__kj", F.to_json(F.struct(*[d[c] for c in shared]))
+                        )
+                        .join(rk, "__kj", "left")
+                        .withColumn(m, F.coalesce(F.col("__exm"), F.lit(False)))
+                        .drop("__kj", "__exm")
+                    )
+                holder[0] = d
+                markers[id(e)] = m
+                return
+            for f_ in getattr(e, "__dataclass_fields__", {}):
+                v = getattr(e, f_)
+                if isinstance(v, Expr):
+                    visit(v)
+                elif isinstance(v, tuple):
+                    for x in v:
+                        if isinstance(x, Expr):
+                            visit(x)
+
+        for e in exprs:
+            if e is not None:
+                visit(e)
+        return holder[0], markers
 
     def _natural_join(self, left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
         shared = [c for c in left.columns if c in right.columns]
@@ -157,8 +215,10 @@ class Compiler:
             # no distinct() on the right: semi/anti joins never
             # duplicate left rows, and the dedup costs two exchanges
             return self._keyed_join(df, sub.select(*shared), shared, how)
-        ec = self._expr_compiler(df)
-        return df.filter(ec.boolean(expr))
+        keep = df.columns
+        df, markers = self._bind_exists_markers(df, [expr])
+        ec = self._expr_compiler(df, markers)
+        return df.filter(ec.boolean(expr)).select(*keep)
 
     def _c_union(self, op: Union) -> DataFrame:
         left, right = self.compile(op.left), self.compile(op.right)
@@ -172,8 +232,10 @@ class Compiler:
 
     def _c_extend(self, op: Extend) -> DataFrame:
         df = self.compile(op.input)
-        ec = self._expr_compiler(df)
-        return df.withColumn(op.var, ec.col(op.expr))
+        keep = df.columns
+        df, markers = self._bind_exists_markers(df, [op.expr])
+        ec = self._expr_compiler(df, markers)
+        return df.withColumn(op.var, ec.col(op.expr)).select(*keep, op.var)
 
     def _c_minus(self, op: Minus) -> DataFrame:
         left, right = self.compile(op.left), self.compile(op.right)
@@ -214,12 +276,15 @@ class Compiler:
 
     def _c_orderby(self, op: OrderBy) -> DataFrame:
         df = self.compile(op.input)
-        ec = self._expr_compiler(df)
+        df, markers = self._bind_exists_markers(df, [k for k, _ in op.keys])
+        ec = self._expr_compiler(df, markers)
         keys = []
         for expr, asc in op.keys:
             k = sort_key(ec.col(expr))
             keys.append(k.asc() if asc else k.desc())
-        return df.orderBy(*keys)
+        return df.orderBy(*keys).select(
+            *[c for c in df.columns if not c.startswith("__ex")]
+        )
 
     def _c_project(self, op: Project) -> DataFrame:
         df = self.compile(op.input)

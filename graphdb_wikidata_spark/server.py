@@ -1,0 +1,88 @@
+"""HTTP query endpoint + CLI REPL — the reference's EP1/EP2 surfaces
+(src/server.rs:24-141, src/cli.rs:70-128) on stdlib http.server.
+
+GET /query?query=<SPARQL>  -> 200 W3C SPARQL-JSON | 400 parse error
+CORS: * (the reference sets permissive CORS for its HTML frontend).
+
+The server is a thin shell: all heavy lifting is the engine's
+DataFrame plan; concurrency comes from ThreadingHTTPServer —
+SparkSession is thread-safe for concurrent job submission (each
+request becomes an independent Spark job, scheduled FAIR/FIFO by the
+cluster manager — never a per-request process)."""
+
+from __future__ import annotations
+
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .engine.api import GraphEngine
+
+
+def make_handler(engine: GraphEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code: int, body: str, ctype: str = "application/sparql-results+json"):
+            data = body.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path != "/query":
+                self._reply(404, json.dumps({"error": "use /query?query=..."}), "application/json")
+                return
+            q = parse_qs(u.query).get("query", [None])[0]
+            if not q:
+                self._reply(400, json.dumps({"error": "missing query parameter"}), "application/json")
+                return
+            try:
+                body = engine.sql_json(q)
+            except (SyntaxError, NotImplementedError) as e:
+                # parse/compile error -> 400, like the reference
+                # (server.rs:110-127 returns the parser message)
+                self._reply(400, json.dumps({"error": str(e)}), "application/json")
+                return
+            self._reply(200, body)
+
+    return Handler
+
+
+def run_server(engine: GraphEngine, host: str = "127.0.0.1", port: int = 8000) -> ThreadingHTTPServer:
+    """Start serving (returns the server; call .serve_forever() or use
+    it from a thread in tests via .shutdown())."""
+    return ThreadingHTTPServer((host, port), make_handler(engine))
+
+
+def run_cli(engine: GraphEngine, inp=None, out=None) -> None:
+    """REPL: one SPARQL query per blank-line-terminated block, results
+    printed as a table (the reference prints the relation,
+    cli.rs:70-128)."""
+    inp = inp or sys.stdin
+    out = out or sys.stdout
+    buf: list[str] = []
+    print("graphdb> enter SPARQL, blank line to run, Ctrl-D to exit", file=out)
+    for line in inp:
+        if line.strip():
+            buf.append(line)
+            continue
+        if not buf:
+            continue
+        query = "".join(buf)
+        buf = []
+        try:
+            engine.sql(query).show(50, truncate=False)
+        except Exception as e:  # noqa: BLE001 - REPL surfaces all errors
+            print(f"error: {e}", file=out)
+    if buf:
+        try:
+            engine.sql("".join(buf)).show(50, truncate=False)
+        except Exception as e:  # noqa: BLE001
+            print(f"error: {e}", file=out)

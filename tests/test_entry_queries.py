@@ -25,7 +25,12 @@ def test_every_query_has_oracle_or_is_flagged():
     missing = [k for k in QUERIES if k not in ORACLES]
     # non-SQL-expressible ops are allowed to omit the oracle; keep the
     # list explicit so it never grows by accident
-    assert set(missing) <= set(), f"queries without oracles: {missing}"
+    allowed = {
+        # byte-level histogram over binary payloads: DuckDB has no
+        # byte-access primitive; the math is pinned by unit tests
+        "media_feature_hist",
+    }
+    assert set(missing) <= allowed, f"queries without oracles: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -1,0 +1,56 @@
+"""HTTP endpoint: 200 SPARQL-JSON, 400 on parse error, CORS header —
+the reference server contract (server.rs:24-141)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from graphdb_wikidata_spark.engine import GraphEngine
+from graphdb_wikidata_spark.model.schema import statements_from_quads
+from graphdb_wikidata_spark.server import run_server
+
+
+@pytest.fixture(scope="module")
+def srv(spark):
+    quads = [("Q1", "P2", "Q3", "s1"), ("Q4", "P2", "Q3", "s2")]
+    engine = GraphEngine(spark, statements_from_quads(spark, quads))
+    server = run_server(engine, port=0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, dict(r.headers), r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read().decode()
+
+
+def test_query_ok(srv):
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s wdt:P2 wdt:Q3 . }")
+    status, headers, body = _get(f"{srv}/query?query={q}")
+    assert status == 200
+    assert headers["Access-Control-Allow-Origin"] == "*"
+    doc = json.loads(body)
+    assert doc["head"]["vars"] == ["s"]
+    assert len(doc["results"]["bindings"]) == 2
+
+
+def test_parse_error_400(srv):
+    q = urllib.parse.quote("SELECT WHERE garbage {{{")
+    status, _, body = _get(f"{srv}/query?query={q}")
+    assert status == 400
+    assert "error" in json.loads(body)
+
+
+def test_missing_query_400(srv):
+    status, _, _ = _get(f"{srv}/query")
+    assert status == 400

@@ -266,3 +266,43 @@ def test_describe_query(engine):
     assert d2.count() > 0
     for r in d2.limit(5).collect():
         assert r["subject"]["t"] == "entity"
+
+
+def test_bind_exists_expression(engine):
+    """EXISTS inside BIND and nested FILTER boolean logic (expression-
+    level EXISTS, not the FILTER-EXISTS special case)."""
+    rows = engine.sql(
+        """
+        SELECT ?x ?flag WHERE {
+          wdt:Q31 wdt:P31 ?x .
+          BIND(EXISTS { ?x ?p ?y } AS ?flag)
+        }
+        """
+    ).collect()
+    assert len(rows) > 0
+    flags = {r["flag"]["b"] for r in rows}
+    assert flags <= {True, False}
+    # cross-check each flag against a direct count
+    for r in rows[:5]:
+        has_edges = (
+            engine.sql(
+                f"SELECT ?p WHERE {{ wd:Q{r['x']['e']} ?p ?y . }}"
+            ).count()
+            > 0
+        )
+        assert r["flag"]["b"] == has_edges
+    # nested NOT EXISTS inside an OR filter
+    n = engine.sql(
+        """
+        SELECT ?x WHERE {
+          wdt:Q31 wdt:P31 ?x .
+          FILTER(NOT EXISTS { ?x ?p ?y } || STRSTARTS(STR(?x), "zzz"))
+        }
+        """
+    ).count()
+    n_no_edges = sum(
+        1
+        for r in rows
+        if not r["flag"]["b"]
+    )
+    assert n == n_no_edges
