@@ -261,6 +261,11 @@ class Compiler:
         return lk.join(rk, on="__kj", how=how).drop("__kj")
 
     def _c_values(self, op: Values) -> DataFrame:
+        if not op.rows:  # empty inline table (also: GRAPH over a
+            # default-graph-only store) -> zero solutions
+            return self.spark.range(0).select(
+                *[F.lit(None).cast(TERM_T).alias(v) for v in op.variables]
+            )
         rows = []
         for row in op.rows:
             cols = []

@@ -481,6 +481,22 @@ class Parser:
             elif self.at_keyword("SERVICE"):
                 self.next()
                 self.parse_service_clause()
+            elif self.at_keyword("GRAPH"):
+                # the store is a single default graph (the reference's
+                # Graph operator is declared-but-todo!, calc_engine.rs:
+                # 244-246): GRAPH patterns range over named graphs only,
+                # of which there are none -> empty solution set
+                self.next()
+                t = self.next()  # graph name: var or IRI
+                if t.kind not in ("VAR", "PNAME", "IRIREF"):
+                    raise SyntaxError(f"GRAPH expects a var or IRI, got {t.value!r}")
+                inner = self.parse_group_graph_pattern()
+                from .algebra import pattern_vars
+
+                gvars = ([t.value[1:]] if t.kind == "VAR" else []) + sorted(
+                    pattern_vars(inner)
+                )
+                add(Values(tuple(dict.fromkeys(gvars)), ()))
             elif self.peek().value == "{":
                 sub = self.parse_group_graph_pattern()
                 while self.at_keyword("UNION"):

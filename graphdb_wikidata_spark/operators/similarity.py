@@ -109,6 +109,90 @@ def embedding_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def centroids_by_label(corpus: DataFrame) -> DataFrame:
+    """Per-label mean vector -> (label, centroid array<double>). The
+    coarse quantizer of IVF: one narrow shuffle of (label, pos, sum)
+    partials; centroid count ~ cells, never corpus-sized."""
+    p = corpus.select("label", F.posexplode(_as_double("embedding")).alias("pos", "val"))
+    c = p.groupBy("label", "pos").agg(F.avg("val").alias("cv"))
+    return c.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, query_vec: list[float], k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """IVF approximate top-k: rank coarse cells (per-label centroids)
+    by cosine to the query, search only the best ``nprobe`` cells.
+
+    Scale shape: the probed-cell ids are a driver-side list of size
+    nprobe (centroids are ~sqrt(N) rows — collecting nprobe ids is not
+    a corpus collect); the fine search is the brute-force kernel over
+    the probed fraction of the corpus, i.e. ~nprobe/cells of the data,
+    with partition pruning if the corpus is written partitioned by
+    cell."""
+    q = [float(x) for x in query_vec]
+    qnorm = math.sqrt(sum(x * x for x in q))
+    qcol = F.array(*[F.lit(x) for x in q])
+    cents = centroids_by_label(corpus)
+    scored = cents.select(
+        "label",
+        (dot(F.col("centroid"), qcol) / (norm(F.col("centroid")) * F.lit(qnorm))).alias(
+            "csim"
+        ),
+    )
+    probed = [
+        r["label"]
+        for r in scored.orderBy(F.col("csim").desc(), F.col("label")).limit(nprobe).collect()
+    ]
+    cell = corpus.filter(F.col("label").isin(probed))
+    emb = _as_double("embedding")
+    sim = F.round(dot(emb, qcol) / (norm(emb) * F.lit(qnorm)), 6)
+    return (
+        cell.select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+@register(
+    "embedding_ivf_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    p AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding)::DOUBLE AS val
+          FROM embeddings WHERE vec_id <> 0),
+    c AS (SELECT label, pos, avg(val) AS cv FROM p GROUP BY label, pos),
+    cq AS (SELECT c.label,
+                  sum(cv * qe[pos]::DOUBLE) AS dotp,
+                  sqrt(sum(cv * cv)) AS nc,
+                  sqrt(sum((qe[pos]::DOUBLE) ^ 2)) AS nq
+           FROM c, q GROUP BY c.label),
+    probe AS (SELECT label FROM cq ORDER BY dotp / (nc * nq) DESC, label LIMIT 2),
+    e AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id <> 0 AND label IN (SELECT label FROM probe)),
+    p0 AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS i,
+                  unnest(e.embedding)::DOUBLE AS x, q.qe AS qe
+           FROM e, q),
+    pp AS (SELECT vec_id, x, qe[i]::DOUBLE AS y FROM p0),
+    a AS (SELECT vec_id, sum(x * y) AS dotp, sqrt(sum(x * x)) AS nx,
+                 sqrt(sum(y * y)) AS ny
+          FROM pp GROUP BY vec_id)
+    SELECT vec_id, round(dotp / (nx * ny), 6) AS sim
+    FROM a ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (nprobe=2 of 10 label cells) top-10 for vec_id 0's vector —
+    the scale path next to the exact `embedding_knn_topk` baseline."""
+    e = table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(e.filter(F.col("vec_id") != 0), list(qvec), k=10, nprobe=2)
+
+
 N_PLANES = 8
 
 

@@ -306,3 +306,14 @@ def test_bind_exists_expression(engine):
         if not r["flag"]["b"]
     )
     assert n == n_no_edges
+
+
+def test_graph_named_graphs_empty(engine):
+    """GRAPH ranges over named graphs; a default-graph-only store has
+    none, so any GRAPH pattern yields zero solutions."""
+    assert engine.sql(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s wdt:P31 ?x } }"
+    ).count() == 0
+    assert engine.sql(
+        "SELECT ?s WHERE { GRAPH wd:Q999 { ?s wdt:P31 ?x } }"
+    ).count() == 0
