@@ -610,3 +610,69 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
     )
+
+
+@register(
+    "window_lead_lag_ntile",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS s3,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def window_lead_lag_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation + tile + bounded-frame analytics in one pass: lag,
+    lead, a 3-row moving sum, and per-customer quartiles share one
+    (o_custkey, o_orderkey) sort — Catalyst evaluates all four in a
+    single Window physical node, one shuffle."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(wf), 2).alias("s3"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "custom_agg_median",
+    """
+    SELECT o_orderpriority, round(median(o_totalprice), 2) AS median_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def custom_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate surface (the reference declares AE::Custom but
+    panics, calc_engine.rs:877-879): a GROUPED_AGG pandas UDF — Arrow
+    ships each group's column to Python once, the aggregate runs
+    vectorized, partial aggregation is Spark's (groups are shuffled
+    whole, so keep custom UDAFs for algebraic-resistant stats like
+    median/quantiles; use built-ins for everything decomposable)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median(v):
+        return float(v.median())
+
+    # module uses `from __future__ import annotations`, which would
+    # stringify inline annotations; set the Series->float signature
+    # explicitly so pandas_udf infers GROUPED_AGG
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    median_udf = pandas_udf(_median, "double")
+
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.round(median_udf("o_totalprice"), 2).alias("median_price"))
+    )
