@@ -327,3 +327,67 @@ def sparql_label_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # keep only the label edges (the only string objects on nations)
     return df.filter(F.col("label")["t"] == "str").select(_e("n"), _s("label"))
+
+
+@register(
+    "sparql_hash_funcs",
+    """
+    SELECT 3000000 + n_nationkey AS n,
+           md5(n_name) AS h1,
+           sha256(n_name) AS h2,
+           upper(n_name) AS up,
+           CAST(length(n_name) AS BIGINT) AS len
+    FROM nation
+    """,
+)
+def sparql_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function layer through the full SPARQL pipeline: MD5 /
+    SHA256 / UCASE / STRLEN over the nation label term edges."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n ?h1 ?h2 ?up ?len WHERE {
+          ?n wdt:P3 ?r . ?n ?p ?name . FILTER(isLiteral(?name))
+          BIND(MD5(?name) AS ?h1)
+          BIND(SHA256(?name) AS ?h2)
+          BIND(UCASE(?name) AS ?up)
+          BIND(STRLEN(?name) AS ?len)
+        }
+        """
+    )
+    return df.select(_e("n"), _s("h1"), _s("h2"), _s("up"), _i("len"))
+
+
+@register(
+    "sparql_expr_calc",
+    """
+    SELECT 2000000 + o_orderkey AS o,
+           round(o_totalprice * 1.1 - 5, 2) AS adj,
+           CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size,
+           coalesce(NULL, o_orderstatus) AS st
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def sparql_expr_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic, IF, COALESCE and IN through the SPARQL expression
+    compiler (reference calculate_expression, calc_engine.rs:993-1183;
+    float-only arithmetic deliberately replaced by SQL numeric typing,
+    SURVEY §2.2)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?o ?adj ?size ?st WHERE {
+          ?o wdt:P4 ?price .
+          ?o wdt:P5 ?status .
+          ?o wdt:P6 ?prio .
+          FILTER(?prio IN ("1-URGENT", "2-HIGH"))
+          BIND(?price * 1.1 - 5 AS ?adj)
+          BIND(IF(?price > 200000, "big", "small") AS ?size)
+          BIND(COALESCE(?missing, ?status) AS ?st)
+        }
+        """
+    )
+    return df.select(
+        _e("o"),
+        F.round(F.col("adj")["d"], 2).alias("adj"),
+        _s("size"),
+        _s("st"),
+    )
