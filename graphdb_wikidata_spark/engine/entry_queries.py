@@ -361,7 +361,7 @@ def sparql_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sparql_expr_calc",
     """
     SELECT 2000000 + o_orderkey AS o,
-           round(o_totalprice * 1.1 - 5, 2) AS adj,
+           round(o_totalprice * 2 - 5, 2) AS adj,
            CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size,
            coalesce(NULL, o_orderstatus) AS st
     FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -379,7 +379,7 @@ def sparql_expr_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
           ?o wdt:P5 ?status .
           ?o wdt:P6 ?prio .
           FILTER(?prio IN ("1-URGENT", "2-HIGH"))
-          BIND(?price * 1.1 - 5 AS ?adj)
+          BIND(?price * 2 - 5 AS ?adj)
           BIND(IF(?price > 200000, "big", "small") AS ?size)
           BIND(COALESCE(?missing, ?status) AS ?st)
         }
