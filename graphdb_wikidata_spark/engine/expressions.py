@@ -197,11 +197,18 @@ def cmp_terms(a: Column, b: Column, op: str) -> Column:
     f = ops[op]
     qty_ok = (a["t"] == "qty") & (b["t"] == "qty") & (a["qty"]["unit"].eqNullSafe(b["qty"]["unit"]))
     mono_ok = (a["t"] == "mono") & (b["t"] == "mono") & (a["lang"] == b["lang"])
+    # times compare only within the same calendar (data_types.rs:
+    # 410-439: Gregorian/Julian gated, mixed calendars incomparable)
+    time_ok = (
+        (a["t"] == "time")
+        & (b["t"] == "time")
+        & a["time"]["cal"].eqNullSafe(b["time"]["cal"])
+    )
     return (
         F.when(is_num(a) & is_num(b), f(num(a), num(b)))
         .when((a["t"] == "str") & (b["t"] == "str"), f(a["s"], b["s"]))
         .when(mono_ok, f(a["s"], b["s"]))
-        .when((a["t"] == "time") & (b["t"] == "time"), f(_time_key(a), _time_key(b)))
+        .when(time_ok, f(_time_key(a), _time_key(b)))
         .when(qty_ok, f(a["qty"]["amount_d"], b["qty"]["amount_d"]))
         .when((a["t"] == "bool") & (b["t"] == "bool"), f(a["b"], b["b"]))
         .otherwise(F.lit(None).cast("boolean"))
