@@ -32,6 +32,16 @@ HEADLINE = [
     "simhash_signature",
     "embedding_knn_topk",
     "embedding_lsh_buckets",
+    # SPARQL engine end-to-end (parser -> algebra -> Catalyst);
+    # sparql_bgp_join also pays the one-time statements-cache build
+    "sparql_bgp_join",
+    "sparql_agg_suite",
+    "sparql_path_transitive",
+    "sparql_label_service",
+    # extensions: graph analytics, multimodal plumbing, streaming
+    "graph_pagerank_chain",
+    "media_catalog",
+    "stream_tumbling_counts",
 ]
 
 

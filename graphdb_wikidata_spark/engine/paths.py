@@ -98,38 +98,40 @@ def _negated_pairs(compiler, path: PathExpr, s: Var, o: Var) -> DataFrame:
     return df.filter(cond).select(s.name, o.name)
 
 
-def _transitive_closure(step: DataFrame, s: str, o: str, max_iters: int = 30) -> DataFrame:
-    """Semi-naive iteration: paths grows by joining the newest frontier
-    with the one-step edge relation; stops at a fixed point.
+def _transitive_closure(step: DataFrame, s: str, o: str, max_rounds: int = 20) -> DataFrame:
+    """Transitive closure by pointer doubling: each round composes the
+    closure-so-far with itself (paths of length <=2^k after round k),
+    so a diameter-d graph converges in ceil(log2 d) rounds instead of
+    the d rounds of frontier-at-a-time semi-naive iteration — rounds,
+    not work, are the scarce resource when every round is a cluster-
+    wide shuffle. localCheckpoint() truncates lineage per round.
 
-    Scale notes: `step` is cached once; each iteration is one shuffle
-    join on the frontier (small after a few rounds for typical graphs);
-    localCheckpoint() truncates lineage so plans don't grow unboundedly.
-    """
-    # join/dedup on flat serialized keys, not the raw term structs:
-    # struct join keys + downstream nested-field extraction trip a
-    # Catalyst binding bug (see Compiler._keyed_join), and flat string
-    # keys hash cheaper at shuffle time anyway.
+    Join/dedup run on flat serialized keys, not the raw term structs:
+    struct join keys + downstream nested-field extraction trip a
+    Catalyst binding bug (see Compiler._keyed_join), and flat string
+    keys hash cheaper at shuffle time anyway."""
+
     def with_key(df: DataFrame) -> DataFrame:
         return df.withColumn("__pk", F.to_json(F.struct(F.col(s), F.col(o))))
 
-    step = step.localCheckpoint()
-    paths = with_key(step)
-    frontier = step
-    for _ in range(max_iters):
-        grown = (
-            frontier.withColumnRenamed(o, "__mid")
-            .join(step.withColumnRenamed(s, "__mid"), on="__mid")
+    paths = with_key(step).dropDuplicates(["__pk"]).localCheckpoint()
+    n = paths.count()
+    for _ in range(max_rounds):
+        doubled = (
+            paths.select(F.col(s), F.col(o).alias("__mid"))
+            .join(paths.select(F.col(s).alias("__mid"), F.col(o)), on="__mid")
             .select(s, o)
         )
-        grown = with_key(grown).dropDuplicates(["__pk"])
-        new = grown.join(
-            paths.select("__pk"), on="__pk", how="left_anti"
-        ).localCheckpoint()
-        if new.limit(1).count() == 0:
+        grown = (
+            with_key(doubled)
+            .unionByName(paths)
+            .dropDuplicates(["__pk"])
+            .localCheckpoint()
+        )
+        n2 = grown.count()
+        if n2 == n:
             break
-        paths = paths.unionByName(new).localCheckpoint()
-        frontier = new.drop("__pk")
+        paths, n = grown, n2
     return paths.drop("__pk")
 
 

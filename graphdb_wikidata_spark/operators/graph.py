@@ -61,10 +61,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "inner")
             .join(edges, "src")
@@ -89,8 +89,13 @@ def pagerank(
                     * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(d_mass / n))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        # lineage cut every 3rd round: checkpoints are the dominant
+        # cost on small graphs (one job each) while plans only grow
+        # linearly between cuts; redistribute mode forces per-round
+        # actions anyway via the dangling aggregate
+        if dangling == "redistribute" or it % 3 == 2 or it == iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
