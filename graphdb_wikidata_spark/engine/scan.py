@@ -140,7 +140,7 @@ def scan_pattern(statements: DataFrame, tp: TriplePattern) -> DataFrame:
     structs)."""
     s, p, o = tp.s, tp.p, tp.o
     cond = F.lit(True)
-    out: dict[str, Column] = {}
+    bindings: list[tuple[str, Column]] = []  # (var name, column) per position
 
     # ---- predicate routing flags
     stmt_pred = isinstance(p, Term) and p.t == "entity" and p.k == "Pstmt"
@@ -148,13 +148,13 @@ def scan_pattern(statements: DataFrame, tp: TriplePattern) -> DataFrame:
 
     # ---- subject
     if isinstance(s, Var):
-        out[s.name] = _subject_term()
+        bindings.append((s.name, _subject_term()))
     else:
         cond = cond & _filter_subject(s)
 
     # ---- predicate
     if isinstance(p, Var):
-        out[p.name] = _predicate_term(as_pstmt=stmt_object)
+        bindings.append((p.name, _predicate_term(as_pstmt=stmt_object)))
     else:
         if p.t != "entity" or p.k not in ("P", "Pstmt"):
             # non-property predicate IRI: nothing stored can match
@@ -164,7 +164,7 @@ def scan_pattern(statements: DataFrame, tp: TriplePattern) -> DataFrame:
 
     # ---- object
     if isinstance(o, Var):
-        out[o.name] = _stmt_id_term() if stmt_pred else _object_term()
+        bindings.append((o.name, _stmt_id_term() if stmt_pred else _object_term()))
     elif stmt_object:
         # wds: object -> the pattern constrains the statement id; with a
         # bound direct predicate this is the impossible combination
@@ -177,15 +177,14 @@ def scan_pattern(statements: DataFrame, tp: TriplePattern) -> DataFrame:
             cond = F.lit(False)  # p:Pn with a non-statement object
         cond = cond & _filter_object(o)
 
-    # repeated variables within one pattern (?x ?p ?x) -> positional equality
-    pairs = [(pos, v.name) for pos, v in (("s", s), ("p", p), ("o", o)) if isinstance(v, Var)]
-    seen: dict[str, Column] = {}
-    for pos, name in pairs:
-        col = out[name]
-        if name in seen:
-            cond = cond & seen[name].eqNullSafe(col)
+    # repeated variables within one pattern (?x ?p ?x): the first
+    # occurrence binds, later occurrences constrain equality against it
+    out: dict[str, Column] = {}
+    for name, col in bindings:
+        if name in out:
+            cond = cond & out[name].eqNullSafe(col)
         else:
-            seen[name] = col
+            out[name] = col
 
     df = statements.filter(cond)
     return df.select(*[c.alias(n) for n, c in out.items()]) if out else df.select()

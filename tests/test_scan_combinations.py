@@ -1,0 +1,131 @@
+"""All 8 bound/unbound combinations of (s, p, o) for the triple-pattern
+scan, plus Pstmt/statement-id routing and repeated-variable patterns —
+the port of the reference's 14 triplepattern_match tests
+(calc_engine.rs:3479-3756) onto the quad DSL."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphdb_wikidata_spark.engine import GraphEngine
+from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+QUADS = [
+    ("Q1", "P2", "Q3", "s1"),
+    ("Q1", "P2", 5, "s2"),
+    ("Q4", "P2", "Q3", "s3"),
+    ("Q1", "P7", "Q4", "s4"),
+    (("stmt", "s1"), "P9", "Q8", "s5"),  # qualifier off statement s1
+]
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return GraphEngine(spark, statements_from_quads(spark, QUADS))
+
+
+def n(eng, s, p, o):
+    return eng.scan_pattern(s, p, o).count()
+
+
+def test_vvv(eng):
+    assert n(eng, None, None, None) == 5
+
+
+def test_bvv(eng):
+    assert n(eng, "http://www.wikidata.org/entity/Q1", None, None) == 3
+
+
+def test_vbv(eng):
+    assert n(eng, None, "http://www.wikidata.org/prop/direct/P2", None) == 3
+
+
+def test_vvb(eng):
+    assert n(eng, None, None, "http://www.wikidata.org/entity/Q3") == 2
+
+
+def test_bbv(eng):
+    assert (
+        n(
+            eng,
+            "http://www.wikidata.org/entity/Q1",
+            "http://www.wikidata.org/prop/direct/P2",
+            None,
+        )
+        == 2
+    )
+
+
+def test_bvb(eng):
+    assert (
+        n(
+            eng,
+            "http://www.wikidata.org/entity/Q1",
+            None,
+            "http://www.wikidata.org/entity/Q3",
+        )
+        == 1
+    )
+
+
+def test_vbb(eng):
+    assert (
+        n(
+            eng,
+            None,
+            "http://www.wikidata.org/prop/direct/P2",
+            "http://www.wikidata.org/entity/Q3",
+        )
+        == 2
+    )
+
+
+def test_bbb(eng):
+    assert (
+        n(
+            eng,
+            "http://www.wikidata.org/entity/Q1",
+            "http://www.wikidata.org/prop/direct/P2",
+            "http://www.wikidata.org/entity/Q3",
+        )
+        == 1
+    )
+
+
+def test_pstmt_binds_statement_ids(eng):
+    # p:P2 binds the statement id, not the object (calc_engine.rs:3135-3141)
+    rows = (
+        eng.scan_pattern("http://www.wikidata.org/entity/Q1",
+                         "http://www.wikidata.org/prop/P2", "?stmt")
+        .collect()
+    )
+    assert sorted(r["stmt"]["s"] for r in rows) == ["s1", "s2"]
+
+
+def test_statement_id_object_lookup(eng):
+    # a wds: object constrains the statement id (calc_engine.rs:3119-3124)
+    df = eng.sql(
+        'SELECT ?s ?p WHERE { ?s ?p <http://www.wikidata.org/entity/statement/s3> . }'
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["s"]["e"] == 4
+
+
+def test_qualifier_subject_scan(eng):
+    # the qualifier edge hangs off the statement node as subject
+    df = eng.sql(
+        'SELECT ?p ?o WHERE { <http://www.wikidata.org/entity/statement/s1> ?p ?o . }'
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["o"]["e"] == 8
+
+
+def test_repeated_variable(eng):
+    # ?x P2 ?x: no subject equals its own object here
+    assert eng.sql("SELECT ?x WHERE { ?x wdt:P2 ?x . }").count() == 0
+
+
+def test_nonproperty_predicate_matches_nothing(eng):
+    assert n(eng, None, "http://www.wikidata.org/entity/Q3", None) == 0
