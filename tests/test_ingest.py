@@ -49,3 +49,18 @@ def test_claim_id_normalization(spark):
     assert ids.filter(F.col("statement_id").contains("$")).count() == 0
     # real Wikidata statement ids look like Q31-<uuid>
     assert ids.filter(F.col("statement_id").rlike("^[Qq]\\d+-")).count() > 0
+
+
+def test_storage_roundtrip(spark, tmp_path_factory):
+    """write_statements -> from_parquet round-trip (the reference's
+    create-db / load cycle, main.rs:25-43): the reloaded store answers
+    the golden queries identically."""
+    from graphdb_wikidata_spark.engine import GraphEngine
+    from graphdb_wikidata_spark.ingest.wikidata import write_statements
+
+    path = str(tmp_path_factory.mktemp("store") / "statements")
+    df = load_dump(spark, FIXTURE)
+    write_statements(df, path, partitions=4)
+    eng = GraphEngine.from_parquet(spark, path)
+    assert eng.sql("SELECT ?s ?p ?o WHERE { ?s ?p ?o . }").count() == 3385
+    assert eng.sql("SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }").count() == 1354
