@@ -17,11 +17,13 @@ from graphdb_wikidata_spark.operators import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the TPC-H Q5-shaped 5-way broadcast join +
-    aggregation on /root/testdata/sf0.001."""
-    from graphdb_wikidata_spark.operators.relational import join_multiway
+    """Flagship: a SPARQL BGP join through the full engine (parser ->
+    algebra -> DataFrame compiler -> Catalyst) over the deterministic
+    statements graph at sf0.001 — the reference's own flagship test
+    shape (test_requests.txt:29-35)."""
+    from graphdb_wikidata_spark.engine.entry_queries import sparql_bgp_join
 
-    return join_multiway(spark, "/root/testdata/sf0.001")
+    return sparql_bgp_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
