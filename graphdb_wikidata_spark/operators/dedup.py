@@ -241,3 +241,39 @@ def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simhash")
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p0 AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                  generate_subscripts(a.embedding, 1) AS i,
+                  unnest(a.embedding)::DOUBLE AS x, b.embedding AS eb
+           FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    p AS (SELECT va, vb, x, eb[i]::DOUBLE AS y FROM p0),
+    s AS (SELECT va, vb, sum(x * y) AS dotp,
+                 sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+          FROM p GROUP BY va, vb)
+    SELECT va AS vec_a, vb AS vec_b, round(dotp / (nx * ny), 6) AS sim
+    FROM s WHERE dotp / (nx * ny) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    `embedding_lsh_buckets` is the candidate-bounding scale path — at
+    100 TB you join only within buckets, then verify with this exact
+    kernel). The pairwise join is blocked on vec_id order so each pair
+    is computed once."""
+    from .similarity import _as_double, dot, norm
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), _as_double("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), _as_double("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("raw_sim"))
+        .filter(F.col("raw_sim") >= 0.95)
+        .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("sim"))
+    )

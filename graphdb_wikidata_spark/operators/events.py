@@ -174,3 +174,36 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0)
     )
     return out
+
+
+@register(
+    "events_sliding",
+    """
+    WITH s AS (SELECT e.*,
+                      time_bucket(INTERVAL '15 minutes', ts)
+                        - k.k * INTERVAL '15 minutes' AS win_start
+               FROM events e, generate_series(0, 3) k(k))
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM s GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes in batch mode — Spark's
+    window() expands each event into its 4 covering windows before the
+    (window, type) partial agg; the oracle reproduces the expansion
+    with a generate_series cross join."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w").start, "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
