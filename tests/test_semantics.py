@@ -118,3 +118,25 @@ def test_min_max_respect_type_order(eng):
     # partitioning (deviation from the reference's first-value-wins)
     assert rows["mn"]["qty"]["amount_d"] in (5.0, 7.0)
     assert rows["mx"]["qty"]["amount_d"] in (7.0, 9.0)
+
+
+def test_effective_boolean_value(spark):
+    """EBV (data_types.rs:244-252): booleans as-is, non-empty string
+    true, nonzero numbers true, everything else a type error -> the
+    FILTER drops the row (unwrap_or(false), calc_engine.rs:215)."""
+    quads = [
+        ("Q1", "P1", "hello", "s1"),   # non-empty string -> true
+        ("Q2", "P1", "", "s2"),        # empty string -> false
+        ("Q3", "P1", 0, "s3"),         # zero -> false
+        ("Q4", "P1", 2, "s4"),         # nonzero -> true
+        ("Q5", "P1", True, "s5"),      # true
+        ("Q6", "P1", False, "s6"),     # false
+        ("Q7", "P1", "Q9", "s7"),      # entity -> type error -> dropped
+        ("Q8", "P1", 0.0, "s8"),       # zero double -> false
+    ]
+    eng = GraphEngine(spark, statements_from_quads(spark, quads))
+    df = eng.sql("SELECT ?s WHERE { ?s wdt:P1 ?v . FILTER(?v) }")
+    assert sorted(r["s"]["e"] for r in df.collect()) == [1, 4, 5]
+    # negation: type errors still drop the row (NOT(error) is error)
+    df = eng.sql("SELECT ?s WHERE { ?s wdt:P1 ?v . FILTER(!?v) }")
+    assert sorted(r["s"]["e"] for r in df.collect()) == [2, 3, 6, 8]
