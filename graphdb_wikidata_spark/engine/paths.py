@@ -135,12 +135,64 @@ def _transitive_closure(step: DataFrame, s: str, o: str, max_rounds: int = 20) -
     return paths.drop("__pk")
 
 
+def _reachable_from(step: DataFrame, s: str, o: str, src_col, max_rounds: int = 50) -> DataFrame:
+    """Nodes reachable in >= 1 step from a bound source: frontier BFS,
+    NOT the global closure — with a bound endpoint the work is the
+    reachable subgraph, however large the full graph is."""
+    key = lambda c: F.to_json(F.struct(c.alias("v")))  # noqa: E731
+    visited = (
+        step.filter(step[s].eqNullSafe(src_col))
+        .select(o)
+        .withColumn("__nk", key(F.col(o)))
+        .dropDuplicates(["__nk"])
+        .localCheckpoint()
+    )
+    frontier = visited
+    for _ in range(max_rounds):
+        nxt = (
+            frontier.select(F.col(o).alias("__from"))
+            .join(step, F.col("__from").eqNullSafe(step[s]))
+            .select(o)
+            .withColumn("__nk", key(F.col(o)))
+            .dropDuplicates(["__nk"])
+            .join(visited.select("__nk"), on="__nk", how="left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.drop("__nk")
+
+
 def compile_path(compiler, op: PathPattern) -> DataFrame:
+    from .expressions import lit_term
+
     s = op.s if isinstance(op.s, Var) else _fresh()
     o = op.o if isinstance(op.o, Var) else _fresh()
-    df = _pairs(compiler, op.path, s, o)
 
-    from .expressions import lit_term
+    # closure with exactly one bound endpoint: BFS from that endpoint
+    # over the one-step relation instead of materializing the global
+    # transitive closure (the online-traversal scale path)
+    if op.path.kind in ("one_or_more", "zero_or_more") and (
+        isinstance(op.s, Term) ^ isinstance(op.o, Term)
+    ):
+        step = _pairs(compiler, op.path.parts[0], s, o)
+        forward = isinstance(op.s, Term)
+        if not forward:  # bound object: walk the reversed edges
+            step = step.select(F.col(o.name).alias(s.name), F.col(s.name).alias(o.name))
+        src = lit_term(op.s if forward else op.o)
+        out_var = (o if forward else s).name
+        reached = _reachable_from(step, s.name, o.name, src).select(
+            F.col(o.name).alias(out_var)
+        )
+        if op.path.kind == "zero_or_more":
+            # zero-length path: the bound endpoint reaches itself
+            self_row = compiler.spark.range(1).select(src.alias(out_var))
+            reached = reached.unionByName(self_row).dropDuplicates([out_var])
+        return reached
+
+    df = _pairs(compiler, op.path, s, o)
 
     if not isinstance(op.s, Var):
         df = df.filter(F.col(s.name).eqNullSafe(lit_term(op.s))).drop(s.name)

@@ -317,3 +317,22 @@ def test_graph_named_graphs_empty(engine):
     assert engine.sql(
         "SELECT ?s WHERE { GRAPH wd:Q999 { ?s wdt:P31 ?x } }"
     ).count() == 0
+
+
+def test_bound_endpoint_transitive_path(spark):
+    """Closure with a bound endpoint runs as BFS from that endpoint
+    (no global closure); both directions, plus zero-or-more self."""
+    from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+    chain = [(f"Q{i}", "P8", f"Q{i-1}", f"s{i}") for i in range(1, 6)]  # 5 -> 0
+    eng = GraphEngine(spark, statements_from_quads(spark, chain))
+    wd = "http://www.wikidata.org/entity/"
+
+    fwd = eng.sql(f"SELECT ?x WHERE {{ <{wd}Q5> wdt:P8+ ?x . }}")
+    assert sorted(r["x"]["e"] for r in fwd.collect()) == [0, 1, 2, 3, 4]
+
+    fwd0 = eng.sql(f"SELECT ?x WHERE {{ <{wd}Q5> wdt:P8* ?x . }}")
+    assert sorted(r["x"]["e"] for r in fwd0.collect()) == [0, 1, 2, 3, 4, 5]
+
+    back = eng.sql(f"SELECT ?x WHERE {{ ?x wdt:P8+ <{wd}Q3> . }}")
+    assert sorted(r["x"]["e"] for r in back.collect()) == [4, 5]
