@@ -163,7 +163,44 @@ class Compiler:
         return scan_pattern(self.statements, op)
 
     def _c_join(self, op: Join) -> DataFrame:
+        # VALUES blocks containing UNDEF need SPARQL compatibility-join
+        # semantics (unbound matches anything) — a plain equality join
+        # would drop the NULL keys
+        if isinstance(op.right, Values) and any(None in r for r in op.right.rows):
+            return self._join_values(self.compile(op.left), op.right)
+        if isinstance(op.left, Values) and any(None in r for r in op.left.rows):
+            return self._join_values(self.compile(op.right), op.left)
         return self._natural_join(self.compile(op.left), self.compile(op.right))
+
+    def _join_values(self, df: DataFrame, vop: Values) -> DataFrame:
+        """Join solutions with an inline table containing UNDEF cells:
+        rows are grouped by their binding pattern (which vars are
+        bound); each group is a plain hash join on its bound columns,
+        groups union. Group count <= row count, so every join stays
+        hash-based — no nullable-OR join conditions."""
+        from collections import defaultdict
+
+        groups: dict[tuple[int, ...], list] = defaultdict(list)
+        for row in vop.rows:
+            mask = tuple(i for i, t in enumerate(row) if t is not None)
+            groups[mask].append(row)
+        allcols = list(dict.fromkeys(list(df.columns) + list(vop.variables)))
+        parts = []
+        for mask, rows in groups.items():
+            bound = [vop.variables[i] for i in mask]
+            vdf = self._c_values(
+                Values(tuple(bound), tuple(tuple(r[i] for i in mask) for r in rows))
+            )
+            shared = [v for v in bound if v in df.columns]
+            part = df.join(vdf, on=shared, how="inner") if shared else df.crossJoin(vdf)
+            for c in allcols:
+                if c not in part.columns:
+                    part = part.withColumn(c, F.lit(None).cast(TERM_T))
+            parts.append(part.select(*allcols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _c_lateraljoin(self, op: LateralJoin) -> DataFrame:
         # executed as inner join, like the reference (calc_engine.rs:194-201)

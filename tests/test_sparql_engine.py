@@ -336,3 +336,45 @@ def test_bound_endpoint_transitive_path(spark):
 
     back = eng.sql(f"SELECT ?x WHERE {{ ?x wdt:P8+ <{wd}Q3> . }}")
     assert sorted(r["x"]["e"] for r in back.collect()) == [4, 5]
+
+
+def test_subselect_having_undef(spark):
+    from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+    quads = [
+        ("Q1", "P1", "Q10", "s1"),
+        ("Q2", "P1", "Q10", "s2"),
+        ("Q3", "P1", "Q11", "s3"),
+        ("Q1", "P2", 5, "s4"),
+        ("Q2", "P2", 7, "s5"),
+    ]
+    eng = GraphEngine(spark, statements_from_quads(spark, quads))
+    # subselect with aggregation joined to an outer pattern
+    rows = eng.sql(
+        """
+        SELECT ?n ?cnt WHERE {
+          { SELECT ?n (COUNT(?s) AS ?cnt) WHERE { ?s wdt:P1 ?n } GROUP BY ?n }
+        }
+        """
+    ).collect()
+    got = {r["n"]["e"]: r["cnt"]["i"] for r in rows}
+    assert got == {10: 2, 11: 1}
+    # HAVING filters groups
+    rows = eng.sql(
+        """
+        SELECT ?n (COUNT(?s) AS ?cnt) WHERE { ?s wdt:P1 ?n }
+        GROUP BY ?n HAVING(COUNT(?s) > 1)
+        """
+    ).collect()
+    assert len(rows) == 1 and rows[0]["n"]["e"] == 10
+    # VALUES with UNDEF joins as unconstrained
+    rows = eng.sql(
+        """
+        SELECT ?s ?v WHERE {
+          ?s wdt:P2 ?v .
+          VALUES (?s ?v) { (wd:Q1 UNDEF) (UNDEF 7) }
+        }
+        """
+    ).collect()
+    got = sorted((r["s"]["e"], r["v"]["i"]) for r in rows)
+    assert got == [(1, 5), (2, 7)]
