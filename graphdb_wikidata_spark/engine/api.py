@@ -44,6 +44,15 @@ class GraphEngine:
         projected variable)."""
         return self._compiler.compile(parse_query(query))
 
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """The Catalyst physical plan for a SPARQL query — the
+        replacement for reasoning about which of the reference's four
+        sorted indexes a query would hit."""
+        df = self.sql(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode
+        )
+
     def sql_json(self, query: str) -> str:
         """SPARQL -> W3C SPARQL-JSON string (the reference HTTP
         endpoint's response format, server.rs:87-141)."""

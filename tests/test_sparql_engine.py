@@ -378,3 +378,39 @@ def test_subselect_having_undef(spark):
     ).collect()
     got = sorted((r["s"]["e"], r["v"]["i"]) for r in rows)
     assert got == [(1, 5), (2, 7)]
+
+
+def test_optional_filter_join_condition(spark):
+    """SPARQL-correct OPTIONAL { P FILTER(e) }: the expression belongs
+    to the JOIN CONDITION — a failing filter unbinds the optional part
+    but keeps the left row (the reference instead pre-filters the left
+    input, calc_engine.rs:176-190; we implement the spec and document
+    the deviation)."""
+    from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+    quads = [
+        ("Q1", "P1", "Q9", "s1"),
+        ("Q2", "P1", "Q9", "s2"),
+        ("Q1", "P2", 5, "s3"),
+        ("Q2", "P2", 9, "s4"),
+    ]
+    eng = GraphEngine(spark, statements_from_quads(spark, quads))
+    rows = eng.sql(
+        """
+        SELECT ?s ?v WHERE {
+          ?s wdt:P1 ?n .
+          OPTIONAL { ?s wdt:P2 ?v . FILTER(?v > 6) }
+        }
+        """
+    ).collect()
+    got = {r["s"]["e"]: (r["v"]["i"] if r["v"] else None) for r in rows}
+    # Q1's 5 fails the filter -> v unbound, row kept; Q2's 9 passes
+    assert got == {1: None, 2: 9}
+
+
+def test_explain_surface(spark):
+    from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+    eng = GraphEngine(spark, statements_from_quads(spark, [("Q1", "P1", "Q2", "s1")]))
+    plan = eng.explain("SELECT ?s WHERE { ?s wdt:P1 ?o . }")
+    assert "Physical Plan" in plan
