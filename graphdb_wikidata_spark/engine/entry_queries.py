@@ -397,3 +397,40 @@ def sparql_expr_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _s("size"),
         _s("st"),
     )
+
+
+@register(
+    "sparql_string_funcs",
+    """
+    SELECT 1000000 + c_custkey AS c,
+           substr(c_name, 1, 8) AS pre,
+           split_part(c_name, '#', 1) AS before_hash,
+           split_part(c_name, '#', 2) AS after_hash,
+           regexp_replace(c_name, '0+', '-', 'g') AS squashed,
+           (c_name LIKE '%#%') AS has_hash
+    FROM customer
+    """,
+)
+def sparql_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTR/STRBEFORE/STRAFTER/REPLACE/CONTAINS through the engine
+    over the customer label edges (names are 'Customer#...')."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?c ?pre ?before_hash ?after_hash ?squashed ?has_hash WHERE {
+          ?c wdt:P2 ?n . ?c ?p ?name . FILTER(isLiteral(?name))
+          BIND(SUBSTR(?name, 1, 8) AS ?pre)
+          BIND(STRBEFORE(?name, "#") AS ?before_hash)
+          BIND(STRAFTER(?name, "#") AS ?after_hash)
+          BIND(REPLACE(?name, "0+", "-") AS ?squashed)
+          BIND(CONTAINS(?name, "#") AS ?has_hash)
+        }
+        """
+    )
+    return df.select(
+        _e("c"),
+        _s("pre"),
+        _s("before_hash"),
+        _s("after_hash"),
+        _s("squashed"),
+        F.col("has_hash")["b"].alias("has_hash"),
+    )
