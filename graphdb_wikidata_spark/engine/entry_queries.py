@@ -434,3 +434,31 @@ def sparql_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _s("squashed"),
         F.col("has_hash")["b"].alias("has_hash"),
     )
+
+
+@register(
+    "sparql_date_funcs",
+    """
+    SELECT 2000000 + o_orderkey AS o,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS dd
+    FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def sparql_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YEAR/MONTH/DAY over time terms (order dates as Wikidata-style
+    day-precision Gregorian time values, P10) + a FILTER on the
+    extracted year — oracle coverage for the time-term pipeline."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?o ?y ?m ?dd WHERE {
+          ?o wdt:P10 ?d .
+          BIND(YEAR(?d) AS ?y)
+          BIND(MONTH(?d) AS ?m)
+          BIND(DAY(?d) AS ?dd)
+          FILTER(?y = 1997)
+        }
+        """
+    )
+    return df.select(_e("o"), _i("y"), _i("m"), _i("dd"))

@@ -18,6 +18,7 @@ Predicates:
     P4  order    total_price (double)
     P5  order    status      (string)
     P6  order    priority    (string)
+    P10 order    order_date  (time, Gregorian, day precision)
     P7  supplier in_nation   nation       (entity)
     P8  nation   chain_next  nation(n-1)  (entity; linear chain for
                                            transitive-path tests)
@@ -42,6 +43,7 @@ def _stmt(
     obj_entity=None,
     obj_string=None,
     obj_double=None,
+    obj_date=None,
     pred_kind: str = "P",
     pred_lang=None,
 ) -> list:
@@ -70,6 +72,13 @@ def _stmt(
             F.lit(None).cast("long").alias("obj_entity_id"),
             obj_double.cast("double").cast("string").alias("obj_string"),
         ]
+    elif obj_date is not None:
+        cols += [
+            F.lit("time").alias("obj_type"),
+            F.lit(None).cast("string").alias("obj_entity_kind"),
+            F.lit(None).cast("long").alias("obj_entity_id"),
+            F.lit(None).cast("string").alias("obj_string"),
+        ]
     else:
         cols += [
             F.lit("string").alias("obj_type"),
@@ -77,9 +86,26 @@ def _stmt(
             F.lit(None).cast("long").alias("obj_entity_id"),
             obj_string.cast("string").alias("obj_string"),
         ]
+    time_col = (
+        F.struct(
+            F.year(obj_date).cast("bigint").alias("year"),
+            F.month(obj_date).cast("int").alias("month"),
+            F.dayofmonth(obj_date).cast("int").alias("day"),
+            F.lit(0).alias("hour"),
+            F.lit(0).alias("minute"),
+            F.lit(0).alias("second"),
+            F.lit(0).alias("before"),
+            F.lit(0).alias("after"),
+            F.lit(11).alias("precision"),
+            F.lit(0).alias("tz"),
+            F.lit("http://www.wikidata.org/entity/Q1985727").alias("cal"),
+        ).cast(TIME_T)
+        if obj_date is not None
+        else F.lit(None).cast(TIME_T)
+    )
     cols += [
         F.lit(None).cast("string").alias("obj_lang"),
-        F.lit(None).cast(TIME_T).alias("obj_time"),
+        time_col.alias("obj_time"),
         F.lit(None).cast(QTY_T).alias("obj_qty"),
         F.lit(None).cast(COORD_T).alias("obj_coord"),
         F.concat(
@@ -106,6 +132,7 @@ def tpch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(*_stmt(F.col("o_orderkey") + O, 4, obj_double=F.col("o_totalprice"))),
         orders.select(*_stmt(F.col("o_orderkey") + O, 5, obj_string=F.col("o_orderstatus"))),
         orders.select(*_stmt(F.col("o_orderkey") + O, 6, obj_string=F.col("o_orderpriority"))),
+        orders.select(*_stmt(F.col("o_orderkey") + O, 10, obj_date=F.col("o_orderdate"))),
         supp.select(*_stmt(F.col("s_suppkey") + S, 7, obj_entity=F.col("s_nationkey") + N)),
         nation.filter(F.col("n_nationkey") > 0).select(
             *_stmt(F.col("n_nationkey") + N, 8, obj_entity=F.col("n_nationkey") - 1 + N)
