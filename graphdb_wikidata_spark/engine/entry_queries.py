@@ -462,3 +462,28 @@ def sparql_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df.select(_e("o"), _i("y"), _i("m"), _i("dd"))
+
+
+@register(
+    "sparql_coord_terms",
+    """
+    SELECT 3000000 + n_nationkey AS n,
+           'Point(' || CAST(CAST(n_nationkey * 2 - 10 AS DOUBLE) AS VARCHAR)
+                    || ' ' || CAST(CAST(n_nationkey AS DOUBLE) AS VARCHAR) || ')'
+             AS wkt
+    FROM nation
+    """,
+)
+def sparql_coord_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate terms end-to-end: P11 globe-coordinates rendered as
+    WKT via STR (the reference's Point(lon lat) rendering,
+    data_types.rs:69-242)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n ?wkt WHERE {
+          ?n wdt:P11 ?c .
+          BIND(STR(?c) AS ?wkt)
+        }
+        """
+    )
+    return df.select(_e("n"), _s("wkt"))

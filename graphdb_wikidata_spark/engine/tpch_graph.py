@@ -19,6 +19,7 @@ Predicates:
     P5  order    status      (string)
     P6  order    priority    (string)
     P10 order    order_date  (time, Gregorian, day precision)
+    P11 nation   location    (coord; lat=key, lon=2*key-10, globe=Q2)
     P7  supplier in_nation   nation       (entity)
     P8  nation   chain_next  nation(n-1)  (entity; linear chain for
                                            transitive-path tests)
@@ -44,6 +45,7 @@ def _stmt(
     obj_string=None,
     obj_double=None,
     obj_date=None,
+    obj_coord=None,
     pred_kind: str = "P",
     pred_lang=None,
 ) -> list:
@@ -72,9 +74,9 @@ def _stmt(
             F.lit(None).cast("long").alias("obj_entity_id"),
             obj_double.cast("double").cast("string").alias("obj_string"),
         ]
-    elif obj_date is not None:
+    elif obj_date is not None or obj_coord is not None:
         cols += [
-            F.lit("time").alias("obj_type"),
+            F.lit("time" if obj_date is not None else "coord").alias("obj_type"),
             F.lit(None).cast("string").alias("obj_entity_kind"),
             F.lit(None).cast("long").alias("obj_entity_id"),
             F.lit(None).cast("string").alias("obj_string"),
@@ -107,7 +109,16 @@ def _stmt(
         F.lit(None).cast("string").alias("obj_lang"),
         time_col.alias("obj_time"),
         F.lit(None).cast(QTY_T).alias("obj_qty"),
-        F.lit(None).cast(COORD_T).alias("obj_coord"),
+        (
+            F.struct(
+                obj_coord[0].cast("double").alias("lat"),
+                obj_coord[1].cast("double").alias("lon"),
+                F.lit(2).cast("bigint").alias("globe"),
+                F.lit(None).cast("double").alias("precision"),
+            ).cast(COORD_T)
+            if obj_coord is not None
+            else F.lit(None).cast(COORD_T)
+        ).alias("obj_coord"),
         F.concat(
             F.lit("s"),
             F.lit(pred_id).cast("string"),
@@ -134,6 +145,13 @@ def tpch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(*_stmt(F.col("o_orderkey") + O, 6, obj_string=F.col("o_orderpriority"))),
         orders.select(*_stmt(F.col("o_orderkey") + O, 10, obj_date=F.col("o_orderdate"))),
         supp.select(*_stmt(F.col("s_suppkey") + S, 7, obj_entity=F.col("s_nationkey") + N)),
+        nation.select(
+            *_stmt(
+                F.col("n_nationkey") + N,
+                11,
+                obj_coord=(F.col("n_nationkey"), F.col("n_nationkey") * 2 - 10),
+            )
+        ),
         nation.filter(F.col("n_nationkey") > 0).select(
             *_stmt(F.col("n_nationkey") + N, 8, obj_entity=F.col("n_nationkey") - 1 + N)
         ),
