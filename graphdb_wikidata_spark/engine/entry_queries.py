@@ -467,15 +467,15 @@ def sparql_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sparql_coord_terms",
     """
-    SELECT 3000000 + n_nationkey AS n,
-           'Point(' || CAST(CAST(n_nationkey * 2 - 10 AS DOUBLE) AS VARCHAR)
-                    || ' ' || CAST(CAST(n_nationkey AS DOUBLE) AS VARCHAR) || ')'
+    SELECT 4000000 + r_regionkey AS n,
+           'Point(' || CAST(CAST(r_regionkey * 2 - 10 AS DOUBLE) AS VARCHAR)
+                    || ' ' || CAST(CAST(r_regionkey AS DOUBLE) AS VARCHAR) || ')'
              AS wkt
-    FROM nation
+    FROM region
     """,
 )
 def sparql_coord_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coordinate terms end-to-end: P11 globe-coordinates rendered as
+    """Coordinate terms end-to-end: P11 region globe-coordinates rendered as
     WKT via STR (the reference's Point(lon lat) rendering,
     data_types.rs:69-242)."""
     df = _engine(spark, sf_dir).sql(

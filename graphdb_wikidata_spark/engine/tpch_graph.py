@@ -19,7 +19,7 @@ Predicates:
     P5  order    status      (string)
     P6  order    priority    (string)
     P10 order    order_date  (time, Gregorian, day precision)
-    P11 nation   location    (coord; lat=key, lon=2*key-10, globe=Q2)
+    P11 region   location    (coord; lat=key, lon=2*key-10, globe=Q2)
     P7  supplier in_nation   nation       (entity)
     P8  nation   chain_next  nation(n-1)  (entity; linear chain for
                                            transitive-path tests)
@@ -145,11 +145,11 @@ def tpch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(*_stmt(F.col("o_orderkey") + O, 6, obj_string=F.col("o_orderpriority"))),
         orders.select(*_stmt(F.col("o_orderkey") + O, 10, obj_date=F.col("o_orderdate"))),
         supp.select(*_stmt(F.col("s_suppkey") + S, 7, obj_entity=F.col("s_nationkey") + N)),
-        nation.select(
+        region.select(
             *_stmt(
-                F.col("n_nationkey") + N,
+                F.col("r_regionkey") + R,
                 11,
-                obj_coord=(F.col("n_nationkey"), F.col("n_nationkey") * 2 - 10),
+                obj_coord=(F.col("r_regionkey"), F.col("r_regionkey") * 2 - 10),
             )
         ),
         nation.filter(F.col("n_nationkey") > 0).select(
