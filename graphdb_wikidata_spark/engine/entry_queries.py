@@ -487,3 +487,211 @@ def sparql_coord_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df.select(_e("n"), _s("wkt"))
+
+
+@register(
+    "sparql_ask",
+    "SELECT (count(*) > 0) AS ask FROM customer WHERE c_nationkey = 7",
+)
+def sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASK query form (interpreter.rs:114-129 todo surface): compiled as
+    LIMIT-1 over the pattern, reduced to one boolean row."""
+    df = _engine(spark, sf_dir).sql("ASK { ?c wdt:P2 wd:Q3000007 . }")
+    return df.agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+
+@register(
+    "sparql_values_undef",
+    """
+    SELECT 2000000 + o_orderkey AS o, o_orderpriority AS prio, o_orderstatus AS st
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 2000000 + o_orderkey, o_orderpriority, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def sparql_values_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES with UNDEF cells (calc_data_types.rs:163-165 todo): the
+    compatibility join emits one row per compatible inline-table row, so
+    an urgent F-status order appears twice."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?o ?prio ?st WHERE {
+          ?o wdt:P6 ?prio . ?o wdt:P5 ?st .
+          VALUES (?prio ?st) { ("1-URGENT" UNDEF) (UNDEF "F") }
+        }
+        """
+    )
+    return df.select(_e("o"), _s("prio"), _s("st"))
+
+
+@register(
+    "sparql_path_alt_inverse",
+    """
+    SELECT 3000000 + c_nationkey AS n, 1000000 + c_custkey AS x FROM customer
+    UNION ALL
+    SELECT 3000000 + n_nationkey, 4000000 + n_regionkey FROM nation
+    """,
+)
+def sparql_path_alt_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path alternative + inverse ((^wdt:P2)|wdt:P3): a
+    nation's customers (inverse edge) unioned with its region."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT ?n ?x WHERE { ?n (^wdt:P2)|wdt:P3 ?x . }"
+    )
+    return df.select(_e("n"), _e("x"))
+
+
+@register(
+    "sparql_path_zero_or_one",
+    """
+    SELECT 1000000 + c_custkey AS src, 3000000 + c_nationkey AS dst FROM customer
+    UNION ALL
+    SELECT 1000000 + c_custkey, 3000000 + c_nationkey - 1 FROM customer
+    WHERE c_nationkey > 0
+    """,
+)
+def sparql_path_zero_or_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence + zero-or-one path (wdt:P2/wdt:P8?): each customer
+    reaches its nation and, when one exists, the chain-predecessor."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT ?src ?dst WHERE { ?src wdt:P2/wdt:P8? ?dst . }"
+    )
+    return df.select(_e("src"), _e("dst"))
+
+
+@register(
+    "sparql_group_concat",
+    """
+    SELECT 1000000 + o_custkey AS c,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+           count(*) AS cnt
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def sparql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT(DISTINCT; separator) + COUNT (calc_engine.rs:641-865);
+    values sorted before joining so the concatenation is deterministic
+    under parallel grouping (the reference relies on single-threaded row
+    order)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?c (GROUP_CONCAT(DISTINCT ?prio; separator=",") AS ?prios)
+               (COUNT(?o) AS ?cnt)
+        WHERE { ?o wdt:P1 ?c . ?o wdt:P6 ?prio . } GROUP BY ?c
+        """
+    )
+    return df.select(_e("c"), _s("prios"), _i("cnt"))
+
+
+@register(
+    "sparql_regex_uri",
+    """
+    SELECT 1000000 + c_custkey AS c, c_name AS name,
+           replace(c_name, '#', '%23') AS enc
+    FROM customer WHERE regexp_matches(c_name, 'customer#0*1[0-9]{2}$', 'i')
+    """,
+)
+def sparql_regex_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEX with the case-insensitive flag (calc_engine.rs:1934-2068
+    inline-flag trick) + ENCODE_FOR_URI (RFC 3986 unreserved set)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?c ?name ?enc WHERE {
+          ?c wdt:P2 ?n . ?c ?p ?name . FILTER(isLiteral(?name))
+          FILTER(REGEX(?name, "customer#0*1[0-9]{2}$", "i"))
+          BIND(ENCODE_FOR_URI(?name) AS ?enc)
+        }
+        """
+    )
+    return df.select(_e("c"), _s("name"), _s("enc"))
+
+
+@register(
+    "sparql_lang_funcs",
+    """
+    SELECT 5000000 + s_suppkey AS s, s_name AS txt,
+           CASE WHEN s_suppkey % 2 = 0 THEN 'en' ELSE 'en-GB' END AS l,
+           (s_suppkey % 2 = 1) AS gb
+    FROM supplier
+    """,
+)
+def sparql_lang_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monolingual-text terms end-to-end: LANG / STR / LANGMATCHES with
+    RFC 4647 basic ranges ('en' matches both 'en' and 'en-GB';
+    'en-GB' matches only itself)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?s ?txt ?l ?gb WHERE {
+          ?s wdt:P13 ?t .
+          BIND(STR(?t) AS ?txt)
+          BIND(LANG(?t) AS ?l)
+          BIND(LANGMATCHES(?l, "en-GB") AS ?gb)
+          FILTER(LANGMATCHES(?l, "en"))
+        }
+        """
+    )
+    return df.select(_e("s"), _s("txt"), _s("l"), F.col("gb")["b"].alias("gb"))
+
+
+@register(
+    "sparql_quantity_terms",
+    """
+    SELECT 3000000 + s_nationkey AS n,
+           min(s_acctbal) AS minb, max(s_acctbal) AS maxb,
+           count(*) AS cnt
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def sparql_quantity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity terms (data_types.rs:333-393) through scan, unit-gated
+    ordering (partial_cmp 344-359) and MIN/MAX aggregation."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n (MIN(?bal) AS ?minb) (MAX(?bal) AS ?maxb) (COUNT(?s) AS ?cnt)
+        WHERE { ?s wdt:P7 ?n . ?s wdt:P12 ?bal . } GROUP BY ?n
+        """
+    )
+    return df.select(
+        _e("n"),
+        F.col("minb")["qty"]["amount_d"].alias("minb"),
+        F.col("maxb")["qty"]["amount_d"].alias("maxb"),
+        _i("cnt"),
+    )
+
+
+@register(
+    "sparql_subselect",
+    """
+    SELECT 3000000 + c_nationkey AS n, count(*) AS cnt
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def sparql_subselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested SELECT (sub-query) joined with the outer pattern on the
+    shared variable."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n ?cnt WHERE {
+          ?n wdt:P3 ?r .
+          { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c wdt:P2 ?n . } GROUP BY ?n }
+        }
+        """
+    )
+    return df.select(_e("n"), _i("cnt"))
+
+
+@register(
+    "sparql_path_negated",
+    """
+    SELECT 2000000 + o_orderkey AS o, 1000000 + o_custkey AS x FROM orders
+    """,
+)
+def sparql_path_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set !(...) (calc_data_types.rs:17-26 Path IR):
+    order edges whose predicate is none of the excluded set leave only
+    the P1 placed_by edges (entity objects)."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT ?o ?x WHERE { ?o !(wdt:P4|wdt:P5|wdt:P6|wdt:P10) ?x . ?o wdt:P5 ?st . }"
+    )
+    return df.select(_e("o"), _e("x"))

@@ -646,7 +646,16 @@ class Parser:
         if t.value == "!":
             self.next()
             inner = self._path_primary()
-            terms = inner.terms if inner.kind == "link" else ()
+            if inner.kind == "link":
+                terms = inner.terms
+            elif inner.kind == "alternative" and all(
+                p.kind == "link" for p in inner.parts
+            ):
+                terms = tuple(x for p in inner.parts for x in p.terms)
+            else:
+                raise SyntaxError(
+                    "negated property set supports only !iri or !(iri|...|iri)"
+                )
             return PathExpr("negated", terms=terms)
         if t.kind == "KEYWORD" and t.value == "a":
             self.next()

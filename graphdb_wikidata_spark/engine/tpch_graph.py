@@ -23,12 +23,21 @@ Predicates:
     P7  supplier in_nation   nation       (entity)
     P8  nation   chain_next  nation(n-1)  (entity; linear chain for
                                            transitive-path tests)
+    P12 supplier acct_bal    (quantity, unit wd:Q4917, amount=s_acctbal)
+    P13 supplier trade_name  (monolingual text; lang 'en' for even
+                              suppkeys, 'en-GB' for odd — exercises
+                              LANG()/LANGMATCHES basic ranges)
     label(en)    nation/customer names
+
+Suppliers deliberately carry the quantity/mono terms: no oracle entry
+scans suppliers with a *variable* predicate, so adding object types
+here cannot change existing variable-predicate results (the P11
+lesson).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model.schema import COORD_T, QTY_T, STATEMENT_COLUMNS, TIME_T
@@ -46,6 +55,8 @@ def _stmt(
     obj_double=None,
     obj_date=None,
     obj_coord=None,
+    obj_qty=None,
+    obj_mono=None,
     pred_kind: str = "P",
     pred_lang=None,
 ) -> list:
@@ -74,12 +85,21 @@ def _stmt(
             F.lit(None).cast("long").alias("obj_entity_id"),
             obj_double.cast("double").cast("string").alias("obj_string"),
         ]
-    elif obj_date is not None or obj_coord is not None:
+    elif obj_date is not None or obj_coord is not None or obj_qty is not None:
         cols += [
-            F.lit("time" if obj_date is not None else "coord").alias("obj_type"),
+            F.lit(
+                "time" if obj_date is not None else ("coord" if obj_coord is not None else "qty")
+            ).alias("obj_type"),
             F.lit(None).cast("string").alias("obj_entity_kind"),
             F.lit(None).cast("long").alias("obj_entity_id"),
             F.lit(None).cast("string").alias("obj_string"),
+        ]
+    elif obj_mono is not None:
+        cols += [
+            F.lit("mono").alias("obj_type"),
+            F.lit(None).cast("string").alias("obj_entity_kind"),
+            F.lit(None).cast("long").alias("obj_entity_id"),
+            obj_mono[0].cast("string").alias("obj_string"),
         ]
     else:
         cols += [
@@ -105,10 +125,28 @@ def _stmt(
         if obj_date is not None
         else F.lit(None).cast(TIME_T)
     )
+    lang_col = (
+        (obj_mono[1] if isinstance(obj_mono[1], Column) else F.lit(obj_mono[1]))
+        if obj_mono is not None
+        else F.lit(None)
+    )
+    qty_col = (
+        F.struct(
+            # amount as canonical decimal string so STR() renders it
+            # identically in both engines
+            F.format_string("%.2f", obj_qty[0].cast("double")).alias("amount"),
+            obj_qty[0].cast("double").alias("amount_d"),
+            F.lit(obj_qty[1]).cast("string").alias("unit"),
+            F.lit(None).cast("string").alias("lower"),
+            F.lit(None).cast("string").alias("upper"),
+        ).cast(QTY_T)
+        if obj_qty is not None
+        else F.lit(None).cast(QTY_T)
+    )
     cols += [
-        F.lit(None).cast("string").alias("obj_lang"),
+        lang_col.cast("string").alias("obj_lang"),
         time_col.alias("obj_time"),
-        F.lit(None).cast(QTY_T).alias("obj_qty"),
+        qty_col.alias("obj_qty"),
         (
             F.struct(
                 obj_coord[0].cast("double").alias("lat"),
@@ -145,6 +183,19 @@ def tpch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(*_stmt(F.col("o_orderkey") + O, 6, obj_string=F.col("o_orderpriority"))),
         orders.select(*_stmt(F.col("o_orderkey") + O, 10, obj_date=F.col("o_orderdate"))),
         supp.select(*_stmt(F.col("s_suppkey") + S, 7, obj_entity=F.col("s_nationkey") + N)),
+        supp.select(
+            *_stmt(F.col("s_suppkey") + S, 12, obj_qty=(F.col("s_acctbal"), "Q4917"))
+        ),
+        supp.select(
+            *_stmt(
+                F.col("s_suppkey") + S,
+                13,
+                obj_mono=(
+                    F.col("s_name"),
+                    F.when(F.col("s_suppkey") % 2 == 0, "en").otherwise("en-GB"),
+                ),
+            )
+        ),
         region.select(
             *_stmt(
                 F.col("r_regionkey") + R,
