@@ -695,3 +695,79 @@ def sparql_path_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT ?o ?x WHERE { ?o !(wdt:P4|wdt:P5|wdt:P6|wdt:P10) ?x . ?o wdt:P5 ?st . }"
     )
     return df.select(_e("o"), _e("x"))
+
+
+@register(
+    "sparql_stmt_bind",
+    """
+    SELECT 2000000 + o_orderkey AS o,
+           's1-' || CAST(2000000 + o_orderkey AS VARCHAR) AS st
+    FROM orders
+    """,
+)
+def sparql_stmt_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p:P1 routing (calc_engine.rs:3135-3141): the statement-form
+    predicate binds the statement id, not the object."""
+    df = _engine(spark, sf_dir).sql("SELECT ?o ?st WHERE { ?o p:P1 ?st . }")
+    return df.select(_e("o"), _s("st"))
+
+
+@register(
+    "sparql_qualifier_join",
+    """
+    SELECT 2000000 + o_orderkey AS o, 1000000 + o_custkey AS c,
+           o_orderpriority AS q
+    FROM orders
+    """,
+)
+def sparql_qualifier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reified qualifier traversal (parser.rs:483-492): bind the P1
+    statement node, follow its wdt:P14 qualifier edge, and also fetch
+    the statement's direct object via ps:-style wdt:P1."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?o ?c ?q WHERE {
+          ?o p:P1 ?st .
+          ?st wdt:P14 ?q .
+          ?o wdt:P1 ?c .
+        }
+        """
+    )
+    return df.select(_e("o"), _e("c"), _s("q"))
+
+
+@register(
+    "sparql_wds_lookup",
+    "SELECT 3000005 AS s, 8 AS p",
+)
+def sparql_wds_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wds: statement-id object (calc_engine.rs:3119-3124): the pattern
+    becomes a statement_id lookup; the variable predicate binds the
+    statement (Pstmt) form of the stored predicate."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT ?s ?p WHERE { ?s ?p wds:s8-3000005 . }"
+    )
+    return df.select(_e("s"), _e("p"))
+
+
+@register(
+    "sparql_having_sample",
+    """
+    SELECT 1000000 + o_custkey AS c, count(*) AS cnt,
+           min(o_orderstatus) AS st
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+    """,
+)
+def sparql_having_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over an aggregate + SAMPLE (calc_engine.rs:866-876).
+    SAMPLE picks an arbitrary group member, so the sampled column is
+    reduced to MIN on both sides to stay deterministic — the entry
+    still exercises the SAMPLE code path via a separate projection."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?c (COUNT(?o) AS ?cnt) (MIN(?st) AS ?st) (SAMPLE(?st) AS ?any_st)
+        WHERE { ?o wdt:P1 ?c . ?o wdt:P5 ?st . }
+        GROUP BY ?c HAVING(COUNT(?o) >= 3)
+        """
+    )
+    return df.select(_e("c"), _i("cnt"), F.col("st")["s"].alias("st"))

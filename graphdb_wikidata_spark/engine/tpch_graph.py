@@ -57,14 +57,25 @@ def _stmt(
     obj_coord=None,
     obj_qty=None,
     obj_mono=None,
+    subj_stmt=None,
     pred_kind: str = "P",
     pred_lang=None,
 ) -> list:
-    """Column template for one statement row."""
-    cols = [
-        F.lit("Q").alias("subject_kind"),
-        subj_id.cast("long").alias("subject_id"),
-        F.lit(None).cast("string").alias("subject_stmt"),
+    """Column template for one statement row. With ``subj_stmt`` the
+    subject is a statement node (qualifier edge, parser.rs:483-492)."""
+    if subj_stmt is not None:
+        cols = [
+            F.lit("stmt").alias("subject_kind"),
+            F.lit(None).cast("long").alias("subject_id"),
+            subj_stmt.cast("string").alias("subject_stmt"),
+        ]
+    else:
+        cols = [
+            F.lit("Q").alias("subject_kind"),
+            subj_id.cast("long").alias("subject_id"),
+            F.lit(None).cast("string").alias("subject_stmt"),
+        ]
+    cols += [
         F.lit(pred_kind).alias("pred_kind"),
         (F.lit(pred_id).cast("long") if pred_kind == "P" else F.lit(None).cast("long")).alias(
             "pred_id"
@@ -161,7 +172,7 @@ def _stmt(
             F.lit("s"),
             F.lit(pred_id).cast("string"),
             F.lit("-"),
-            subj_id.cast("string"),
+            (subj_stmt if subj_stmt is not None else subj_id).cast("string"),
         ).alias("statement_id"),
     ]
     return cols
@@ -194,6 +205,19 @@ def tpch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("s_name"),
                     F.when(F.col("s_suppkey") % 2 == 0, "en").otherwise("en-GB"),
                 ),
+            )
+        ),
+        # qualifier edges: the order's priority restated as a qualifier
+        # hanging off the P1 placed_by statement node (reference
+        # reification, parser.rs:483-492)
+        orders.select(
+            *_stmt(
+                None,
+                14,
+                subj_stmt=F.concat(
+                    F.lit("s1-"), (F.col("o_orderkey") + O).cast("string")
+                ),
+                obj_string=F.col("o_orderpriority"),
             )
         ),
         region.select(
