@@ -22,9 +22,14 @@ class GraphEngine:
     """
 
     def __init__(self, spark: SparkSession, statements: DataFrame):
+        from .scan import ensure_term_columns
+
         self.spark = spark
-        self.statements = statements
-        self._compiler = Compiler(spark, statements)
+        # precompute the term-struct columns once (plan-build cost, see
+        # ensure_term_columns); callers that persist should persist the
+        # augmented frame so the structs come straight from cache
+        self.statements = ensure_term_columns(statements)
+        self._compiler = Compiler(spark, self.statements)
 
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str) -> "GraphEngine":

@@ -50,9 +50,47 @@ from .terms import Term
 
 
 class Compiler:
+    # a join side estimated below this many rows gets a broadcast hint:
+    # filters over the statements union have no Catalyst size estimate
+    # (SizeInBytes of Filter == child), so without the hint every BGP
+    # join is a full-shuffle sort-merge join even when one side is a
+    # single predicate's few thousand rows
+    BROADCAST_ROWS = 250_000
+
     def __init__(self, spark: SparkSession, statements: DataFrame):
         self.spark = spark
         self.statements = statements
+        self._pred_stats: tuple[dict, int] | None = None
+
+    def stats(self) -> tuple[dict, int]:
+        """Per-predicate statement counts — the Spark analogue of the
+        reference's sorted-index cardinalities (its BGP greedy ordering
+        sorts evaluated relations by real row count, calc_engine.rs:
+        116-119). One tiny distributed aggregate, cached per engine;
+        at full-Wikidata scale this is still only ~#predicates rows."""
+        if self._pred_stats is None:
+            rows = self.statements.groupBy("pred_kind", "pred_id").count().collect()
+            d = {(r["pred_kind"], r["pred_id"]): r["count"] for r in rows}
+            self._pred_stats = (d, sum(d.values()))
+        return self._pred_stats
+
+    def _estimate(self, tp: TriplePattern) -> int:
+        """Estimated result rows of one triple-pattern scan: the bound
+        predicate's true count, discounted 100x per bound endpoint."""
+        d, total = self.stats()
+        p = tp.p
+        if isinstance(p, Var):
+            base = total
+        elif p.t == "entity" and p.k in ("P", "Pstmt"):
+            base = d.get(("P", p.e), 0)
+        else:
+            base = 0  # non-property predicate matches nothing
+        sel = 1
+        if not isinstance(tp.s, Var):
+            sel *= 100
+        if not isinstance(tp.o, Var):
+            sel *= 100
+        return max(1, base // sel)
 
     # ---------------- helpers
 
@@ -142,21 +180,30 @@ class Compiler:
     def _c_bgp(self, op: Bgp) -> DataFrame:
         if not op.patterns:
             return self.spark.range(1).select()
-        # most-bound-first ordering; then prefer joining a pattern that
-        # shares a variable with what we have (calc_engine.rs:138-143)
-        def bound_count(tp: TriplePattern) -> int:
-            return sum(0 if isinstance(x, Var) else 1 for x in (tp.s, tp.p, tp.o))
-
-        remaining = sorted(op.patterns, key=bound_count, reverse=True)
-        dfs = [(tp, scan_pattern(self.statements, tp)) for tp in remaining]
-        tp0, df = dfs.pop(0)
+        # smallest-estimate-first ordering on real per-predicate counts
+        # (the reference's greedy rowcount ordering, calc_engine.rs:
+        # 116-119); then prefer joining a pattern that shares a variable
+        # with what we have (138-143). A side estimated small enough is
+        # broadcast-hinted — the pattern's filter has no Catalyst size
+        # estimate, so the hint is what turns a full shuffle into a
+        # broadcast hash join.
+        dfs = sorted(
+            [(self._estimate(tp), scan_pattern(self.statements, tp)) for tp in op.patterns],
+            key=lambda x: x[0],
+        )
+        cur_est, df = dfs.pop(0)
         while dfs:
             idx = next(
                 (i for i, (_, d) in enumerate(dfs) if set(d.columns) & set(df.columns)),
                 0,
             )
-            _, d = dfs.pop(idx)
+            est, d = dfs.pop(idx)
+            if est <= self.BROADCAST_ROWS and est <= cur_est:
+                d = F.broadcast(d)
+            elif cur_est <= self.BROADCAST_ROWS:
+                df = F.broadcast(df)
             df = self._natural_join(df, d)
+            cur_est = max(cur_est, est)
         return df
 
     def _c_triplepattern(self, op: TriplePattern) -> DataFrame:

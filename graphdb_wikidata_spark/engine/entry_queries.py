@@ -28,9 +28,12 @@ def _engine(spark: SparkSession, sf_dir: str) -> GraphEngine:
         # persist: in a real deployment `statements` is a materialized
         # parquet/Delta table, not a 10-branch union re-derived per
         # scan — caching mirrors that (and every triple pattern of
-        # every query hits the same cached relation)
+        # every query hits the same cached relation). The term-struct
+        # columns are part of the cached projection.
+        from .scan import ensure_term_columns
+
         _ENGINES[key] = GraphEngine(
-            spark, tpch_statements(spark, sf_dir).persist()
+            spark, ensure_term_columns(tpch_statements(spark, sf_dir)).persist()
         )
     return _ENGINES[key]
 

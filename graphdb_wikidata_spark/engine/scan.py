@@ -92,6 +92,31 @@ def _stmt_id_term() -> Column:
     return make_term(t="stmt", s=F.col("statement_id"))
 
 
+#: precomputed term-struct columns (see ensure_term_columns)
+TERM_COLS = {
+    "__subj_term": _subject_term,
+    "__pred_term": lambda: _predicate_term(as_pstmt=False),
+    "__pred_term_stmt": lambda: _predicate_term(as_pstmt=True),
+    "__obj_term": _object_term,
+    "__stmt_term": _stmt_id_term,
+}
+
+
+def ensure_term_columns(statements: DataFrame) -> DataFrame:
+    """Append the five term-struct columns once, up front.
+
+    Building the 11-field term structs (with their 10-branch object
+    type dispatch) inside every ``scan_pattern`` call costs hundreds of
+    driver-side Column constructions per query — measurable seconds of
+    plan-build time on complex BGPs. Materializing them as ordinary
+    columns makes each scan a filter + a five-column select; the
+    projection itself is whole-stage-codegen'd and cached with the
+    DataFrame."""
+    if "__obj_term" in statements.columns:
+        return statements
+    return statements.withColumns({name: fn() for name, fn in TERM_COLS.items()})
+
+
 def _filter_subject(t: Term) -> Column:
     if t.t == "stmt":
         return (F.col("subject_kind") == "stmt") & (F.col("subject_stmt") == t.s)
@@ -138,6 +163,7 @@ def scan_pattern(statements: DataFrame, tp: TriplePattern) -> DataFrame:
     """Compile one triple pattern into a filtered projection of
     ``statements`` whose columns are the pattern's variables (term
     structs)."""
+    statements = ensure_term_columns(statements)
     s, p, o = tp.s, tp.p, tp.o
     cond = F.lit(True)
     bindings: list[tuple[str, Column]] = []  # (var name, column) per position
@@ -148,13 +174,15 @@ def scan_pattern(statements: DataFrame, tp: TriplePattern) -> DataFrame:
 
     # ---- subject
     if isinstance(s, Var):
-        bindings.append((s.name, _subject_term()))
+        bindings.append((s.name, F.col("__subj_term")))
     else:
         cond = cond & _filter_subject(s)
 
     # ---- predicate
     if isinstance(p, Var):
-        bindings.append((p.name, _predicate_term(as_pstmt=stmt_object)))
+        bindings.append(
+            (p.name, F.col("__pred_term_stmt" if stmt_object else "__pred_term"))
+        )
     else:
         if p.t != "entity" or p.k not in ("P", "Pstmt"):
             # non-property predicate IRI: nothing stored can match
@@ -164,7 +192,7 @@ def scan_pattern(statements: DataFrame, tp: TriplePattern) -> DataFrame:
 
     # ---- object
     if isinstance(o, Var):
-        bindings.append((o.name, _stmt_id_term() if stmt_pred else _object_term()))
+        bindings.append((o.name, F.col("__stmt_term" if stmt_pred else "__obj_term")))
     elif stmt_object:
         # wds: object -> the pattern constrains the statement id; with a
         # bound direct predicate this is the impossible combination
