@@ -54,6 +54,9 @@ def pagerank(
     set. ``dangling='redistribute'`` (canonical: sinks' mass spread
     uniformly, ranks sum to 1) or ``'drop'`` (sink mass leaks — the
     variant with closed forms on simple graphs, used by the oracle)."""
+    # materialize the edge list once: every iteration (and every
+    # checkpoint job) would otherwise re-derive it from its source scan
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -149,6 +152,7 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
 def bfs_distances(edges: DataFrame, source: int, max_iters: int = 50) -> DataFrame:
     """Single-source BFS hop distances -> (node, dist)."""
     spark = edges.sparkSession
+    edges = edges.localCheckpoint()
     visited = spark.createDataFrame([(source, 0)], "node long, dist int").localCheckpoint()
     frontier = visited
     for depth in range(1, max_iters + 1):
@@ -162,7 +166,10 @@ def bfs_distances(edges: DataFrame, source: int, max_iters: int = 50) -> DataFra
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # no checkpoint: visited is a flat union of checkpointed
+        # frontier RDDs — nothing to recompute, and skipping it saves
+        # one job per hop
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 

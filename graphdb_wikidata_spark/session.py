@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # coalesce shuffles by size, not parallelism: iterative graph
+        # algorithms shrink to tiny frontiers where 32 near-empty tasks
+        # per stage dominate wall clock; at scale shuffles exceed the
+        # advisory size and this makes no difference
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
