@@ -774,3 +774,39 @@ def sparql_having_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df.select(_e("c"), _i("cnt"), F.col("st")["s"].alias("st"))
+
+
+@register(
+    "sparql_numeric_funcs",
+    """
+    SELECT 2000000 + o_orderkey AS o,
+           floor(o_totalprice + 0.5) AS r,
+           ceil(-o_totalprice) AS c,
+           floor(o_totalprice) AS f,
+           round(abs(-o_totalprice), 2) AS a
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def sparql_numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABS/ROUND/CEIL/FLOOR with SPARQL tie semantics — ROUND rounds
+    ties toward +inf (floor(x+0.5), SURVEY §2.7), spelled out the same
+    way in the oracle so the deviation from SQL half-away-from-zero is
+    pinned on negatives too (CEIL over a negated bind)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?o ?r ?c ?f ?a WHERE {
+          ?o wdt:P4 ?price . ?o wdt:P5 "P" .
+          BIND(ROUND(?price) AS ?r)
+          BIND(CEIL(-?price) AS ?c)
+          BIND(FLOOR(?price) AS ?f)
+          BIND(ABS(-?price) AS ?a)
+        }
+        """
+    )
+    return df.select(
+        _e("o"),
+        _d("r"),
+        _d("c"),
+        _d("f"),
+        F.round(F.col("a")["d"], 2).alias("a"),
+    )
