@@ -810,3 +810,49 @@ def sparql_numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _d("f"),
         F.round(F.col("a")["d"], 2).alias("a"),
     )
+
+
+@register(
+    "sparql_distinct_offset",
+    """
+    SELECT DISTINCT 3000000 + c_nationkey AS n FROM customer
+    ORDER BY n OFFSET 5 LIMIT 10
+    """,
+)
+def sparql_distinct_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + ORDER BY + OFFSET/LIMIT slice (Slice operator,
+    calc_engine.rs:321-338; Distinct 158-161) in one modifier stack."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT DISTINCT ?n WHERE { ?c wdt:P2 ?n . }
+        ORDER BY ?n OFFSET 5 LIMIT 10
+        """
+    )
+    return df.select(_e("n"))
+
+
+@register(
+    "sparql_bound_if",
+    """
+    SELECT 1000000 + c_custkey AS c,
+           (o_orderkey IS NOT NULL) AS has,
+           CASE WHEN o_orderkey IS NOT NULL THEN 'with-order' ELSE 'no-order' END AS lbl
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    WHERE c_nationkey = 7
+    """,
+)
+def sparql_bound_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUND over an OPTIONAL-introduced variable feeding IF
+    (calc_engine.rs:1123-1163): the unbound branch must see a NULL
+    term, not a missing column."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?c ?has ?lbl WHERE {
+          ?c wdt:P2 wd:Q3000007 .
+          OPTIONAL { ?o wdt:P1 ?c . }
+          BIND(BOUND(?o) AS ?has)
+          BIND(IF(BOUND(?o), "with-order", "no-order") AS ?lbl)
+        }
+        """
+    )
+    return df.select(_e("c"), F.col("has")["b"].alias("has"), _s("lbl"))

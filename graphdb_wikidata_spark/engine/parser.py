@@ -394,7 +394,12 @@ class Parser:
             if isinstance(expr, EVar) and expr.name == var:
                 continue  # direct aggregate alias
             plan = Extend(plan, var, expr)
-        if order:
+        # ORDER BY sits above DISTINCT/REDUCED when both are present:
+        # semantically identical (dedup commutes with sorting, and the
+        # spec restricts ORDER BY under DISTINCT to projected vars), and
+        # physically required — Spark's dedup is a shuffle that destroys
+        # the sort order an OFFSET/LIMIT slice below it relies on.
+        if order and not (spec.distinct or spec.reduced):
             plan = OrderBy(plan, tuple(order))
         if not spec.star:
             plan = Project(plan, tuple(out_vars))
@@ -402,6 +407,8 @@ class Parser:
             plan = Distinct(plan)
         elif spec.reduced:
             plan = Reduced(plan)
+        if order and (spec.distinct or spec.reduced):
+            plan = OrderBy(plan, tuple(order))
         if offset or limit is not None:
             plan = Slice(plan, offset, limit)
         return plan
