@@ -41,6 +41,14 @@ class GraphEngine:
 
         return cls(spark, load_dump(spark, path, **kwargs))
 
+    def warm(self) -> "GraphEngine":
+        """Materialize the statements relation (if persisted) and the
+        per-predicate statistics, so first-query latency measures query
+        execution rather than one-time table/stats builds."""
+        self.statements.count()
+        self._compiler.stats()
+        return self
+
     def plan(self, query: str):
         return parse_query(query)
 

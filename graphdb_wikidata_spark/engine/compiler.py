@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..model.schema import TERM_T
+from ..model.schema import TERM_T, make_term
 from .algebra import (
     AggSpec,
     Bgp,
@@ -69,10 +69,38 @@ class Compiler:
         116-119). One tiny distributed aggregate, cached per engine;
         at full-Wikidata scale this is still only ~#predicates rows."""
         if self._pred_stats is None:
-            rows = self.statements.groupBy("pred_kind", "pred_id").count().collect()
-            d = {(r["pred_kind"], r["pred_id"]): r["count"] for r in rows}
-            self._pred_stats = (d, sum(d.values()))
+            rows = (
+                self.statements.groupBy("pred_kind", "pred_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    # struct-wrapped: count_distinct over bare columns
+                    # drops rows with ANY null (subject_stmt is null
+                    # for entity subjects)
+                    F.count_distinct(
+                        F.struct(
+                            F.col("subject_kind"),
+                            F.col("subject_id"),
+                            F.col("subject_stmt"),
+                        )
+                    ).alias("ds"),
+                )
+                .collect()
+            )
+            d = {(r["pred_kind"], r["pred_id"]): (r["n"], r["ds"]) for r in rows}
+            self._pred_stats = (d, sum(n for n, _ in d.values()))
         return self._pred_stats
+
+    def _pred_count(self, pid: int) -> int:
+        d, _ = self.stats()
+        return d.get(("P", pid), (0, 0))[0]
+
+    def _functional(self, pid: int) -> bool:
+        """True when every subject has exactly one statement with this
+        predicate (count == distinct subjects) — the precondition for
+        the star-join rewrite."""
+        d, _ = self.stats()
+        n, ds = d.get(("P", pid), (0, 0))
+        return n > 0 and n == ds
 
     def _estimate(self, tp: TriplePattern) -> int:
         """Estimated result rows of one triple-pattern scan: the bound
@@ -82,7 +110,7 @@ class Compiler:
         if isinstance(p, Var):
             base = total
         elif p.t == "entity" and p.k in ("P", "Pstmt"):
-            base = d.get(("P", p.e), 0)
+            base = d.get(("P", p.e), (0, 0))[0]
         else:
             base = 0  # non-property predicate matches nothing
         sel = 1
@@ -177,6 +205,78 @@ class Compiler:
             raise NotImplementedError(f"operator {type(op).__name__}")
         return m(op)
 
+    def _star_groups(
+        self, patterns: list[TriplePattern]
+    ) -> tuple[list[tuple[int, DataFrame]], list[TriplePattern]]:
+        """Subject-star rewrite (the 'property table' transform; the
+        optional statements self-join rewrite of SURVEY §4.2): >=2
+        patterns sharing a subject variable, each with a distinct bound
+        direct predicate that is FUNCTIONAL (exactly one statement per
+        subject, proven from stats()) and a distinct plain object
+        variable, compile to ONE scan + groupBy(subject) with a
+        max(when(pred=p, obj)) column per pattern instead of N-1
+        subject self-joins. Exact join semantics: functionality rules
+        out fan-out, and the all-columns-bound filter reproduces the
+        inner join's drop of subjects missing a predicate. Each star is
+        one shuffle where the join form is N."""
+        from collections import defaultdict
+
+        groups: dict[str, list[TriplePattern]] = defaultdict(list)
+        rest: list[TriplePattern] = []
+        for tp in patterns:
+            if (
+                isinstance(tp.s, Var)
+                and isinstance(tp.o, Var)
+                and tp.o.name != tp.s.name
+                and isinstance(tp.p, Term)
+                and tp.p.t == "entity"
+                and tp.p.k == "P"
+            ):
+                groups[tp.s.name].append(tp)
+            else:
+                rest.append(tp)
+        stars: list[tuple[int, DataFrame]] = []
+        for svar, tps in groups.items():
+            preds = [tp.p.e for tp in tps]
+            ovars = [tp.o.name for tp in tps]
+            if (
+                len(tps) < 2
+                or len(set(preds)) != len(preds)
+                or len(set(ovars)) != len(ovars)
+                or svar in ovars
+                or not all(self._functional(p) for p in preds)
+            ):
+                rest.extend(tps)
+                continue
+            from .scan import ensure_term_columns
+
+            st = ensure_term_columns(self.statements).filter(
+                (F.col("pred_kind") == "P") & F.col("pred_id").isin(preds)
+            )
+            aggs = [
+                F.max(F.when(F.col("pred_id") == p, F.col("__obj_term"))).alias(v)
+                for p, v in zip(preds, ovars)
+            ]
+            star = st.groupBy("subject_kind", "subject_id", "subject_stmt").agg(*aggs)
+            cond = F.lit(True)
+            for v in ovars:
+                cond = cond & F.col(v).isNotNull()
+            star = star.filter(cond).select(
+                F.when(
+                    F.col("subject_kind") == "stmt",
+                    make_term(t="stmt", s=F.col("subject_stmt")),
+                )
+                .otherwise(
+                    make_term(
+                        t="entity", k=F.col("subject_kind"), e=F.col("subject_id")
+                    )
+                )
+                .alias(svar),
+                *ovars,
+            )
+            stars.append((min(self._pred_count(p) for p in preds), star))
+        return stars, rest
+
     def _c_bgp(self, op: Bgp) -> DataFrame:
         if not op.patterns:
             return self.spark.range(1).select()
@@ -187,8 +287,10 @@ class Compiler:
         # broadcast-hinted — the pattern's filter has no Catalyst size
         # estimate, so the hint is what turns a full shuffle into a
         # broadcast hash join.
+        stars, rest = self._star_groups(list(op.patterns))
         dfs = sorted(
-            [(self._estimate(tp), scan_pattern(self.statements, tp)) for tp in op.patterns],
+            stars
+            + [(self._estimate(tp), scan_pattern(self.statements, tp)) for tp in rest],
             key=lambda x: x[0],
         )
         cur_est, df = dfs.pop(0)

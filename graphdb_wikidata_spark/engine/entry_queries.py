@@ -32,9 +32,25 @@ def _engine(spark: SparkSession, sf_dir: str) -> GraphEngine:
         # columns are part of the cached projection.
         from .scan import ensure_term_columns
 
-        _ENGINES[key] = GraphEngine(
-            spark, ensure_term_columns(tpch_statements(spark, sf_dir)).persist()
+        # repartition before caching: the union branches inherit the
+        # source parquet's split granularity, so a 600k-row fact branch
+        # can land in ONE cached partition and serialize every
+        # downstream scan; a deployment's materialized table is written
+        # with proper partitioning instead
+        # hash-partition by subject before caching (the in-memory
+        # analogue of subject-bucketed storage): star aggregates and
+        # subject self-joins then need no exchange, and the fact-scale
+        # branches spread across cores instead of inheriting one
+        # parquet split each
+        stmts = ensure_term_columns(
+            tpch_statements(spark, sf_dir).repartition(
+                spark.sparkContext.defaultParallelism,
+                "subject_kind",
+                "subject_id",
+                "subject_stmt",
+            )
         )
+        _ENGINES[key] = GraphEngine(spark, stmts.persist())
     return _ENGINES[key]
 
 
@@ -856,3 +872,63 @@ def sparql_bound_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df.select(_e("c"), F.col("has")["b"].alias("has"), _s("lbl"))
+
+
+@register(
+    "sparql_tpch_q1",
+    """
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+           count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sparql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape through SPARQL over the lineitem subgraph — the
+    aggregation-heavy plan (4 co-subject patterns + multi-key GROUP BY
+    + an arithmetic aggregate) at fact-table volume."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?rf ?ls (COUNT(?l) AS ?cnt) (SUM(?qty) AS ?sum_qty)
+               (SUM(?ep) AS ?sum_base) (SUM(?ep * (1 - ?disc)) AS ?sum_disc)
+        WHERE {
+          ?l wdt:P24 ?rf . ?l wdt:P25 ?ls .
+          ?l wdt:P21 ?qty . ?l wdt:P22 ?ep . ?l wdt:P23 ?disc .
+        } GROUP BY ?rf ?ls
+        """
+    )
+    return df.select(
+        _s("rf"),
+        _s("ls"),
+        _i("cnt"),
+        F.round(F.col("sum_qty")["d"], 2).alias("sum_qty"),
+        F.round(F.col("sum_base")["d"], 2).alias("sum_base"),
+        F.round(F.col("sum_disc")["d"], 2).alias("sum_disc"),
+    )
+
+
+@register(
+    "sparql_int_cross_type",
+    """
+    SELECT 5000000 + s_suppkey AS s, s_nationkey AS k,
+           CAST(s_nationkey + 1 AS DOUBLE) AS k2
+    FROM supplier WHERE s_nationkey = 7
+    """,
+)
+def sparql_int_cross_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int terms + '=' cross-type numeric equality (int term vs double
+    literal, calc_engine.rs:2938-2944); arithmetic on ints returns SQL
+    numeric (documented deviation from the reference's float-only
+    arithmetic, SURVEY §2.2)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?s ?k ?k2 WHERE {
+          ?s wdt:P16 ?k .
+          FILTER(?k = 7.0)
+          BIND(?k + 1 AS ?k2)
+        }
+        """
+    )
+    return df.select(_e("s"), _i("k"), _d("k2"))

@@ -63,7 +63,13 @@ def _object_term() -> Column:
         )
         .when(
             F.col("obj_type") == "string",
-            make_term(t="str", k=F.col("obj_entity_kind"), s=F.col("obj_string")),
+            # kind defaults to the plain-string subtype when the source
+            # didn't record one (test DSL, minimal ingests)
+            make_term(
+                t="str",
+                k=F.coalesce(F.col("obj_entity_kind"), F.lit("string")),
+                s=F.col("obj_string"),
+            ),
         )
         .when(
             F.col("obj_type") == "mono",
@@ -135,7 +141,7 @@ def _filter_object(t: Term) -> Column:
     if t.t == "str":
         return (
             (F.col("obj_type") == "string")
-            & (F.col("obj_entity_kind") == (t.k or "string"))
+            & (F.coalesce(F.col("obj_entity_kind"), F.lit("string")) == (t.k or "string"))
             & (F.col("obj_string") == t.s)
         )
     if t.t == "mono":

@@ -27,7 +27,19 @@ Predicates:
     P13 supplier trade_name  (monolingual text; lang 'en' for even
                               suppkeys, 'en-GB' for odd — exercises
                               LANG()/LANGMATCHES basic ranges)
+    P16 supplier nation_num  (int; s_nationkey as a plain integer
+                              literal for cross-type numeric tests)
+    P21 lineitem quantity       (double)
+    P22 lineitem extended_price (double)
+    P23 lineitem discount       (double)
+    P24 lineitem return_flag    (string)
+    P25 lineitem line_status    (string)
     label(en)    nation/customer names
+
+Lineitem entities get deterministic 56-bit row-hash ids ((orderkey,
+linenumber) is not unique in the synthetic data) — the only fact-scale
+subgraph (~4 rows/order), there so aggregation-heavy SPARQL (the Q1
+shape) runs against realistic volume.
 
 Suppliers deliberately carry the quantity/mono terms: no oracle entry
 scans suppliers with a *variable* predicate, so adding object types
@@ -43,7 +55,7 @@ from pyspark.sql import functions as F
 from ..model.schema import COORD_T, QTY_T, STATEMENT_COLUMNS, TIME_T
 from ..tables import table
 
-C, O, N, R, S = 1_000_000, 2_000_000, 3_000_000, 4_000_000, 5_000_000
+C, O, N, R, S, LI = 1_000_000, 2_000_000, 3_000_000, 4_000_000, 5_000_000, 6_000_000
 
 
 def _stmt(
@@ -57,6 +69,7 @@ def _stmt(
     obj_coord=None,
     obj_qty=None,
     obj_mono=None,
+    obj_int=None,
     subj_stmt=None,
     pred_kind: str = "P",
     pred_lang=None,
@@ -104,6 +117,13 @@ def _stmt(
             F.lit(None).cast("string").alias("obj_entity_kind"),
             F.lit(None).cast("long").alias("obj_entity_id"),
             F.lit(None).cast("string").alias("obj_string"),
+        ]
+    elif obj_int is not None:
+        cols += [
+            F.lit("int").alias("obj_type"),
+            F.lit(None).cast("string").alias("obj_entity_kind"),
+            F.lit(None).cast("long").alias("obj_entity_id"),
+            obj_int.cast("long").cast("string").alias("obj_string"),
         ]
     elif obj_mono is not None:
         cols += [
@@ -184,6 +204,15 @@ def tpch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     supp = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # full rows are. Deterministic 56-bit id from the full row (far
+    # above the 1e6-offset entity ranges; collision odds ~1e-6 at sf1).
+    li_id = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *[F.col(c) for c in li.columns])), 1, 14),
+        16,
+        10,
+    ).cast("long")
 
     parts = [
         orders.select(*_stmt(F.col("o_orderkey") + O, 1, obj_entity=F.col("o_custkey") + C)),
@@ -197,6 +226,12 @@ def tpch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.select(
             *_stmt(F.col("s_suppkey") + S, 12, obj_qty=(F.col("s_acctbal"), "Q4917"))
         ),
+        supp.select(*_stmt(F.col("s_suppkey") + S, 16, obj_int=F.col("s_nationkey"))),
+        li.select(*_stmt(li_id, 21, obj_double=F.col("l_quantity"))),
+        li.select(*_stmt(li_id, 22, obj_double=F.col("l_extendedprice"))),
+        li.select(*_stmt(li_id, 23, obj_double=F.col("l_discount"))),
+        li.select(*_stmt(li_id, 24, obj_string=F.col("l_returnflag"))),
+        li.select(*_stmt(li_id, 25, obj_string=F.col("l_linestatus"))),
         supp.select(
             *_stmt(
                 F.col("s_suppkey") + S,
