@@ -932,3 +932,58 @@ def sparql_int_cross_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df.select(_e("s"), _i("k"), _d("k2"))
+
+
+@register(
+    "sparql_optional_filter",
+    """
+    SELECT 1000000 + c_custkey AS c, 2000000 + o.o_orderkey AS o
+    FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
+      ON o.o_custkey = c_custkey
+    WHERE c_nationkey = 7
+    """,
+)
+def sparql_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL with an inner FILTER referencing both sides' pattern:
+    the expression belongs to the JOIN CONDITION (SPARQL LeftJoin), so
+    customers keep their row when no order passes — unlike the
+    reference's pre-filter simplification (calc_engine.rs:176-190)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?c ?o WHERE {
+          ?c wdt:P2 wd:Q3000007 .
+          OPTIONAL { ?o wdt:P1 ?c . ?o wdt:P4 ?price . FILTER(?price > 250000) }
+        }
+        """
+    )
+    return df.select(_e("c"), _e("o"))
+
+
+@register(
+    "sparql_concat_case",
+    """
+    SELECT 3000000 + n_nationkey AS n,
+           'nation:' || lower(n_name) AS tag,
+           (n_name LIKE 'A%') AS a_start,
+           (n_name LIKE '%A') AS a_end
+    FROM nation
+    """,
+)
+def sparql_concat_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCAT / LCASE / STRSTARTS / STRENDS over the nation labels."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n ?tag ?a_start ?a_end WHERE {
+          ?n wdt:P3 ?r . ?n ?p ?name . FILTER(isLiteral(?name))
+          BIND(CONCAT("nation:", LCASE(?name)) AS ?tag)
+          BIND(STRSTARTS(?name, "A") AS ?a_start)
+          BIND(STRENDS(?name, "A") AS ?a_end)
+        }
+        """
+    )
+    return df.select(
+        _e("n"),
+        _s("tag"),
+        F.col("a_start")["b"].alias("a_start"),
+        F.col("a_end")["b"].alias("a_end"),
+    )
