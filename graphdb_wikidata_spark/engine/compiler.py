@@ -120,6 +120,42 @@ class Compiler:
             sel *= 100
         return max(1, base // sel)
 
+    def _est_op(self, op: Op) -> int:
+        """Coarse cardinality estimate for any algebra node — only used
+        to decide broadcast hints, so order-of-magnitude is enough."""
+        _, total = self.stats()
+        t = type(op).__name__
+        if t == "TriplePattern":
+            return self._estimate(op)
+        if t == "Bgp":
+            if not op.patterns:
+                return 1
+            return max(self._estimate(tp) for tp in op.patterns)
+        if t in ("Join", "LateralJoin"):
+            return max(self._est_op(op.left), self._est_op(op.right))
+        if t == "LeftJoin":
+            return self._est_op(op.left)
+        if t == "Union":
+            return self._est_op(op.left) + self._est_op(op.right)
+        if t == "Minus":
+            return self._est_op(op.left)
+        if t == "Filter":
+            return max(1, self._est_op(op.input) // 3)
+        if t == "Group":
+            return max(1, self._est_op(op.input) // 10)
+        if t == "Values":
+            return len(op.rows)
+        if t == "Slice":
+            n = self._est_op(op.input)
+            return min(n, op.length) if op.length is not None else n
+        if t == "PathPattern":
+            p = op.path
+            if p.kind == "link" and p.terms and p.terms[0].t == "entity":
+                return self._pred_count(p.terms[0].e)
+            return total
+        child = getattr(op, "input", None)
+        return self._est_op(child) if child is not None else total
+
     # ---------------- helpers
 
     def _expr_compiler(self, df: DataFrame, markers: dict | None = None) -> ExprCompiler:
@@ -187,7 +223,14 @@ class Compiler:
                 visit(e)
         return holder[0], markers
 
-    def _natural_join(self, left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+    def _natural_join(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        how: str = "inner",
+        l_est: int | None = None,
+        r_est: int | None = None,
+    ) -> DataFrame:
         shared = [c for c in left.columns if c in right.columns]
         if not shared:
             if how == "inner":
@@ -195,6 +238,16 @@ class Compiler:
             # left outer with no shared vars: every combination (SPARQL
             # OPTIONAL with disjoint domains) — cross join keeps lefts
             return left.crossJoin(right)
+        # estimate-driven broadcast hints (see _c_bgp): for left outer
+        # only the right side is a legal build side
+        b = self.BROADCAST_ROWS
+        if how == "inner" and l_est is not None and r_est is not None:
+            if r_est <= b and r_est <= l_est:
+                right = F.broadcast(right)
+            elif l_est <= b:
+                left = F.broadcast(left)
+        elif how == "left_outer" and r_est is not None and r_est <= b:
+            right = F.broadcast(right)
         return left.join(right, on=shared, how=how)
 
     # ---------------- main dispatch
@@ -319,7 +372,12 @@ class Compiler:
             return self._join_values(self.compile(op.left), op.right)
         if isinstance(op.left, Values) and any(None in r for r in op.left.rows):
             return self._join_values(self.compile(op.right), op.left)
-        return self._natural_join(self.compile(op.left), self.compile(op.right))
+        return self._natural_join(
+            self.compile(op.left),
+            self.compile(op.right),
+            l_est=self._est_op(op.left),
+            r_est=self._est_op(op.right),
+        )
 
     def _join_values(self, df: DataFrame, vop: Values) -> DataFrame:
         """Join solutions with an inline table containing UNDEF cells:
@@ -353,13 +411,20 @@ class Compiler:
 
     def _c_lateraljoin(self, op: LateralJoin) -> DataFrame:
         # executed as inner join, like the reference (calc_engine.rs:194-201)
-        return self._natural_join(self.compile(op.left), self.compile(op.right))
+        return self._natural_join(
+            self.compile(op.left),
+            self.compile(op.right),
+            l_est=self._est_op(op.left),
+            r_est=self._est_op(op.right),
+        )
 
     def _c_leftjoin(self, op: LeftJoin) -> DataFrame:
         left, right = self.compile(op.left), self.compile(op.right)
         shared = [c for c in left.columns if c in right.columns]
         if op.expr is None:
-            return self._natural_join(left, right, "left_outer")
+            return self._natural_join(
+                left, right, "left_outer", r_est=self._est_op(op.right)
+            )
         # SPARQL-correct: the filter expression belongs to the join
         # condition (the reference instead pre-filters the left input —
         # calc_engine.rs:176-190 — a simplification we do not copy).
@@ -378,6 +443,8 @@ class Compiler:
         cond = F.coalesce(ebv(ec.col(op.expr)), F.lit(False))
         for c in shared:
             cond = cond & (left[c] == r2["__r_" + c])
+        if self._est_op(op.right) <= self.BROADCAST_ROWS:
+            r2 = F.broadcast(r2)
         joined = left.join(r2, cond, "left_outer")
         out = [joined[c].alias(c) for c in left.columns]
         out += [

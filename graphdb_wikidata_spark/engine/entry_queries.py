@@ -987,3 +987,28 @@ def sparql_concat_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_start")["b"].alias("a_start"),
         F.col("a_end")["b"].alias("a_end"),
     )
+
+
+@register(
+    "sparql_count_optional",
+    """
+    SELECT 3000000 + c_nationkey AS n,
+           count(o_orderkey) AS cnt_orders,
+           count(*) AS cnt_rows
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def sparql_count_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(?v) must skip solutions where ?v is unbound (OPTIONAL
+    miss) while COUNT(*) counts them — the SPARQL null-counting
+    distinction (calc_engine.rs:467-506)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n (COUNT(?o) AS ?cnt_orders) (COUNT(*) AS ?cnt_rows) WHERE {
+          ?c wdt:P2 ?n .
+          OPTIONAL { ?o wdt:P1 ?c . }
+        } GROUP BY ?n
+        """
+    )
+    return df.select(_e("n"), _i("cnt_orders"), _i("cnt_rows"))
