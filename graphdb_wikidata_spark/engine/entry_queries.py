@@ -545,6 +545,68 @@ def sparql_values_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_lateral",
+    """
+    SELECT 3000000 + n_nationkey AS n, 1000000 + c_custkey AS c
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    WHERE n_nationkey > 0
+    """,
+)
+def sparql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.2 LATERAL group: the reference IR carries LateralJoin
+    and executes it as an inner join (calc_engine.rs:194-201); the
+    chain-nation pattern binds ?n (nations with a P8 successor, i.e.
+    n_nationkey > 0), the lateral group joins each nation's customers."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n ?c WHERE {
+          ?n wdt:P8 ?m .
+          LATERAL { ?c wdt:P2 ?n . }
+        }
+        """
+    )
+    return df.select(_e("n"), _e("c"))
+
+
+@register(
+    "sparql_reduced",
+    """
+    SELECT DISTINCT 4000000 + n_regionkey AS r FROM nation
+    """,
+)
+def sparql_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT REDUCED: duplicate elimination is *permitted*, and our
+    compiler takes it (the reference declares Reduced but todo!s it,
+    calc_engine.rs:315-319) — so the oracle is exactly DISTINCT."""
+    df = _engine(spark, sf_dir).sql("SELECT REDUCED ?r WHERE { ?n wdt:P3 ?r . }")
+    return df.select(_e("r"))
+
+
+@register(
+    "sparql_graph_empty",
+    """
+    SELECT 4000000 + n_regionkey AS r FROM nation
+    """,
+)
+def sparql_graph_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH patterns range over named graphs, of which a Wikidata
+    store has none (the reference's Graph operator is declared-but-
+    todo!, calc_engine.rs:244-246): the GRAPH branch of the UNION
+    contributes zero solutions, leaving exactly the default-graph
+    branch."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?r WHERE {
+          { ?n wdt:P3 ?r . }
+          UNION
+          { GRAPH ?g { ?n wdt:P3 ?r . } }
+        }
+        """
+    )
+    return df.select(_e("r"))
+
+
+@register(
     "sparql_path_alt_inverse",
     """
     SELECT 3000000 + c_nationkey AS n, 1000000 + c_custkey AS x FROM customer

@@ -34,6 +34,7 @@ from .algebra import (
     Group,
     Join,
     LabelService,
+    LateralJoin,
     LeftJoin,
     Minus,
     Op,
@@ -474,6 +475,12 @@ class Parser:
                 self.next()
                 inner = self.parse_group_graph_pattern()
                 current = Minus(current or Bgp(()), inner)
+            elif self.at_keyword("LATERAL"):
+                # SPARQL 1.2 LATERAL; the reference IR carries it and
+                # executes it as an inner join (calc_engine.rs:194-201)
+                self.next()
+                inner = self.parse_group_graph_pattern()
+                current = LateralJoin(current or Bgp(()), inner)
             elif self.at_keyword("BIND"):
                 self.next()
                 self.expect("(")
@@ -576,7 +583,8 @@ class Parser:
                 t.kind == "KEYWORD"
                 and t.value.upper()
                 in ("FILTER", "OPTIONAL", "MINUS", "BIND", "VALUES", "UNION", "GROUP",
-                    "HAVING", "ORDER", "LIMIT", "OFFSET", "SELECT", "SERVICE")
+                    "HAVING", "ORDER", "LIMIT", "OFFSET", "SELECT", "SERVICE",
+                    "LATERAL", "GRAPH")
             ) or t.value == "{":
                 break
         plan: Op = Bgp(tuple(patterns))
