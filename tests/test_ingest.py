@@ -64,3 +64,20 @@ def test_storage_roundtrip(spark, tmp_path_factory):
     eng = GraphEngine.from_parquet(spark, path)
     assert eng.sql("SELECT ?s ?p ?o WHERE { ?s ?p ?o . }").count() == 3385
     assert eng.sql("SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }").count() == 1354
+
+
+def test_parquet_scan_pushdown(spark, tmp_path_factory):
+    """100 TB posture: a bound-term triple-pattern scan over the
+    parquet store must reach the scan node as PushedFilters (the Spark
+    replacement for the reference's binary-search index scan,
+    materialized_relation.rs:807-916) — not a post-scan filter over a
+    full read."""
+    from graphdb_wikidata_spark.engine import GraphEngine
+    from graphdb_wikidata_spark.ingest.wikidata import write_statements
+
+    path = str(tmp_path_factory.mktemp("store_pd") / "statements")
+    write_statements(load_dump(spark, FIXTURE), path, partitions=4)
+    eng = GraphEngine.from_parquet(spark, path)
+    plan = eng.explain("SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("subject_id" in ln for ln in pushed), plan

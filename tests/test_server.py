@@ -54,3 +54,20 @@ def test_parse_error_400(srv):
 def test_missing_query_400(srv):
     status, _, _ = _get(f"{srv}/query")
     assert status == 400
+
+
+def test_cli_repl(spark):
+    """REPL surface (reference cli.rs:70-128): blank-line-terminated
+    query blocks print result tables; parse errors are surfaced, not
+    fatal."""
+    import io
+
+    from graphdb_wikidata_spark.server import run_cli
+
+    quads = [("Q1", "P2", "Q3", "s1"), ("Q4", "P2", "Q3", "s2")]
+    engine = GraphEngine(spark, statements_from_quads(spark, quads))
+    inp = io.StringIO("SELECT ?s WHERE { ?s wdt:P2 wd:Q3 . }\n\nnot sparql\n\n")
+    out = io.StringIO()
+    run_cli(engine, inp=inp, out=out)
+    text = out.getvalue()
+    assert "error:" in text  # second block failed, REPL survived
