@@ -201,6 +201,96 @@ def sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_not_exists",
+    """
+    SELECT 1000000 + c_custkey AS c FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    """,
+)
+def sparql_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER NOT EXISTS -> left-anti join (distinct from MINUS: the
+    inner pattern correlates on ?c which is bound in both domains;
+    reference expression IR Exists, calc_engine.rs:1118-1121)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?c WHERE {
+          ?c wdt:P2 ?n .
+          FILTER NOT EXISTS { ?o wdt:P1 ?c . ?o wdt:P6 "1-URGENT" . }
+        }
+        """
+    )
+    return df.select(_e("c"))
+
+
+@register(
+    "sparql_in_filter",
+    """
+    SELECT 2000000 + o_orderkey AS o, o_orderpriority AS p
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def sparql_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expression IR's In operator (calc_data_types.rs:30-58;
+    evaluated calc_engine.rs:1070-1082) -> Column.isin."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?o ?p WHERE {
+          ?o wdt:P6 ?p .
+          FILTER(?p IN ("1-URGENT", "2-HIGH"))
+        }
+        """
+    )
+    return df.select(_e("o"), _s("p"))
+
+
+@register(
+    "sparql_agg_distinct",
+    """
+    SELECT 3000000 + c_nationkey AS n,
+           count(DISTINCT o_orderpriority) AS dp,
+           count(*) AS cnt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def sparql_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT expr) per group (calc_engine.rs:467-506: distinct
+    non-Null values of the expression)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n (COUNT(DISTINCT ?prio) AS ?dp) (COUNT(?o) AS ?cnt) WHERE {
+          ?o wdt:P1 ?c . ?o wdt:P6 ?prio . ?c wdt:P2 ?n .
+        } GROUP BY ?n
+        """
+    )
+    return df.select(_e("n"), _i("dp"), _i("cnt"))
+
+
+@register(
+    "sparql_sum_distinct",
+    """
+    SELECT CAST(sum(DISTINCT s_nationkey) AS BIGINT) AS sd,
+           count(DISTINCT s_nationkey) AS cd
+    FROM supplier
+    """,
+)
+def sparql_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(DISTINCT) global aggregation over int terms
+    (calc_engine.rs:507-543: distinct numeric values only)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT (SUM(DISTINCT ?v) AS ?sd) (COUNT(DISTINCT ?v) AS ?cd) WHERE {
+          ?s wdt:P16 ?v .
+        }
+        """
+    )
+    # SUM yields a double term (documented deviation from the ref's f32
+    # promotion); the summed values are small ints so the cast is exact
+    return df.select(F.col("sd")["d"].cast("long").alias("sd"), _i("cd"))
+
+
+@register(
     "sparql_path_sequence",
     """
     SELECT 2000000 + o_orderkey AS o, 3000000 + c_nationkey AS n
