@@ -55,7 +55,11 @@ class GraphEngine:
     def sql(self, query: str) -> DataFrame:
         """SPARQL -> DataFrame of term-struct columns (one per
         projected variable)."""
-        return self._compiler.compile(parse_query(query))
+        df = self._compiler.compile(parse_query(query))
+        # blank nodes are non-distinguished variables: they join within
+        # the pattern but are never projected (even by SELECT *)
+        bn = [c for c in df.columns if c.startswith("__bn")]
+        return df.drop(*bn) if bn else df
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """The Catalyst physical plan for a SPARQL query — the

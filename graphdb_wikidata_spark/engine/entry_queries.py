@@ -291,6 +291,24 @@ def sparql_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_bnode_list",
+    """
+    SELECT 1000000 + c_custkey AS c
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 1
+    """,
+)
+def sparql_bnode_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blank-node property list `[ ... ]` (SPARQL 1.1 §4.1.4; the
+    reference accepts it via spargebra's grammar): a fresh
+    non-distinguished variable joining customer->nation->region."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT ?c WHERE { ?c wdt:P2 [ wdt:P3 wd:Q4000001 ] . }"
+    )
+    return df.select(_e("c"))
+
+
+@register(
     "sparql_path_sequence",
     """
     SELECT 2000000 + o_orderkey AS o, 3000000 + c_nationkey AS n

@@ -130,6 +130,7 @@ class Parser:
         self._agg_counter = 0
         self._aggs: list[AggSpec] = []
         self._label_langs: list[str] = []
+        self._bnode_counter = 0
 
     # ---- token helpers
     def peek(self, ahead: int = 0) -> Token:
@@ -574,8 +575,15 @@ class Parser:
         patterns: list[TriplePattern] = []
         paths: list[PathPattern] = []
         while True:
-            subj = self.parse_var_or_term()
-            self._parse_property_list(subj, patterns, paths)
+            if self.peek().value == "[":
+                # bnode property list as subject; the trailing property
+                # list may be empty (`[ wdt:P1 ?o ] .`)
+                subj = self._parse_bnode(patterns, paths)
+                if self._at_verb():
+                    self._parse_property_list(subj, patterns, paths)
+            else:
+                subj = self.parse_var_or_term()
+                self._parse_property_list(subj, patterns, paths)
             if not self.accept("."):
                 break
             t = self.peek()
@@ -602,7 +610,10 @@ class Parser:
             else:
                 path = self.parse_path()
             while True:
-                obj = self.parse_var_or_term()
+                if self.peek().value == "[":
+                    obj = self._parse_bnode(patterns, paths)
+                else:
+                    obj = self.parse_var_or_term()
                 if path.kind == "link" and len(path.terms) == 1:
                     patterns.append(TriplePattern(subj, path.terms[0], obj))
                 else:
@@ -613,6 +624,30 @@ class Parser:
                 break
             if self.peek().value in (".", "}") :
                 break
+
+    def _at_verb(self) -> bool:
+        """Next token can start a property-list verb (predicate or
+        path): a variable, an IRI, `a`, or a path-prefix operator."""
+        t = self.peek()
+        return (
+            t.kind in ("VAR", "PNAME", "IRIREF")
+            or (t.kind == "KEYWORD" and t.value == "a")
+            or t.value in ("(", "^", "!")
+        )
+
+    def _parse_bnode(self, patterns, paths) -> Var:
+        """`[ pred obj ; ... ]` / `[]`: a blank node is a fresh
+        non-distinguished variable (SPARQL 1.1 §4.1.4 — the reference
+        accepts these via spargebra's grammar); its property list is
+        emitted as extra triples on that variable. The `__bn` prefix is
+        dropped from SELECT * results (GraphEngine.sql)."""
+        self.expect("[")
+        v = Var(f"__bn{self._bnode_counter}")
+        self._bnode_counter += 1
+        if self.peek().value != "]":
+            self._parse_property_list(v, patterns, paths)
+        self.expect("]")
+        return v
 
     # ---- property paths (SPARQL 1.1 §9; reference IR calc_data_types.rs:17-26)
     def parse_path(self):

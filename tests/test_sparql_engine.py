@@ -414,3 +414,25 @@ def test_explain_surface(spark):
     eng = GraphEngine(spark, statements_from_quads(spark, [("Q1", "P1", "Q2", "s1")]))
     plan = eng.explain("SELECT ?s WHERE { ?s wdt:P1 ?o . }")
     assert "Physical Plan" in plan
+
+
+def test_bnode_property_list(engine):
+    """`[ ... ]` = fresh non-distinguished variable (SPARQL 1.1
+    §4.1.4): same solutions as an explicit variable, but hidden from
+    SELECT *."""
+    a = engine.sql("SELECT ?s WHERE { ?s wdt:P31 [] . }").count()
+    b = engine.sql("SELECT ?s WHERE { ?s wdt:P31 ?x . }").count()
+    assert a == b > 0
+    star = engine.sql("SELECT * WHERE { ?s wdt:P31 [] . }")
+    assert star.columns == ["s"]
+
+
+def test_bnode_nested(engine):
+    """Nested bnodes chain joins: [ p [ q o ] ]."""
+    two_hop = engine.sql(
+        "SELECT ?s WHERE { ?s wdt:P31 [ ?p ?o ] . }"
+    ).count()
+    explicit = engine.sql(
+        "SELECT ?s WHERE { ?s wdt:P31 ?x . ?x ?p ?o . }"
+    ).count()
+    assert two_hop == explicit
