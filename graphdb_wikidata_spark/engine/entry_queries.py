@@ -291,6 +291,36 @@ def sparql_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_term_funcs",
+    """
+    SELECT 5000000 + s_suppkey AS s,
+           'http://www.w3.org/2001/XMLSchema#integer' AS dt,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' AS dtm
+    FROM supplier
+    """,
+)
+def sparql_term_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATATYPE (todo! in ref, calc_engine.rs:1271) + STRDT (todo!,
+    1326) round-trip + STRLANG + strict sameTerm identity
+    (calc_engine.rs:1039-1044): STRDT(STR(x), xsd:integer) must be
+    sameTerm-identical to the int term it came from."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?s ?dt ?dtm WHERE {
+          ?s wdt:P16 ?v . ?s wdt:P13 ?name .
+          BIND(DATATYPE(?v) AS ?dt)
+          BIND(DATATYPE(?name) AS ?dtm)
+          BIND(STRDT(STR(?v), xsd:integer) AS ?rv)
+          FILTER(sameTerm(?v, ?rv))
+          BIND(STRLANG("x", "en") AS ?sl)
+          FILTER(LANG(?sl) = "en")
+        }
+        """
+    )
+    return df.select(_e("s"), _s("dt"), _s("dtm"))
+
+
+@register(
     "sparql_bnode_list",
     """
     SELECT 1000000 + c_custkey AS c
