@@ -14,12 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import dedup, events, graph, multimodal, relational, similarity, text
+    from . import asof, dedup, events, graph, multimodal, relational, similarity, text
 
     from ..streaming import entry as streaming_entry
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, events, text, dedup, similarity, multimodal, graph, streaming_entry):
+    for mod in (relational, events, asof, text, dedup, similarity, multimodal, graph, streaming_entry):
         merged.update(mod.QUERIES)
     try:
         from ..engine import entry_queries as sparql_queries
@@ -31,12 +31,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    from . import dedup, events, graph, multimodal, relational, similarity, text
+    from . import asof, dedup, events, graph, multimodal, relational, similarity, text
 
     from ..streaming import entry as streaming_entry
 
     merged: dict[str, str] = {}
-    for mod in (relational, events, text, dedup, similarity, multimodal, graph, streaming_entry):
+    for mod in (relational, events, asof, text, dedup, similarity, multimodal, graph, streaming_entry):
         merged.update(mod.ORACLES)
     try:
         from ..engine import entry_queries as sparql_queries

@@ -215,6 +215,54 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: when one key dominates ``left`` and
+    ``right`` is too big to broadcast, a plain shuffle join lands the
+    hot key's rows on ONE reducer. Salting splits them ``salts`` ways:
+    each left row gets a deterministic salt (hash of all its columns),
+    the right side is replicated once per salt value, and the join runs
+    on (key, salt) — identical result set, hot key spread over
+    ``salts`` reducers at the cost of a ``salts``x replication of the
+    right side. (AQE's skew-join split handles sort-merge skew
+    automatically; this is the explicit form, and the one that also
+    works for hash joins and pre-AQE engines.)"""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    l2 = left.withColumn("__salt", salt)
+    r2 = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return l2.join(r2, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+@register(
+    "join_salted",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join must produce exactly the plain join's rows (the
+    oracle is the same SQL as ``join_inner``)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    out = salted_join(
+        o.withColumnRenamed("o_custkey", "k"), c.withColumnRenamed("c_custkey", "k"), on=["k"]
+    )
+    return out.select("o_orderkey", "c_name", "o_totalprice")
+
+
 @register(
     "join_multiway",
     """
