@@ -73,6 +73,84 @@ def asof_join(
     return u.filter(F.col("__side") == (1 - side_right)).drop("__side")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    lower_s: float = -3600.0,
+    upper_s: float = 0.0,
+) -> DataFrame:
+    """Interval join: pairs (left, right) of the same ``by`` key with
+    ``left.ts + lower_s <= right.ts <= left.ts + upper_s`` (seconds).
+
+    The naive inequality join is a per-key cross product. Scale path:
+    bucketize time into windows of width (upper_s - lower_s); each left
+    row expands to the <=2 buckets its interval can touch, the right
+    side maps to exactly one bucket, the join runs on (key, bucket) and
+    an exact post-filter trims the edges. Fan-out is bounded at 2x
+    regardless of data volume. Right's payload columns must not collide
+    with left's.
+    """
+    if not upper_s > lower_s:
+        raise ValueError("need upper_s > lower_s")
+    key = set(by) | {ts}
+    collide = {c for c in right.columns if c not in key} & set(left.columns)
+    if collide:
+        raise ValueError(f"range-join payload columns collide with left: {sorted(collide)}")
+    w_us = int((upper_s - lower_s) * 1_000_000)
+    lo_us, hi_us = int(lower_s * 1_000_000), int(upper_s * 1_000_000)
+    lt, rt = F.unix_micros(F.col(ts)), F.unix_micros(F.col(f"__r_{ts}"))
+    l2 = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((lt + F.lit(lo_us)) / F.lit(w_us)),
+                F.floor((lt + F.lit(hi_us)) / F.lit(w_us)),
+            )
+        ),
+    )
+    r2 = right.withColumnRenamed(ts, f"__r_{ts}").withColumn(
+        "__bucket", F.floor(rt / F.lit(w_us))
+    )
+    pairs = l2.join(r2, on=[*by, "__bucket"], how="inner").filter(
+        (rt >= lt + F.lit(lo_us)) & (rt <= lt + F.lit(hi_us))
+    )
+    return pairs.drop("__bucket")
+
+
+@register(
+    "events_range_join_counts",
+    """
+    SELECT l.event_id AS eid,
+           count(r.event_id) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+    GROUP BY l.event_id
+    """,
+)
+def events_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks in the hour before each purchase (bounded-fanout
+    bucketized range join; zero-match purchases kept via a count join
+    back to the left side)."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_eid")
+    )
+    pairs = range_join(purchases, clicks, ts="ts", by=("user_id",), lower_s=-3600.0, upper_s=0.0)
+    counts = pairs.groupBy("event_id").agg(F.count("click_eid").alias("n_clicks"))
+    return (
+        purchases.join(counts, "event_id", "left")
+        .select(
+            F.col("event_id").alias("eid"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+    )
+
+
 @register(
     "events_asof_join",
     """

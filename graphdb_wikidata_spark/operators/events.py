@@ -131,6 +131,35 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rollup_multires",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')  AS day_start,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (hour -> day -> total)
+    in ONE pass via grouping sets: partial aggregation makes the
+    coarser resolutions nearly free vs three separate scans — the batch
+    analogue of continuous aggregates over a time-partitioned table."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.rollup(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias("day_start"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "events_json_extract",
     """
     SELECT event_type,

@@ -66,3 +66,30 @@ def test_salted_join_equals_plain(spark):
     )
     want = sorted((r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect())
     assert got == want
+
+
+def test_range_join_equals_naive(spark):
+    from graphdb_wikidata_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(i), i) for i in range(0, 50, 3)],
+        "user_id long, ts timestamp, lv long",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(i), 100 + i) for i in range(0, 50, 2)],
+        "user_id long, ts timestamp, rv long",
+    )
+    got = sorted(
+        (r["lv"], r["rv"])
+        for r in range_join(
+            left, right, ts="ts", by=("user_id",), lower_s=-600.0, upper_s=0.0
+        ).collect()
+    )
+    naive = left.alias("l").join(
+        right.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("r.ts") <= F.col("l.ts")),
+    )
+    want = sorted((r["lv"], r["rv"]) for r in naive.collect())
+    assert got == want and len(got) > 0
