@@ -17,6 +17,7 @@ from .streams import (
     run_available_now,
     running_user_totals,
     session_stats,
+    stream_interval_join,
     tumbling_counts,
 )
 
@@ -51,6 +52,24 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "sum_value",
+    )
+
+
+@register(
+    "stream_interval_join",
+    """
+    SELECT p.event_id AS eid, c.event_id AS click_eid
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def stream_interval_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join on a finite replay must equal
+    the batch interval join."""
+    return run_available_now(
+        stream_interval_join(events_stream(spark, sf_dir)), output_mode="append"
     )
 
 

@@ -95,6 +95,35 @@ def session_stats(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_interval_join(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding hour. Both sides are watermarked so
+    the engine can bound join state: a buffered click can be evicted
+    once the purchase-side watermark passes click.ts + 1h — without the
+    time bound, stream-stream join state grows forever."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_eid"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("eid"))
+        .withWatermark("ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND c_ts >= ts - INTERVAL 1 HOUR AND c_ts <= ts"
+        ),
+        "inner",
+    ).select("eid", "click_eid")
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Exactly-once by event_id within the watermark horizon: the
     streaming analogue of exact dedup — state holds only ids newer than
@@ -139,13 +168,26 @@ def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame
     are writeStream.format('delta'/'kafka'/...)."""
     name = "mem_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    # stateful streaming ops key their state stores to
+    # spark.sql.shuffle.partitions at FIRST run and AQE does not apply
+    # to streaming: a vanilla session's 200 partitions means 200 state
+    # stores per stateful op. Pin a core-sized count for the run (a
+    # production job sizes this to its cluster once, at first start).
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", spark.sparkContext.defaultParallelism
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
