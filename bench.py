@@ -26,6 +26,8 @@ HEADLINE = [
     "agg_full",
     "events_sessionize",
     "events_tumbling",
+    "events_asof_join",
+    "events_range_join_counts",
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
