@@ -109,7 +109,7 @@ class Compiler:
         p = tp.p
         if isinstance(p, Var):
             base = total
-        elif p.t == "entity" and p.k in ("P", "Pstmt"):
+        elif p.t == "entity" and p.k in ("P", "Pstmt", "Psval", "Pqual"):
             base = d.get(("P", p.e), (0, 0))[0]
         else:
             base = 0  # non-property predicate matches nothing

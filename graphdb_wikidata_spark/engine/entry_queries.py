@@ -956,6 +956,33 @@ def sparql_qualifier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_ps_pq_chain",
+    """
+    SELECT 2000000 + o_orderkey AS o, 1000000 + o_custkey AS c,
+           o_orderpriority AS q
+    FROM orders
+    """,
+)
+def sparql_ps_pq_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Wikidata reification walk with the real prefixes:
+    p:P1 binds the statement node, ps:P1 its value (the claim row's own
+    object, routed via statement_id), pq:P14 a qualifier edge off the
+    statement node. The reference stores qualifiers as direct edges off
+    statement nodes (parser.rs:483-492); ps:/pq: are the SPARQL-side
+    spellings every live Wikidata query uses."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?o ?c ?q WHERE {
+          ?o p:P1 ?st .
+          ?st ps:P1 ?c .
+          ?st pq:P14 ?q .
+        }
+        """
+    )
+    return df.select(_e("o"), _e("c"), _s("q"))
+
+
+@register(
     "sparql_wds_lookup",
     "SELECT 3000005 AS s, 8 AS p",
 )

@@ -176,13 +176,29 @@ def scan_pattern(statements: DataFrame, tp: TriplePattern) -> DataFrame:
 
     # ---- predicate routing flags
     stmt_pred = isinstance(p, Term) and p.t == "entity" and p.k == "Pstmt"
+    sval_pred = isinstance(p, Term) and p.t == "entity" and p.k == "Psval"
+    qual_pred = isinstance(p, Term) and p.t == "entity" and p.k == "Pqual"
     stmt_object = isinstance(o, Term) and o.t == "stmt"
 
     # ---- subject
-    if isinstance(s, Var):
+    if sval_pred:
+        # ps:Pn — subject is the STATEMENT NODE, matched against the
+        # claim row's own statement_id (the claim's value edge); exclude
+        # qualifier rows, whose statement ids are edge ids
+        cond = cond & (F.col("subject_kind") != "stmt")
+        if isinstance(s, Var):
+            bindings.append((s.name, F.col("__stmt_term")))
+        elif s.t == "stmt":
+            cond = cond & (F.col("statement_id") == s.s)
+        else:
+            cond = F.lit(False)  # entity subject cannot hold a ps: edge
+    elif isinstance(s, Var):
         bindings.append((s.name, F.col("__subj_term")))
     else:
         cond = cond & _filter_subject(s)
+    if qual_pred:
+        # pq:Pn — qualifier edge: only rows hanging off statement nodes
+        cond = cond & (F.col("subject_kind") == "stmt")
 
     # ---- predicate
     if isinstance(p, Var):
@@ -190,7 +206,7 @@ def scan_pattern(statements: DataFrame, tp: TriplePattern) -> DataFrame:
             (p.name, F.col("__pred_term_stmt" if stmt_object else "__pred_term"))
         )
     else:
-        if p.t != "entity" or p.k not in ("P", "Pstmt"):
+        if p.t != "entity" or p.k not in ("P", "Pstmt", "Psval", "Pqual"):
             # non-property predicate IRI: nothing stored can match
             cond = F.lit(False)
         else:

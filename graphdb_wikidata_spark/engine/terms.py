@@ -68,6 +68,14 @@ class Term:
 
 _RE_STMT = re.compile(r"/entity/statement/(.+)$")
 _RE_DIRECT_P = re.compile(r"/prop/direct(?:-normalized)?/P(\d+)$")
+# ps:Pn — statement node -> its own value; pq:Pn — statement node ->
+# qualifier value. (psv:/pqv:/psn:/pqn: value-node forms are NOT mapped:
+# the store has no wdv: value nodes, so they fall through to plain IRIs
+# and match nothing — same outcome as the reference, which only
+# recognizes wd:/wdt:/p:/wds: forms, calc_engine.rs:3031-3069.)
+_RE_PS_P = re.compile(r"/prop/statement/P(\d+)$")
+_RE_PQ_P = re.compile(r"/prop/qualifier/P(\d+)$")
+_RE_PVAL_P = re.compile(r"/prop/(?:statement|qualifier)/value(?:-normalized)?/P\d+$")
 _RE_STMT_P = re.compile(r"/prop/P(\d+)$")
 _RE_LOCAL_ENTITY = re.compile(r"[/#]([QPL])(\d+)$")
 
@@ -80,6 +88,18 @@ def parse_iri(iri: str) -> Term:
     m = _RE_DIRECT_P.search(iri)
     if m:
         return Term(t="entity", k="P", e=int(m.group(1)))
+    if _RE_PVAL_P.search(iri):
+        # psv:/pqv:/psn:/pqn: bind wdv: value NODES, which the store
+        # does not model — keep as a plain IRI (matches nothing as a
+        # predicate) instead of falling through to the local-entity
+        # regex and mis-routing as wdt:Pn
+        return Term(t="str", k="string", s=iri)
+    m = _RE_PS_P.search(iri)
+    if m:
+        return Term(t="entity", k="Psval", e=int(m.group(1)))
+    m = _RE_PQ_P.search(iri)
+    if m:
+        return Term(t="entity", k="Pqual", e=int(m.group(1)))
     m = _RE_STMT_P.search(iri)
     if m:
         return Term(t="entity", k="Pstmt", e=int(m.group(1)))

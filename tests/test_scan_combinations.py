@@ -129,3 +129,26 @@ def test_repeated_variable(eng):
 
 def test_nonproperty_predicate_matches_nothing(eng):
     assert n(eng, None, "http://www.wikidata.org/entity/Q3", None) == 0
+
+
+def test_ps_routes_to_statement_value(eng):
+    """ps:Pn matches the claim row itself, subject = statement node."""
+    via_ps = eng.sql("SELECT ?o ?b WHERE { ?o p:P2 ?st . ?st ps:P2 ?b . }").count()
+    direct = eng.sql("SELECT ?o ?b WHERE { ?o wdt:P2 ?b . }").count()
+    assert via_ps == direct == 3
+    bound = eng.sql("SELECT ?b WHERE { wds:s1 ps:P2 ?b . }").collect()
+    assert [r["b"]["e"] for r in bound] == [3]
+
+
+def test_pq_only_matches_qualifier_edges(eng):
+    """pq:Pn is restricted to edges off statement nodes."""
+    assert eng.sql("SELECT ?st ?q WHERE { ?st pq:P9 ?q . }").count() == 1
+    # an entity subject bound through pq: yields nothing, even for a
+    # predicate that exists on entity subjects
+    assert eng.sql("SELECT ?b WHERE { wd:Q1 pq:P2 ?b . }").count() == 0
+
+
+def test_psv_unmapped_matches_nothing(eng):
+    """psv:/pqv: value-node forms are not modeled (no wdv: nodes) and
+    must match nothing rather than mis-route."""
+    assert eng.sql("SELECT ?s ?b WHERE { ?s psv:P2 ?b . }").count() == 0
