@@ -71,3 +71,30 @@ def test_cli_repl(spark):
     run_cli(engine, inp=inp, out=out)
     text = out.getvalue()
     assert "error:" in text  # second block failed, REPL survived
+
+
+def test_sparql_json_typed_rendering(spark):
+    """W3C JSON cell typing per term type (reference RDF term rendering
+    data_types.rs:69-242): uri for entities, plain / lang-tagged /
+    datatyped literals for the value types."""
+    from graphdb_wikidata_spark.engine.json_result import to_sparql_json
+
+    quads = [
+        ("Q1", "P2", "Q3", "s1"),
+        ("Q1", "P3", "hello", "s2"),
+        ("Q1", "P4", 5, "s3"),
+        ("Q1", "P5", 2.5, "s4"),
+        ("Q1", "P6", True, "s5"),
+        ("Q1", "P7", {"type": "mono", "obj_string": "hallo", "obj_lang": "de"}, "s6"),
+    ]
+    engine = GraphEngine(spark, statements_from_quads(spark, quads))
+    doc = json.loads(to_sparql_json(engine.sql("SELECT ?p ?o WHERE { wd:Q1 ?p ?o . }")))
+    assert doc["head"]["vars"] == ["p", "o"]
+    cells = {b["p"]["value"].rsplit("/P", 1)[-1]: b["o"] for b in doc["results"]["bindings"]}
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert cells["2"]["type"] == "uri" and cells["2"]["value"].endswith("Q3")
+    assert cells["3"] == {"type": "literal", "value": "hello"}
+    assert cells["4"] == {"type": "literal", "value": "5", "datatype": xsd + "integer"}
+    assert cells["5"]["datatype"] == xsd + "double"
+    assert cells["6"]["datatype"] == xsd + "boolean"
+    assert cells["7"] == {"type": "literal", "value": "hallo", "xml:lang": "de"}
