@@ -134,6 +134,54 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_rarest_term",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    dfreq AS (
+        SELECT token, count(*) AS doc_freq FROM toks GROUP BY token
+    )
+    SELECT doc_id, token AS rarest_token, doc_freq
+    FROM (SELECT t.doc_id, t.token, d.doc_freq,
+                 row_number() OVER (PARTITION BY t.doc_id
+                                    ORDER BY d.doc_freq, t.token) AS rn
+          FROM toks t JOIN dfreq d USING (token)) x
+    WHERE rn = 1
+    """,
+)
+def tfidf_rarest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF machinery with integer-deterministic output: the most
+    informative (lowest document-frequency) token per document.
+
+    Pipeline: tokenize -> per-doc distinct -> corpus document-frequency
+    aggregate -> join back -> per-doc argmin. The argmin is
+    ``min(struct(doc_freq, token))`` — one shuffle with map-side partial
+    aggregation — rather than a row_number window, which would sort
+    every doc's token list. The dfreq side is left unhinted: corpus
+    vocabulary grows with data size, so AQE decides broadcast vs
+    shuffle at runtime.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    return (
+        toks.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("doc_freq", "token")).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.token").alias("rarest_token"),
+            F.col("m.doc_freq").alias("doc_freq"),
+        )
+    )
+
+
+@register(
     "doc_fingerprint",
     """
     SELECT doc_id,
