@@ -236,3 +236,86 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+STEP_GAP_US = 48 * 3600 * 1_000_000  # each funnel step must follow within 48h
+
+
+@register(
+    "events_funnel_steps",
+    f"""
+    WITH v AS (SELECT user_id, min(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+            AND epoch_us(e.ts) - epoch_us(v.t_view) <= {STEP_GAP_US}
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND epoch_us(e.ts) - epoch_us(c.t_click) <= {STEP_GAP_US}
+          GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN t_purchase IS NOT NULL THEN 3
+                WHEN t_click    IS NOT NULL THEN 2
+                WHEN t_view     IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage,
+           t_view, t_click, t_purchase
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis: first view -> first click within 48h
+    -> first purchase within 48h of that click; emits each user's stage
+    reached and step timestamps.
+
+    Each step is a min-aggregate (map-side combinable) joined back on
+    user_id; after the first exchange every stage reuses the same
+    hash-partitioning, and the per-step frames collapse to one row per
+    user before joining, so state stays bounded regardless of per-user
+    event counts (unlike collect_list-based funnels, which OOM on
+    heavy-hitter users at 100 TB)."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_view")) <= STEP_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_click")) <= STEP_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        e.select("user_id")
+        .distinct()
+        .join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", stage.alias("funnel_stage"), "t_view", "t_click", "t_purchase")
+    )
