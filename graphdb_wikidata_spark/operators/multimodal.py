@@ -204,3 +204,38 @@ def media_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction; rows-only driver check (the
     judge sees the weaker gate) — unit tests pin the math instead."""
     return byte_histogram_features(media_table(spark, sf_dir))
+
+
+@register(
+    "media_byte_hist_counts",
+    """
+    SELECT doc_id AS media_id,
+           [len(list_filter(string_split_regex(text, ''),
+                            c -> ascii(c) // 32 = k))
+            for k in [0, 1, 2, 3, 4, 5, 6, 7]] AS bin_counts
+    FROM documents
+    """,
+)
+def media_byte_hist_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-gated twin of ``media_feature_hist``: same Arrow-batched
+    mapInPandas pipeline over the binary payload, but emitting raw int64
+    bin counts instead of L1-normalized float32 features, so the driver
+    can hash-match it against DuckDB (per-character ascii()//32 bins —
+    exact because the synthetic payloads are pure-ASCII UTF-8; the
+    float path keeps its rows-only check + unit tests)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            counts = [
+                np.histogram(
+                    np.frombuffer(b, dtype=np.uint8), bins=8, range=(0, 256)
+                )[0].astype(np.int64)
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "bin_counts": counts})
+
+    return media_table(spark, sf_dir).mapInPandas(
+        fn, schema="media_id bigint, bin_counts array<bigint>"
+    )
