@@ -338,6 +338,29 @@ def test_bound_endpoint_transitive_path(spark):
     assert sorted(r["x"]["e"] for r in back.collect()) == [4, 5]
 
 
+def test_nested_path_closure(spark):
+    """Closure over a compound step: (p1/p2)+ hops two edges per round,
+    (p1|p2)+ closes over the union graph — the step sub-path compiles
+    recursively, not just single links."""
+    from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+    # Q0 -P8-> Q1 -P9-> Q2 -P8-> Q3 -P9-> Q4
+    quads = [
+        ("Q0", "P8", "Q1", "s1"),
+        ("Q1", "P9", "Q2", "s2"),
+        ("Q2", "P8", "Q3", "s3"),
+        ("Q3", "P9", "Q4", "s4"),
+    ]
+    eng = GraphEngine(spark, statements_from_quads(spark, quads))
+    wd = "http://www.wikidata.org/entity/"
+
+    seq = eng.sql(f"SELECT ?x WHERE {{ <{wd}Q0> (wdt:P8/wdt:P9)+ ?x . }}")
+    assert sorted(r["x"]["e"] for r in seq.collect()) == [2, 4]
+
+    alt = eng.sql(f"SELECT ?x WHERE {{ <{wd}Q0> (wdt:P8|wdt:P9)+ ?x . }}")
+    assert sorted(r["x"]["e"] for r in alt.collect()) == [1, 2, 3, 4]
+
+
 def test_subselect_having_undef(spark):
     from graphdb_wikidata_spark.model.schema import statements_from_quads
 
