@@ -20,6 +20,8 @@ from graphdb_wikidata_spark.session import get_spark
 
 HEADLINE = [
     "tpch_q1_agg",
+    "tpch_q6_filter_agg",
+    "tpch_q3_topk",
     "join_multiway",
     "join_left_outer",
     "window_rank",
@@ -28,7 +30,9 @@ HEADLINE = [
     "events_tumbling",
     "events_asof_join",
     "events_range_join_counts",
+    "events_funnel_steps",
     "text_stats",
+    "tfidf_rarest_term",
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_signature",
