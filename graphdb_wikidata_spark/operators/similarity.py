@@ -216,7 +216,12 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 8 md5-derived deterministic hyperplanes ->
     8-bit bucket id per vector. ANN search then compares only within a
     bucket (and its neighbours) instead of the full corpus."""
-    e = table(spark, sf_dir, "embeddings")
+    return lsh_bucket_assignments(table(spark, sf_dir, "embeddings"))
+
+
+def lsh_bucket_assignments(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, ...) -> (vec_id, bucket). The candidate-
+    bounding half of `dedup.dedup_embedding_lsh_verified`."""
     p = e.select("vec_id", F.posexplode(_as_double("embedding")).alias("pos", "val"))
     p = p.withColumn("i", F.col("pos") + 1)
     planes = p.select(
