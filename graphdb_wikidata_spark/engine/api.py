@@ -21,7 +21,12 @@ class GraphEngine:
     >>> eng.sql("SELECT ?s ?p ?o WHERE { ?s ?p ?o }").count()
     """
 
-    def __init__(self, spark: SparkSession, statements: DataFrame):
+    def __init__(
+        self,
+        spark: SparkSession,
+        statements: DataFrame,
+        union_stmt_forms: bool = False,
+    ):
         from .scan import ensure_term_columns
 
         self.spark = spark
@@ -29,7 +34,8 @@ class GraphEngine:
         # ensure_term_columns); callers that persist should persist the
         # augmented frame so the structs come straight from cache
         self.statements = ensure_term_columns(statements)
-        self._compiler = Compiler(spark, self.statements)
+        self.union_stmt_forms = union_stmt_forms
+        self._compiler = Compiler(spark, self.statements, union_stmt_forms)
 
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str) -> "GraphEngine":
@@ -93,4 +99,5 @@ class GraphEngine:
         return _scan(
             self.statements,
             TriplePattern(norm(s, "s"), norm(p, "p"), norm(o, "o")),
+            self.union_stmt_forms,
         )

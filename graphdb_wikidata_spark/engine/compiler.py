@@ -57,9 +57,18 @@ class Compiler:
     # single predicate's few thousand rows
     BROADCAST_ROWS = 250_000
 
-    def __init__(self, spark: SparkSession, statements: DataFrame):
+    def __init__(
+        self,
+        spark: SparkSession,
+        statements: DataFrame,
+        union_stmt_forms: bool = False,
+    ):
         self.spark = spark
         self.statements = statements
+        # reference calc_engine.rs:3182-3203 semantics for bound-subject/
+        # var-predicate scans (see scan.py module docstring); default off
+        # to match the reference's published cardinalities
+        self.union_stmt_forms = union_stmt_forms
         self._pred_stats: tuple[dict, int] | None = None
 
     def stats(self) -> tuple[dict, int]:
@@ -343,7 +352,10 @@ class Compiler:
         stars, rest = self._star_groups(list(op.patterns))
         dfs = sorted(
             stars
-            + [(self._estimate(tp), scan_pattern(self.statements, tp)) for tp in rest],
+            + [
+                (self._estimate(tp), scan_pattern(self.statements, tp, self.union_stmt_forms))
+                for tp in rest
+            ],
             key=lambda x: x[0],
         )
         cur_est, df = dfs.pop(0)
@@ -362,7 +374,7 @@ class Compiler:
         return df
 
     def _c_triplepattern(self, op: TriplePattern) -> DataFrame:
-        return scan_pattern(self.statements, op)
+        return scan_pattern(self.statements, op, self.union_stmt_forms)
 
     def _c_join(self, op: Join) -> DataFrame:
         # VALUES blocks containing UNDEF need SPARQL compatibility-join

@@ -98,25 +98,69 @@ def _negated_pairs(compiler, path: PathExpr, s: Var, o: Var) -> DataFrame:
     return df.filter(cond).select(s.name, o.name)
 
 
-def _transitive_closure(step: DataFrame, s: str, o: str, max_rounds: int = 20) -> DataFrame:
-    """Transitive closure by pointer doubling: each round composes the
-    closure-so-far with itself (paths of length <=2^k after round k),
-    so a diameter-d graph converges in ceil(log2 d) rounds instead of
-    the d rounds of frontier-at-a-time semi-naive iteration — rounds,
-    not work, are the scarce resource when every round is a cluster-
-    wide shuffle. localCheckpoint() truncates lineage per round.
+#: step-relation row count above which the global closure switches from
+#: pointer doubling to semi-naive delta iteration (see _transitive_closure)
+SEMINAIVE_THRESHOLD = 250_000
+
+
+def _transitive_closure(
+    step: DataFrame, s: str, o: str, mode: str = "auto", max_rounds: int | None = None
+) -> DataFrame:
+    """Transitive closure, two physical strategies:
+
+    - ``doubling``: each round composes the closure-so-far with itself
+      (paths of length <=2^k after round k) — ceil(log2 d) rounds for a
+      diameter-d graph. Right when the step relation (and hence the
+      closure) is small: rounds, not per-round work, dominate, since
+      every round is a cluster-wide shuffle.
+    - ``seminaive``: classic delta iteration — each round extends only
+      the pairs DISCOVERED LAST ROUND by one base step (delta JOIN step,
+      anti-join seen). d rounds, but per-round work is |delta|x|step|,
+      never |closure|x|closure|. Right for big graphs with short
+      diameters (the Wikidata P279*/P131* shape: tens of millions of
+      edges, diameter ~30): doubling's self-join of a 10^8-pair closure
+      is the scale-killer, not the round count.
+    - ``auto`` (default): seminaive when the step relation exceeds
+      SEMINAIVE_THRESHOLD rows, doubling otherwise.
 
     Join/dedup run on flat serialized keys, not the raw term structs:
     struct join keys + downstream nested-field extraction trip a
     Catalyst binding bug (see Compiler._keyed_join), and flat string
-    keys hash cheaper at shuffle time anyway."""
+    keys hash cheaper at shuffle time anyway. localCheckpoint()
+    truncates lineage per round in both modes."""
 
     def with_key(df: DataFrame) -> DataFrame:
         return df.withColumn("__pk", F.to_json(F.struct(F.col(s), F.col(o))))
 
     paths = with_key(step).dropDuplicates(["__pk"]).localCheckpoint()
     n = paths.count()
-    for _ in range(max_rounds):
+    if mode == "auto":
+        mode = "seminaive" if n > SEMINAIVE_THRESHOLD else "doubling"
+
+    if mode == "seminaive":
+        rounds = 256 if max_rounds is None else max_rounds
+        base = paths  # deduped one-step relation, checkpointed
+        delta = paths
+        for _ in range(rounds):
+            extended = (
+                delta.select(F.col(s), F.col(o).alias("__mid"))
+                .join(base.select(F.col(s).alias("__mid"), F.col(o)), on="__mid")
+                .select(s, o)
+            )
+            new = (
+                with_key(extended)
+                .dropDuplicates(["__pk"])
+                .join(paths.select("__pk"), on="__pk", how="left_anti")
+                .localCheckpoint()
+            )
+            if new.limit(1).count() == 0:
+                break
+            paths = paths.unionByName(new).localCheckpoint()
+            delta = new
+        return paths.drop("__pk")
+
+    rounds = 20 if max_rounds is None else max_rounds  # diameter up to 2^20
+    for _ in range(rounds):
         doubled = (
             paths.select(F.col(s), F.col(o).alias("__mid"))
             .join(paths.select(F.col(s).alias("__mid"), F.col(o)), on="__mid")
@@ -135,10 +179,13 @@ def _transitive_closure(step: DataFrame, s: str, o: str, max_rounds: int = 20) -
     return paths.drop("__pk")
 
 
-def _reachable_from(step: DataFrame, s: str, o: str, src_col, max_rounds: int = 50) -> DataFrame:
+def _reachable_from(step: DataFrame, s: str, o: str, src_col, max_rounds: int = 4096) -> DataFrame:
     """Nodes reachable in >= 1 step from a bound source: frontier BFS,
     NOT the global closure — with a bound endpoint the work is the
-    reachable subgraph, however large the full graph is."""
+    reachable subgraph, however large the full graph is. The loop exits
+    on an empty frontier; max_rounds is a runaway bound only (a 50-ish
+    cap would silently truncate deep chains — diameter is data, not a
+    constant)."""
     key = lambda c: F.to_json(F.struct(c.alias("v")))  # noqa: E731
     visited = (
         step.filter(step[s].eqNullSafe(src_col))

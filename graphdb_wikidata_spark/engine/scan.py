@@ -18,11 +18,17 @@ Wikidata-specific routing preserved (SURVEY §2.9):
 - Variable predicate binds the stored predicate node: P entity for
   claims, the Label/Description/Alias(lang) node for term edges.
 
-Deviation (documented): the reference's subject-bound/var-predicate
-case unions direct-form + statement-form rows (calc_engine.rs:
-3182-3203), but its published test cardinalities (test_requests.txt:
-15-20 = 1354 rows = raw edge count of Q31) correspond to the plain
-single-form scan, which is what we implement.
+Pinned decision (round 2): the reference's subject-bound/var-predicate/
+var-object case unions direct-form + statement-form rows — it chains
+``direct_rel_iter`` with the same edges Pstmt-retagged and
+Object/ID-swapped (calc_engine.rs:3182-3203), so ``wd:Q1 ?p ?o`` yields
+both ``(wdt:P2, value)`` and ``(p:P2, wds:stmt-id)`` per claim. But the
+reference's *published* cardinalities (test_requests.txt:15-20 =
+1354 rows for ``wd:Q31 ?p ?o`` = the raw direct edge count) match the
+single-form scan. We therefore default to the single form and expose
+the reference's code behavior behind ``union_stmt_forms=True``
+(GraphEngine / Compiler / scan_pattern kwarg); both modes are pinned by
+tests/test_scan_combinations.py.
 """
 
 from __future__ import annotations
@@ -165,12 +171,44 @@ def _filter_object(t: Term) -> Column:
     return F.lit(False)
 
 
-def scan_pattern(statements: DataFrame, tp: TriplePattern) -> DataFrame:
+def scan_pattern(
+    statements: DataFrame, tp: TriplePattern, union_stmt_forms: bool = False
+) -> DataFrame:
     """Compile one triple pattern into a filtered projection of
     ``statements`` whose columns are the pattern's variables (term
-    structs)."""
+    structs).
+
+    ``union_stmt_forms=True`` reproduces the reference's
+    bound-subject/var-predicate/var-object behavior (calc_engine.rs:
+    3182-3203): each claim edge is emitted twice — direct form
+    ``(wdt:P, value)`` and statement form ``(p:P, wds:stmt-id)``.
+    """
     statements = ensure_term_columns(statements)
     s, p, o = tp.s, tp.p, tp.o
+
+    if (
+        union_stmt_forms
+        and isinstance(s, Term)
+        and isinstance(p, Var)
+        and isinstance(o, Var)
+        and p.name != o.name
+    ):
+        direct = scan_pattern(statements, tp, union_stmt_forms=False)
+        # statement-form half: claim rows only (term edges — labels/
+        # descriptions/aliases — have no statement node; qualifier rows
+        # hang off stmt subjects and are excluded by the bound subject
+        # unless it IS a stmt node, in which case there is no second form
+        # either: their statement_id is the edge id, not a wds: node)
+        stmt_cond = (
+            _filter_subject(s)
+            & (F.col("subject_kind") != "stmt")
+            & (F.col("pred_kind") == "P")
+        )
+        stmt_half = statements.filter(stmt_cond).select(
+            F.col("__pred_term_stmt").alias(p.name),
+            F.col("__stmt_term").alias(o.name),
+        )
+        return direct.unionByName(stmt_half)
     cond = F.lit(True)
     bindings: list[tuple[str, Column]] = []  # (var name, column) per position
 

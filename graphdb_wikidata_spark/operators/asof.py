@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..tables import table
+from ..tables import epoch_us, table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -100,7 +100,7 @@ def range_join(
         raise ValueError(f"range-join payload columns collide with left: {sorted(collide)}")
     w_us = int((upper_s - lower_s) * 1_000_000)
     lo_us, hi_us = int(lower_s * 1_000_000), int(upper_s * 1_000_000)
-    lt, rt = F.unix_micros(F.col(ts)), F.unix_micros(F.col(f"__r_{ts}"))
+    lt, rt = epoch_us(F.col(ts)), epoch_us(F.col(f"__r_{ts}"))
     l2 = left.withColumn(
         "__bucket",
         F.explode(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..tables import table
+from ..tables import epoch_us, table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -55,7 +55,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id; microsecond arithmetic so both engines see identical gaps."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap = epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))
     return (
         e.withColumn("new_s", F.when(gap >= SESSION_GAP_US, 1).otherwise(0))
         .groupBy("user_id")
@@ -290,7 +290,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(v, "user_id")
         .filter(
             (F.col("ts") > F.col("t_view"))
-            & (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_view")) <= STEP_GAP_US)
+            & (epoch_us(F.col("ts")) - epoch_us(F.col("t_view")) <= STEP_GAP_US)
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
@@ -300,7 +300,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, "user_id")
         .filter(
             (F.col("ts") > F.col("t_click"))
-            & (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_click")) <= STEP_GAP_US)
+            & (epoch_us(F.col("ts")) - epoch_us(F.col("t_click")) <= STEP_GAP_US)
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))

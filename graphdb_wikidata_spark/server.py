@@ -1,6 +1,8 @@
 """HTTP query endpoint + CLI REPL — the reference's EP1/EP2 surfaces
 (src/server.rs:24-141, src/cli.rs:70-128) on stdlib http.server.
 
+GET /            -> the static HTML frontend (reference frontend/index.html)
+GET /app.js      -> its script (reference frontend/app.js)
 GET /query?query=<SPARQL>  -> 200 W3C SPARQL-JSON | 400 parse error
 CORS: * (the reference sets permissive CORS for its HTML frontend).
 
@@ -36,6 +38,16 @@ def make_handler(engine: GraphEngine):
 
         def do_GET(self):
             u = urlparse(self.path)
+            if u.path in ("/", "/index.html"):
+                from .frontend import INDEX_HTML
+
+                self._reply(200, INDEX_HTML, "text/html; charset=utf-8")
+                return
+            if u.path == "/app.js":
+                from .frontend import APP_JS
+
+                self._reply(200, APP_JS, "application/javascript; charset=utf-8")
+                return
             if u.path != "/query":
                 self._reply(404, json.dumps({"error": "use /query?query=..."}), "application/json")
                 return

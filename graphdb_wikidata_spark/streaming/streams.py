@@ -27,29 +27,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the column
-# arrives as bigint nanos (see tables.table) and we rebuild micros.
-EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string,"
-    " value double, props string"
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream (one parquet today; a
-    directory of arriving files in production)."""
+    directory of arriving files in production).
+
+    The stream schema is taken from the batch reader, so whichever way
+    the testdata generation stored ``ts`` — TIMESTAMP(NANOS) (arrives
+    as bigint nanos under nanosAsLong; rebuild micros like
+    tables.table) or plain micros (arrives as TIMESTAMP_NTZ; use as
+    is) — the stream sees the same event-time column as the batch
+    twin it is cross-checked against."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file stream sources need a directory: point at the sf dir and
     # glob-filter to the events file(s)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
-    )
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # watermarks are TIMESTAMP-only in Spark (EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE); NTZ -> LTZ via the session timezone, which is
+        # UTC here, so the instant equals the naive value — identical to
+        # the nanos path above
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 TABLE_NAMES = (
     "region",
@@ -42,6 +42,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
     return df
+
+
+def epoch_us(c: Column) -> Column:
+    """Microseconds since 1970-01-01 00:00:00 as a tz-free integer.
+
+    The testdata's timestamps are naive (TIMESTAMP_NTZ in Spark, plain
+    TIMESTAMP in DuckDB, depending on how the driver generated them);
+    ``unix_micros`` rejects NTZ, so diff against the epoch instead —
+    the exact semantics of DuckDB's ``epoch_us`` on naive timestamps.
+    """
+    from pyspark.sql import functions as F
+
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,67 @@
+"""Deep-chain transitive closure: both physical strategies (pointer
+doubling and semi-naive delta iteration) must agree, and bound-endpoint
+BFS must not truncate when the diameter exceeds small-graph caps.
+
+Chain Q1 -> Q2 -> ... -> QN (diameter N-1 >= 100) — the shape that
+punishes any hard-coded round limit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graphdb_wikidata_spark.engine import GraphEngine
+from graphdb_wikidata_spark.engine import paths as paths_mod
+from graphdb_wikidata_spark.engine.paths import _transitive_closure
+from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+from tests.conftest import SF_SMOKE
+
+N = 110  # diameter 109
+
+
+@pytest.fixture(scope="module")
+def chain_step(spark):
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(1, N)], "a int, b int"
+    ).localCheckpoint()
+
+
+def test_doubling_closure_on_deep_chain(chain_step):
+    out = _transitive_closure(chain_step, "a", "b", mode="doubling")
+    assert out.count() == N * (N - 1) // 2
+
+
+def test_seminaive_closure_on_deep_chain(chain_step):
+    out = _transitive_closure(chain_step, "a", "b", mode="seminaive")
+    assert out.count() == N * (N - 1) // 2
+
+
+def test_modes_agree_exactly(chain_step):
+    d = set(map(tuple, _transitive_closure(chain_step, "a", "b", mode="doubling").collect()))
+    sn = set(map(tuple, _transitive_closure(chain_step, "a", "b", mode="seminaive").collect()))
+    assert d == sn
+
+
+def test_bfs_bound_endpoint_survives_deep_chain(spark):
+    # `wd:Q1 wdt:P1+ ?x` walks the frontier BFS path; a silently-capped
+    # round limit would stop ~50 hops in and return a partial answer
+    quads = [(f"Q{i}", "P1", f"Q{i + 1}", f"s{i}") for i in range(1, N)]
+    eng = GraphEngine(spark, statements_from_quads(spark, quads))
+    got = eng.sql("SELECT ?x WHERE { wd:Q1 wdt:P1+ ?x . }").count()
+    assert got == N - 1
+
+
+def test_gated_entry_identical_under_seminaive(spark, monkeypatch):
+    """sparql_path_transitive must return the same rows whichever
+    strategy auto-selection picks (threshold 0 forces semi-naive)."""
+    from graphdb_wikidata_spark.engine.entry_queries import QUERIES
+
+    default_rows = sorted(
+        map(tuple, QUERIES["sparql_path_transitive"](spark, SF_SMOKE).collect())
+    )
+    monkeypatch.setattr(paths_mod, "SEMINAIVE_THRESHOLD", 0)
+    seminaive_rows = sorted(
+        map(tuple, QUERIES["sparql_path_transitive"](spark, SF_SMOKE).collect())
+    )
+    assert default_rows == seminaive_rows and default_rows

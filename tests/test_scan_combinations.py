@@ -152,3 +152,58 @@ def test_psv_unmapped_matches_nothing(eng):
     """psv:/pqv: value-node forms are not modeled (no wdv: nodes) and
     must match nothing rather than mis-route."""
     assert eng.sql("SELECT ?s ?b WHERE { ?s psv:P2 ?b . }").count() == 0
+
+
+# ---- union_stmt_forms: the pinned bound-subject/var-predicate decision
+# (reference calc_engine.rs:3182-3203 vs published cardinalities — see
+# engine/scan.py module docstring)
+
+
+@pytest.fixture(scope="module")
+def eng_union(spark):
+    return GraphEngine(
+        spark, statements_from_quads(spark, QUADS), union_stmt_forms=True
+    )
+
+
+def test_bvv_union_mode_doubles_claim_edges(eng_union):
+    # Q1's 3 claim edges each appear as (wdt:P, value) AND (p:P, wds:id)
+    rows = eng_union.scan_pattern(
+        "http://www.wikidata.org/entity/Q1", None, None
+    ).collect()
+    assert len(rows) == 6
+    stmt_form = sorted(r["o"]["s"] for r in rows if r["o"]["t"] == "stmt")
+    assert stmt_form == ["s1", "s2", "s4"]
+    assert sum(1 for r in rows if r["p"]["k"] == "Pstmt") == 3
+    assert sum(1 for r in rows if r["p"]["k"] == "P") == 3
+
+
+def test_bvv_union_mode_stmt_subject_single_form(eng_union):
+    # qualifier edges (stmt subject) have no second form: their
+    # statement_id is the edge id, not a wds: statement node
+    df = eng_union.sql(
+        "SELECT ?p ?o WHERE { <http://www.wikidata.org/entity/statement/s1> ?p ?o . }"
+    )
+    assert df.count() == 1
+
+
+def test_union_mode_leaves_other_dispatch_arms_alone(eng_union):
+    # var-subject and bound-predicate cases are single-form in BOTH the
+    # reference and here (the union arm is (bound, var, var) only)
+    assert n(eng_union, None, None, None) == 5
+    assert n(eng_union, None, "http://www.wikidata.org/prop/direct/P2", None) == 3
+    assert (
+        n(
+            eng_union,
+            "http://www.wikidata.org/entity/Q1",
+            "http://www.wikidata.org/prop/direct/P2",
+            None,
+        )
+        == 2
+    )
+
+
+def test_default_mode_is_single_form(eng):
+    # the default pins the reference's PUBLISHED counts
+    # (test_requests.txt:15-20), not its code path
+    assert n(eng, "http://www.wikidata.org/entity/Q1", None, None) == 3

@@ -98,3 +98,20 @@ def test_sparql_json_typed_rendering(spark):
     assert cells["5"]["datatype"] == xsd + "double"
     assert cells["6"]["datatype"] == xsd + "boolean"
     assert cells["7"] == {"type": "literal", "value": "hallo", "xml:lang": "de"}
+
+
+def test_frontend_index(srv):
+    """GET / serves the static HTML frontend (reference
+    frontend/index.html + app.js, served by warp)."""
+    status, headers, body = _get(f"{srv}/")
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/html")
+    assert "<form" in body and "/app.js" in body
+
+
+def test_frontend_script(srv):
+    status, headers, body = _get(f"{srv}/app.js")
+    assert status == 200
+    assert "javascript" in headers["Content-Type"]
+    # the script drives the same /query contract the tests above pin
+    assert "/query?query=" in body
