@@ -98,18 +98,50 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # ---- scale probe: flagship queries on a key-shifted FACTORx twin
+    # of the sf dir (graphdb_wikidata_spark/scaleprobe.py) — verifies
+    # the plan shapes hold as data grows: a probe number much beyond
+    # FACTOR x its headline twin means a broadcast/candidate-bounding
+    # strategy broke down, not just "more rows"
+    probe: dict[str, float] = {}
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        try:
+            from graphdb_wikidata_spark.scaleprobe import ensure_scaled_dir
+
+            big_dir = ensure_scaled_dir(spark, sf_dir, factor)
+            for name in (
+                "sparql_tpch_q1",
+                "dedup_minhash_lsh",
+                "events_asof_join",
+                "sparql_path_transitive",
+            ):
+                best, n = None, 0
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n = queries[name](spark, big_dir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None or dt < best else best
+                probe[name] = round(best, 3)
+                print(f"# scale_x{factor} {name}: {probe[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 - probe must never sink the bench
+            print(f"# scale probe skipped: {e}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if probe:
+        out["scale_probe"] = {
+            "factor": factor,
+            "queries": probe,
+            "headline_1x": {k: timings[k] for k in probe if k in timings},
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -67,18 +67,21 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "graph_pagerank_chain",
     "graph_connected_components",
     "graph_bfs_chain",
-    # structured streaming
+    # structured streaming (windowed agg + stream-stream join; the other
+    # three streaming entries were green in round 1's artifact)
     "stream_tumbling_counts",
     "stream_interval_join",
-    "stream_dedup_exact",
-    "stream_running_totals",
-    "stream_session_stats",
     # multimodal
     "media_catalog",
     "media_frame_sample",
     "media_byte_hist_counts",
-    # ANN candidate bounding
+    # ANN candidate bounding + the round-2 LSH-bounded dedup compositions
+    # (these three REPLACED the all-pairs kernels round 1 proved, so they
+    # need fresh hard evidence)
     "embedding_lsh_buckets",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh_verified",
 )
 
 

@@ -1,0 +1,113 @@
+"""Scale-probe data synthesis: a key-shifted FACTORx copy of an sf dir.
+
+The small-sf tables verify correctness; this module materializes a
+FACTOR-times-larger twin so bench.py can verify the flagship plan
+shapes HOLD as data grows (VERDICT r01 #5): runtime at FACTORx should
+stay within ~linear of the 1x number — a broadcast that silently turns
+into a shuffle, or a candidate join that goes quadratic, shows up here
+long before a real cluster run would catch it.
+
+Scaling rules (honest 10x, not 10 literal clones):
+- region/nation: copied 1x — fixed-size dimensions in TPC-H semantics.
+- customer/orders/lineitem/part/supplier: FACTOR copies with key
+  offsets of (max_key + 1) * i, foreign keys shifted in lockstep, so
+  referential integrity and per-key fan-outs match the base exactly.
+- events: event_id AND user_id shifted — the user population grows
+  with the data (10x rows over the same users would be a different,
+  skew-heavier workload than the generator's).
+- documents: doc_id shifted and every word salted with the copy index
+  (JVM-side transform) — shingle/minhash structure within a copy is
+  identical to the base, while cross-copy Jaccard collapses to ~0, so
+  near-dup pair counts scale linearly like real new data (10 verbatim
+  clones would make every LSH group quadratically denser instead).
+- embeddings: vec_id shifted; vectors reused (the probe queries don't
+  pairwise-join embeddings across copies).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import TABLE_NAMES, table
+
+COPY_1X = ("region", "nation")
+PK = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _span(spark: SparkSession, sf_dir: str, tbl: str, col: str) -> int:
+    return table(spark, sf_dir, tbl).agg(F.max(col)).first()[0] + 1
+
+
+def _scaled(spark: SparkSession, sf_dir: str, name: str, factor: int) -> DataFrame:
+    df = table(spark, sf_dir, name)
+    if name in COPY_1X:
+        return df
+    copies = (
+        spark.range(factor).select(F.col("id").cast("int").alias("__copy"))
+    )
+    out = df.crossJoin(F.broadcast(copies))
+    if name == "customer":
+        span = _span(spark, sf_dir, "customer", "c_custkey")
+        out = out.withColumn("c_custkey", F.col("c_custkey") + F.col("__copy") * span)
+    elif name == "orders":
+        ospan = _span(spark, sf_dir, "orders", "o_orderkey")
+        cspan = _span(spark, sf_dir, "customer", "c_custkey")
+        out = out.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("__copy") * ospan
+        ).withColumn("o_custkey", F.col("o_custkey") + F.col("__copy") * cspan)
+    elif name == "lineitem":
+        ospan = _span(spark, sf_dir, "orders", "o_orderkey")
+        out = out.withColumn("l_orderkey", F.col("l_orderkey") + F.col("__copy") * ospan)
+    elif name in ("part", "supplier", "embeddings"):
+        k = PK[name]
+        span = _span(spark, sf_dir, name, k)
+        out = out.withColumn(k, F.col(k) + F.col("__copy") * span)
+    elif name == "events":
+        espan = _span(spark, sf_dir, "events", "event_id")
+        uspan = _span(spark, sf_dir, "events", "user_id")
+        out = out.withColumn(
+            "event_id", F.col("event_id") + F.col("__copy") * espan
+        ).withColumn("user_id", F.col("user_id") + F.col("__copy") * uspan)
+    elif name == "documents":
+        span = _span(spark, sf_dir, "documents", "doc_id")
+        salted = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("~"), F.col("__copy").cast("string")),
+            ),
+            " ",
+        )
+        out = (
+            out.withColumn("doc_id", F.col("doc_id") + F.col("__copy") * span)
+            .withColumn("text", F.when(F.col("__copy") == 0, F.col("text")).otherwise(salted))
+            .withColumn("n_chars", F.length("text"))
+        )
+    return out.drop("__copy").select(*df.columns)
+
+
+def ensure_scaled_dir(
+    spark: SparkSession, sf_dir: str, factor: int = 10, out_root: str | None = None
+) -> str:
+    """Materialize (once; cached on disk) the FACTORx twin of sf_dir;
+    returns a directory usable anywhere an sf_dir is accepted."""
+    out_root = out_root or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".scaleprobe")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.abspath(os.path.join(out_root, f"{base}_x{factor}"))
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLE_NAMES:
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            continue
+        _scaled(spark, sf_dir, name, factor).write.mode("overwrite").parquet(dest)
+    return out_dir

@@ -1,0 +1,48 @@
+"""Scale-probe synthesis invariants (graphdb_wikidata_spark/scaleprobe.py):
+the FACTORx twin must be real scaled data — FACTORx rows, unique keys,
+intact foreign keys, and linearly-scaling near-dup structure — or the
+bench scale section measures a different workload than it claims."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphdb_wikidata_spark.scaleprobe import ensure_scaled_dir
+from graphdb_wikidata_spark.tables import table
+
+from tests.conftest import SF_SMOKE
+
+FACTOR = 3
+
+
+@pytest.fixture(scope="module")
+def big_dir(spark, tmp_path_factory):
+    return ensure_scaled_dir(
+        spark, SF_SMOKE, FACTOR, out_root=str(tmp_path_factory.mktemp("scale"))
+    )
+
+
+def test_row_counts_scale(spark, big_dir):
+    for name in ("customer", "orders", "lineitem", "events", "documents"):
+        base = table(spark, SF_SMOKE, name).count()
+        assert table(spark, big_dir, name).count() == FACTOR * base
+    # fixed-size dimensions stay 1x
+    assert table(spark, big_dir, "nation").count() == table(spark, SF_SMOKE, "nation").count()
+
+
+def test_keys_unique_and_fks_intact(spark, big_dir):
+    o = table(spark, big_dir, "orders")
+    assert o.select("o_orderkey").distinct().count() == o.count()
+    c = table(spark, big_dir, "customer")
+    assert o.join(c, o.o_custkey == c.c_custkey, "left_anti").count() == 0
+    li = table(spark, big_dir, "lineitem")
+    assert li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count() == 0
+
+
+def test_documents_copies_are_not_near_dups(spark, big_dir):
+    # word-salting must break cross-copy shingle identity: copy texts of
+    # the same base doc must all differ
+    docs = table(spark, big_dir, "documents")
+    n = docs.count()
+    assert docs.select("text").distinct().count() == n
+    assert docs.select("doc_id").distinct().count() == n
