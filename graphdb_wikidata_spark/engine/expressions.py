@@ -461,6 +461,9 @@ class ExprCompiler:
 
     def __init__(self, df: DataFrame, compile_exists=None, resolve=None):
         self.df = df
+        # df.columns is a JVM round-trip; col() consults it per variable
+        # reference, so snapshot it once (df is never reassigned)
+        self._colset = frozenset(df.columns)
         self.compile_exists = compile_exists
         self.resolve = resolve  # optional: var name -> Column
 
@@ -469,7 +472,7 @@ class ExprCompiler:
         if isinstance(e, EVar):
             if self.resolve is not None:
                 return self.resolve(e.name)
-            return self.df[e.name] if e.name in self.df.columns else F.lit(None).cast(TERM_T)
+            return self.df[e.name] if e.name in self._colset else F.lit(None).cast(TERM_T)
         if isinstance(e, ELit):
             return lit_term(e.term)
         if isinstance(e, ENot):

@@ -83,8 +83,20 @@ STATEMENT_COLUMNS = [
 ]
 
 
+_NULL_CACHE: dict[str, Column] = {}
+
+
 def _null(field: str) -> Column:
-    return F.lit(None).cast(_FIELD_TYPES[field])
+    """Typed-NULL field column, cached: Column objects are immutable
+    expression trees, and each fresh build costs several JVM
+    round-trips — make_term is called hundreds of times while
+    compiling a complex query, mostly for its NULL fields. (Cache
+    assumes one JVM gateway per process, which holds for every entry
+    point: pytest, driver, bench, server.)"""
+    got = _NULL_CACHE.get(field)
+    if got is None:
+        got = _NULL_CACHE[field] = F.lit(None).cast(_FIELD_TYPES[field]).alias(field)
+    return got
 
 
 def make_term(**kwargs) -> Column:
@@ -94,7 +106,7 @@ def make_term(**kwargs) -> Column:
     for f in TERM_FIELDS:
         v = kwargs.get(f)
         if v is None:
-            cols.append(_null(f).alias(f))
+            cols.append(_null(f))
         elif isinstance(v, Column):
             cols.append(v.cast(_FIELD_TYPES[f]).alias(f))
         else:

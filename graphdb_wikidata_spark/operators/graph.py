@@ -76,28 +76,48 @@ def pagerank(
             .agg(F.sum("c").alias("in_sum"))
         )
         if dangling == "redistribute":
-            # dangling mass = total rank NOT held by nodes with out-edges
-            linked = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_semi")
-            total = ranks.agg(F.sum("rank")).first()[0]
-            d_mass = total - (linked.agg(F.sum("rank")).first()[0] or 0.0)
-        else:
-            d_mass = 0.0
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(d_mass / n))
-                ).alias("rank"),
+            # dangling mass = total rank NOT held by nodes with
+            # out-edges. Computed as a one-row aggregate cross-joined
+            # (broadcast) into the update — NOT collected to the
+            # driver: the scalar rides inside the same job as the
+            # round's checkpoint, so redistribute costs zero extra
+            # actions per iteration (it used to do two driver
+            # aggregates per round)
+            dangling_rank = (
+                ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dmass"))
             )
-        )
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling_rank))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("in_sum"), F.lit(0.0))
+                            + F.col("__dmass") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
         # lineage cut every 3rd round: checkpoints are the dominant
         # cost on small graphs (one job each) while plans only grow
-        # linearly between cuts; redistribute mode forces per-round
-        # actions anyway via the dangling aggregate
-        if dangling == "redistribute" or it % 3 == 2 or it == iterations - 1:
+        # linearly between cuts; redistribute's dangling aggregate is
+        # part of the same plan, so it no longer forces per-round cuts
+        if it % 3 == 2 or it == iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks
 

@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # per-call call-site capture for error enrichment costs 3 JVM
+        # round-trips on EVERY DataFrame API call; the SPARQL compiler
+        # makes thousands while building one complex plan (driver-side
+        # plan-build latency, measured ~25% of compile time)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if master is not None:
         builder = builder.master(master)
