@@ -1239,3 +1239,54 @@ def sparql_count_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df.select(_e("n"), _i("cnt_orders"), _i("cnt_rows"))
+
+
+_UNION_ENGINES: dict[tuple[int, str], GraphEngine] = {}
+
+
+def _union_engine(spark: SparkSession, sf_dir: str) -> GraphEngine:
+    """Engine with ``union_stmt_forms=True`` (the reference's code-path
+    semantics for bound-subject/var-predicate scans, calc_engine.rs:
+    3182-3203); shares the default engine's persisted statements."""
+    key = (id(spark), sf_dir)
+    if key not in _UNION_ENGINES:
+        _UNION_ENGINES[key] = GraphEngine(
+            spark, _engine(spark, sf_dir).statements, union_stmt_forms=True
+        )
+    return _UNION_ENGINES[key]
+
+
+@register(
+    "sparql_spo_union_forms",
+    """
+    SELECT 'P' AS pk, 3 AS pe, NULL AS lang,
+           4000000 + n_regionkey AS oe, NULL AS os
+    FROM nation WHERE n_nationkey = 7
+    UNION ALL
+    SELECT 'P', 8, NULL, 3000006, NULL FROM nation WHERE n_nationkey = 7
+    UNION ALL
+    SELECT 'label', NULL, 'en', NULL, n_name FROM nation WHERE n_nationkey = 7
+    UNION ALL
+    SELECT 'Pstmt', 3, NULL, NULL, 's3-3000007' FROM nation WHERE n_nationkey = 7
+    UNION ALL
+    SELECT 'Pstmt', 8, NULL, NULL, 's8-3000007' FROM nation WHERE n_nationkey = 7
+    """,
+)
+def sparql_spo_union_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-subject/var-predicate scan under union_stmt_forms=True:
+    each claim edge of wd:Q3000007 (nation 7) appears as BOTH the
+    direct form (wdt:P, value) and the statement form (p:P, wds:id);
+    the label term edge only directly (calc_engine.rs:3182-3203 chains
+    direct_rel_iter with the Pstmt-retagged/Object-ID-swapped rows;
+    default-mode counts are pinned by sparql entries above and
+    tests/test_scan_combinations.py)."""
+    df = _union_engine(spark, sf_dir).sql(
+        "SELECT ?p ?o WHERE { wd:Q3000007 ?p ?o . }"
+    )
+    return df.select(
+        F.col("p")["k"].alias("pk"),
+        F.col("p")["e"].alias("pe"),
+        F.col("p")["lang"].alias("lang"),
+        F.col("o")["e"].alias("oe"),
+        F.col("o")["s"].alias("os"),
+    )
