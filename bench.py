@@ -110,6 +110,10 @@ def main() -> None:
             from graphdb_wikidata_spark.scaleprobe import ensure_scaled_dir
 
             big_dir = ensure_scaled_dir(spark, sf_dir, factor)
+            # the 1x statements/engine caches served the headline loop;
+            # drop them so the FACTORx caches get the whole heap (both
+            # resident at once OOMed a 24g heap at factor 10)
+            spark.catalog.clearCache()
             for name in (
                 "sparql_tpch_q1",
                 "dedup_minhash_lsh",

@@ -70,6 +70,38 @@ class Compiler:
         # to match the reference's published cardinalities
         self.union_stmt_forms = union_stmt_forms
         self._pred_stats: tuple[dict, int] | None = None
+        # DataFrame -> column list memo. Spark 4 analyzes lazily, so
+        # every .columns read on a freshly built DataFrame re-analyzes
+        # its whole (growing) plan — O(ops^2) driver time per compile.
+        # Each _c_* op KNOWS its output columns, so it remembers them
+        # here and sibling ops read the memo instead of forcing
+        # analysis; a miss falls back to .columns (always correct).
+        import weakref
+
+        self._colmemo: "weakref.WeakKeyDictionary[DataFrame, list[str]]" = (
+            weakref.WeakKeyDictionary()
+        )
+
+    def _cols(self, df: DataFrame) -> list[str]:
+        got = self._colmemo.get(df)
+        if got is None:
+            got = self._colmemo[df] = df.columns
+        return list(got)
+
+    def _remember(self, df: DataFrame, cols) -> DataFrame:
+        self._colmemo[df] = list(cols)
+        return df
+
+    @staticmethod
+    def _tp_cols(tp: TriplePattern) -> list[str]:
+        """Output columns of scan_pattern(tp): the pattern's variables
+        in s,p,o binding order, first occurrence wins (mirrors
+        scan.py's repeated-variable handling)."""
+        out: list[str] = []
+        for x in (tp.s, tp.p, tp.o):
+            if isinstance(x, Var) and x.name not in out:
+                out.append(x.name)
+        return out
 
     def stats(self) -> tuple[dict, int]:
         """Per-predicate statement counts — the Spark analogue of the
@@ -176,7 +208,7 @@ class Compiler:
             m = F.col(markers[id(e)])
             return _bool_result(~m if e.negated else m)
 
-        return ExprCompiler(df, compile_exists)
+        return ExprCompiler(df, compile_exists, colset=self._cols(df))
 
     def _bind_exists_markers(self, df: DataFrame, exprs) -> tuple[DataFrame, dict]:
         """Pre-compute a boolean column per EXISTS subexpression:
@@ -193,8 +225,9 @@ class Compiler:
                     return
                 sub = self.compile(e.plan)
                 d = holder[0]
+                dcols, subcols = self._cols(d), self._cols(sub)
                 shared = [
-                    c for c in d.columns if c in sub.columns and not c.startswith("__ex")
+                    c for c in dcols if c in subcols and not c.startswith("__ex")
                 ]
                 m = f"__ex{len(markers)}"
                 if not shared:
@@ -215,7 +248,7 @@ class Compiler:
                         .withColumn(m, F.coalesce(F.col("__exm"), F.lit(False)))
                         .drop("__kj", "__exm")
                     )
-                holder[0] = d
+                holder[0] = self._remember(d, dcols + [m])
                 markers[id(e)] = m
                 return
             for f_ in getattr(e, "__dataclass_fields__", {}):
@@ -240,13 +273,15 @@ class Compiler:
         l_est: int | None = None,
         r_est: int | None = None,
     ) -> DataFrame:
-        shared = [c for c in left.columns if c in right.columns]
+        lcols, rcols = self._cols(left), self._cols(right)
+        shared = [c for c in lcols if c in rcols]
+        out_cols = lcols + [c for c in rcols if c not in shared]
         if not shared:
             if how == "inner":
-                return left.crossJoin(right)
+                return self._remember(left.crossJoin(right), out_cols)
             # left outer with no shared vars: every combination (SPARQL
             # OPTIONAL with disjoint domains) — cross join keeps lefts
-            return left.crossJoin(right)
+            return self._remember(left.crossJoin(right), out_cols)
         # estimate-driven broadcast hints (see _c_bgp): for left outer
         # only the right side is a legal build side
         b = self.BROADCAST_ROWS
@@ -257,7 +292,7 @@ class Compiler:
                 left = F.broadcast(left)
         elif how == "left_outer" and r_est is not None and r_est <= b:
             right = F.broadcast(right)
-        return left.join(right, on=shared, how=how)
+        return self._remember(left.join(right, on=shared, how=how), out_cols)
 
     # ---------------- main dispatch
 
@@ -336,6 +371,7 @@ class Compiler:
                 .alias(svar),
                 *ovars,
             )
+            self._remember(star, [svar, *ovars])
             stars.append((min(self._pred_count(p) for p in preds), star))
         return stars, rest
 
@@ -353,7 +389,13 @@ class Compiler:
         dfs = sorted(
             stars
             + [
-                (self._estimate(tp), scan_pattern(self.statements, tp, self.union_stmt_forms))
+                (
+                    self._estimate(tp),
+                    self._remember(
+                        scan_pattern(self.statements, tp, self.union_stmt_forms),
+                        self._tp_cols(tp),
+                    ),
+                )
                 for tp in rest
             ],
             key=lambda x: x[0],
@@ -361,20 +403,27 @@ class Compiler:
         cur_est, df = dfs.pop(0)
         while dfs:
             idx = next(
-                (i for i, (_, d) in enumerate(dfs) if set(d.columns) & set(df.columns)),
+                (
+                    i
+                    for i, (_, d) in enumerate(dfs)
+                    if set(self._cols(d)) & set(self._cols(df))
+                ),
                 0,
             )
             est, d = dfs.pop(idx)
             if est <= self.BROADCAST_ROWS and est <= cur_est:
-                d = F.broadcast(d)
+                d = self._remember(F.broadcast(d), self._cols(d))
             elif cur_est <= self.BROADCAST_ROWS:
-                df = F.broadcast(df)
+                df = self._remember(F.broadcast(df), self._cols(df))
             df = self._natural_join(df, d)
             cur_est = max(cur_est, est)
         return df
 
     def _c_triplepattern(self, op: TriplePattern) -> DataFrame:
-        return scan_pattern(self.statements, op, self.union_stmt_forms)
+        return self._remember(
+            scan_pattern(self.statements, op, self.union_stmt_forms),
+            self._tp_cols(op),
+        )
 
     def _c_join(self, op: Join) -> DataFrame:
         # VALUES blocks containing UNDEF need SPARQL compatibility-join
@@ -403,23 +452,25 @@ class Compiler:
         for row in vop.rows:
             mask = tuple(i for i, t in enumerate(row) if t is not None)
             groups[mask].append(row)
-        allcols = list(dict.fromkeys(list(df.columns) + list(vop.variables)))
+        dfcols = self._cols(df)
+        allcols = list(dict.fromkeys(dfcols + list(vop.variables)))
         parts = []
         for mask, rows in groups.items():
             bound = [vop.variables[i] for i in mask]
             vdf = self._c_values(
                 Values(tuple(bound), tuple(tuple(r[i] for i in mask) for r in rows))
             )
-            shared = [v for v in bound if v in df.columns]
+            shared = [v for v in bound if v in dfcols]
             part = df.join(vdf, on=shared, how="inner") if shared else df.crossJoin(vdf)
+            part_cols = dfcols + [v for v in bound if v not in dfcols]
             for c in allcols:
-                if c not in part.columns:
+                if c not in part_cols:
                     part = part.withColumn(c, F.lit(None).cast(TERM_T))
             parts.append(part.select(*allcols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return self._remember(out, allcols)
 
     def _c_lateraljoin(self, op: LateralJoin) -> DataFrame:
         # executed as inner join, like the reference (calc_engine.rs:194-201)
@@ -432,7 +483,8 @@ class Compiler:
 
     def _c_leftjoin(self, op: LeftJoin) -> DataFrame:
         left, right = self.compile(op.left), self.compile(op.right)
-        shared = [c for c in left.columns if c in right.columns]
+        lcols, rcols = self._cols(left), self._cols(right)
+        shared = [c for c in lcols if c in rcols]
         if op.expr is None:
             return self._natural_join(
                 left, right, "left_outer", r_est=self._est_op(op.right)
@@ -441,28 +493,29 @@ class Compiler:
         # condition (the reference instead pre-filters the left input —
         # calc_engine.rs:176-190 — a simplification we do not copy).
         r2 = right
-        for c in right.columns:
+        for c in rcols:
             r2 = r2.withColumnRenamed(c, "__r_" + c)
+        lset, r2set = set(lcols), {"__r_" + c for c in rcols}
 
         def resolve(name: str) -> Column:
-            if name in left.columns:
+            if name in lset:
                 return left[name]
-            if "__r_" + name in r2.columns:
+            if "__r_" + name in r2set:
                 return r2["__r_" + name]
             return F.lit(None).cast(TERM_T)
 
-        ec = ExprCompiler(left, resolve=resolve)
+        ec = ExprCompiler(left, resolve=resolve, colset=lcols)
         cond = F.coalesce(ebv(ec.col(op.expr)), F.lit(False))
         for c in shared:
             cond = cond & (left[c] == r2["__r_" + c])
         if self._est_op(op.right) <= self.BROADCAST_ROWS:
             r2 = F.broadcast(r2)
         joined = left.join(r2, cond, "left_outer")
-        out = [joined[c].alias(c) for c in left.columns]
-        out += [
-            joined["__r_" + c].alias(c) for c in right.columns if c not in shared
-        ]
-        return joined.select(*out)
+        out = [joined[c].alias(c) for c in lcols]
+        out += [joined["__r_" + c].alias(c) for c in rcols if c not in shared]
+        return self._remember(
+            joined.select(*out), lcols + [c for c in rcols if c not in shared]
+        )
 
     def _c_filter(self, op: Filter) -> DataFrame:
         df = self.compile(op.input)
@@ -470,41 +523,49 @@ class Compiler:
         # FILTER EXISTS / NOT EXISTS -> semi/anti join on shared vars
         if isinstance(expr, EExists):
             sub = self.compile(expr.plan)
-            shared = [c for c in df.columns if c in sub.columns]
+            shared = [c for c in self._cols(df) if c in self._cols(sub)]
             how = "left_anti" if expr.negated else "left_semi"
             if not shared:
                 cnt = sub.limit(1).count()
                 nonempty = cnt > 0
                 keep = (not expr.negated) == nonempty
-                return df if keep else df.limit(0)
+                return df if keep else self._remember(df.limit(0), self._cols(df))
             # no distinct() on the right: semi/anti joins never
             # duplicate left rows, and the dedup costs two exchanges
             return self._keyed_join(df, sub.select(*shared), shared, how)
-        keep = df.columns
+        keep = self._cols(df)
         df, markers = self._bind_exists_markers(df, [expr])
         ec = self._expr_compiler(df, markers)
-        return df.filter(ec.boolean(expr)).select(*keep)
+        return self._remember(df.filter(ec.boolean(expr)).select(*keep), keep)
 
     def _c_union(self, op: Union) -> DataFrame:
         left, right = self.compile(op.left), self.compile(op.right)
-        allcols = list(dict.fromkeys(left.columns + right.columns))
-        def pad(df: DataFrame) -> DataFrame:
+        lcols, rcols = self._cols(left), self._cols(right)
+        allcols = list(dict.fromkeys(lcols + rcols))
+
+        def pad(df: DataFrame, cols: list[str]) -> DataFrame:
             for c in allcols:
-                if c not in df.columns:
+                if c not in cols:
                     df = df.withColumn(c, F.lit(None).cast(TERM_T))
             return df.select(*allcols)
-        return pad(left).unionByName(pad(right))
+
+        return self._remember(
+            pad(left, lcols).unionByName(pad(right, rcols)), allcols
+        )
 
     def _c_extend(self, op: Extend) -> DataFrame:
         df = self.compile(op.input)
-        keep = df.columns
+        keep = self._cols(df)
         df, markers = self._bind_exists_markers(df, [op.expr])
         ec = self._expr_compiler(df, markers)
-        return df.withColumn(op.var, ec.col(op.expr)).select(*keep, op.var)
+        return self._remember(
+            df.withColumn(op.var, ec.col(op.expr)).select(*keep, op.var),
+            keep + [op.var],
+        )
 
     def _c_minus(self, op: Minus) -> DataFrame:
         left, right = self.compile(op.left), self.compile(op.right)
-        shared = [c for c in left.columns if c in right.columns]
+        shared = [c for c in self._cols(left) if c in self._cols(right)]
         if not shared:
             return left  # disjoint domains remove nothing
         return self._keyed_join(left, right.select(*shared), shared, "left_anti")
@@ -523,13 +584,18 @@ class Compiler:
         rk = right.select(
             F.to_json(F.struct(*[right[k] for k in keys])).alias("__kj")
         )
-        return lk.join(rk, on="__kj", how=how).drop("__kj")
+        return self._remember(
+            lk.join(rk, on="__kj", how=how).drop("__kj"), self._cols(left)
+        )
 
     def _c_values(self, op: Values) -> DataFrame:
         if not op.rows:  # empty inline table (also: GRAPH over a
             # default-graph-only store) -> zero solutions
-            return self.spark.range(0).select(
-                *[F.lit(None).cast(TERM_T).alias(v) for v in op.variables]
+            return self._remember(
+                self.spark.range(0).select(
+                    *[F.lit(None).cast(TERM_T).alias(v) for v in op.variables]
+                ),
+                list(op.variables),
             )
         rows = []
         for row in op.rows:
@@ -542,7 +608,7 @@ class Compiler:
         out = rows[0]
         for r in rows[1:]:
             out = out.unionByName(r)
-        return out
+        return self._remember(out, list(op.variables))
 
     def _c_orderby(self, op: OrderBy) -> DataFrame:
         df = self.compile(op.input)
@@ -552,33 +618,36 @@ class Compiler:
         for expr, asc in op.keys:
             k = sort_key(ec.col(expr))
             keys.append(k.asc() if asc else k.desc())
-        return df.orderBy(*keys).select(
-            *[c for c in df.columns if not c.startswith("__ex")]
-        )
+        out_cols = [c for c in self._cols(df) if not c.startswith("__ex")]
+        return self._remember(df.orderBy(*keys).select(*out_cols), out_cols)
 
     def _c_project(self, op: Project) -> DataFrame:
         df = self.compile(op.input)
+        have = set(self._cols(df))
         cols = [
-            df[v].alias(v) if v in df.columns else F.lit(None).cast(TERM_T).alias(v)
+            df[v].alias(v) if v in have else F.lit(None).cast(TERM_T).alias(v)
             for v in op.variables
         ]
-        return df.select(*cols)
+        return self._remember(df.select(*cols), list(op.variables))
 
     def _c_distinct(self, op: Distinct) -> DataFrame:
-        return self.compile(op.input).distinct()
+        df = self.compile(op.input)
+        return self._remember(df.distinct(), self._cols(df))
 
     def _c_reduced(self, op: Reduced) -> DataFrame:
         # REDUCED permits (does not require) dedup; distinct is legal
         # (the reference's Reduced is todo!, calc_engine.rs:315-319)
-        return self.compile(op.input).distinct()
+        df = self.compile(op.input)
+        return self._remember(df.distinct(), self._cols(df))
 
     def _c_slice(self, op: Slice) -> DataFrame:
         df = self.compile(op.input)
+        cols = self._cols(df)
         if op.start:
             df = df.offset(op.start)
         if op.length is not None:
             df = df.limit(op.length)
-        return df
+        return self._remember(df, cols)
 
     def _agg_column(self, spec: AggSpec, ec: ExprCompiler) -> Column:
         from ..model.schema import make_term
@@ -623,12 +692,20 @@ class Compiler:
         df = self.compile(op.input)
         ec = self._expr_compiler(df)
         aggs = [self._agg_column(s, ec) for s in op.aggregates]
+        agg_vars = [s.var for s in op.aggregates]
         if not op.group_vars:
-            return df.agg(*aggs) if aggs else df.limit(1).select()
+            if not aggs:
+                return self._remember(df.limit(1).select(), [])
+            return self._remember(df.agg(*aggs), agg_vars)
         gcols = [df[v] for v in op.group_vars]
         if not aggs:
-            return df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__n")).drop("__n")
-        return df.groupBy(*gcols).agg(*aggs)
+            return self._remember(
+                df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__n")).drop("__n"),
+                list(op.group_vars),
+            )
+        return self._remember(
+            df.groupBy(*gcols).agg(*aggs), list(op.group_vars) + agg_vars
+        )
 
     def _c_pathpattern(self, op: PathPattern) -> DataFrame:
         from .paths import compile_path

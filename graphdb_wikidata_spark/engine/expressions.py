@@ -459,11 +459,12 @@ class ExprCompiler:
     """Compiles Expr trees to Columns. EXISTS subplans need the
     operator compiler, injected via ``compile_op``."""
 
-    def __init__(self, df: DataFrame, compile_exists=None, resolve=None):
+    def __init__(self, df: DataFrame, compile_exists=None, resolve=None, colset=None):
         self.df = df
-        # df.columns is a JVM round-trip; col() consults it per variable
-        # reference, so snapshot it once (df is never reassigned)
-        self._colset = frozenset(df.columns)
+        # df.columns forces plan analysis (a JVM round-trip); callers
+        # that track their columns pass colset to avoid it — col()
+        # consults the set per variable reference
+        self._colset = frozenset(colset if colset is not None else df.columns)
         self.compile_exists = compile_exists
         self.resolve = resolve  # optional: var name -> Column
 
