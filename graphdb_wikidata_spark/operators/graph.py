@@ -113,11 +113,13 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-        # lineage cut every 3rd round: checkpoints are the dominant
+        # lineage cut every 5th round: checkpoints are the dominant
         # cost on small graphs (one job each) while plans only grow
-        # linearly between cuts; redistribute's dangling aggregate is
-        # part of the same plan, so it no longer forces per-round cuts
-        if it % 3 == 2 or it == iterations - 1:
+        # linearly between cuts (measured: 5 beats 3 by ~10% at sf0.1
+        # with no analysis blowup); redistribute's dangling aggregate
+        # is part of the same plan, so it no longer forces per-round
+        # cuts
+        if it % 5 == 4 or it == iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks
 
