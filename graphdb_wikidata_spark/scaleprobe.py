@@ -96,18 +96,47 @@ def _scaled(spark: SparkSession, sf_dir: str, name: str, factor: int) -> DataFra
     return out.drop("__copy").select(*df.columns)
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Size+mtime digest of the source parquet files: the testdata is
+    REGENERATED periodically, so a cached scaled twin must be keyed to
+    the exact source it was derived from, not just the dir name."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in TABLE_NAMES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except FileNotFoundError:
+            h.update(f"{name}:absent".encode())
+    return h.hexdigest()
+
+
 def ensure_scaled_dir(
     spark: SparkSession, sf_dir: str, factor: int = 10, out_root: str | None = None
 ) -> str:
-    """Materialize (once; cached on disk) the FACTORx twin of sf_dir;
-    returns a directory usable anywhere an sf_dir is accepted."""
+    """Materialize (once per source generation; cached on disk) the
+    FACTORx twin of sf_dir; returns a directory usable anywhere an
+    sf_dir is accepted. Rebuilds from scratch when the source parquet
+    files change (fingerprint marker)."""
     out_root = out_root or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".scaleprobe")
     base = os.path.basename(sf_dir.rstrip("/"))
     out_dir = os.path.abspath(os.path.join(out_root, f"{base}_x{factor}"))
     os.makedirs(out_dir, exist_ok=True)
+    fp = _source_fingerprint(sf_dir)
+    marker = os.path.join(out_dir, ".source_fingerprint")
+    stale = True
+    try:
+        with open(marker) as f:
+            stale = f.read().strip() != fp
+    except FileNotFoundError:
+        pass
     for name in TABLE_NAMES:
         dest = os.path.join(out_dir, f"{name}.parquet")
-        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        if not stale and os.path.exists(os.path.join(dest, "_SUCCESS")):
             continue
         _scaled(spark, sf_dir, name, factor).write.mode("overwrite").parquet(dest)
+    with open(marker, "w") as f:
+        f.write(fp)
     return out_dir
