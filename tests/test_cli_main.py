@@ -1,0 +1,35 @@
+"""The ``python -m graphdb_wikidata_spark`` surface mirrors the
+reference binary's subcommands (cli.rs:16-67): create-db builds the
+statements Parquet from a dump, create-index rewrites it clustered,
+and the resulting directory serves queries via from_parquet."""
+
+from __future__ import annotations
+
+import graphdb_wikidata_spark.__main__ as cli
+from graphdb_wikidata_spark.engine import GraphEngine
+
+FIXTURE = "/root/reference/tests/data/first_5_lines.txt"
+
+
+def test_create_db_index_and_query(spark, tmp_path, monkeypatch, capsys):
+    # main() builds its own session via get_spark; with one already
+    # running getOrCreate reuses it, so this stays one-JVM
+    db = str(tmp_path / "wikidata")
+    assert cli.main(["-d", db, "create-db", "-f", FIXTURE]) == 0
+    created = capsys.readouterr().out
+    assert "statements" in created
+
+    assert cli.main(["-d", db, "create-index"]) == 0
+
+    eng = GraphEngine.from_parquet(spark, db)
+    # the reference's own published cardinality for its fixture:
+    # wd:Q31 ?p ?b -> 1354 rows (test_requests.txt:15-20)
+    n = eng.sql(
+        "SELECT ?p ?b WHERE { <http://www.wikidata.org/entity/Q31> ?p ?b . }"
+    ).count()
+    assert n == 1354
+
+
+def test_no_subcommand_prints_help(capsys):
+    assert cli.main([]) == 2
+    assert "create-db" in capsys.readouterr().out
