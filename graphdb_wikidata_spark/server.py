@@ -74,27 +74,31 @@ def run_server(engine: GraphEngine, host: str = "127.0.0.1", port: int = 8000) -
 
 
 def run_cli(engine: GraphEngine, inp=None, out=None) -> None:
-    """REPL: one SPARQL query per blank-line-terminated block, results
-    printed as a table (the reference prints the relation,
-    cli.rs:70-128)."""
+    """REPL: one SPARQL query per blank-line-terminated block; prints
+    the algebra plan then the result table — the reference prints its
+    Vector-Operator-Tree before the relation (cli.rs:98-121) and exits
+    on the literal ``exit`` (cli.rs:97)."""
     inp = inp or sys.stdin
     out = out or sys.stdout
+
+    def run_block(query: str) -> None:
+        try:
+            print(f"plan: {engine.plan(query)}", file=out)
+            engine.sql(query).show(50, truncate=False)
+        except Exception as e:  # noqa: BLE001 - REPL surfaces all errors
+            print(f"error: {e}", file=out)
+
     buf: list[str] = []
-    print("graphdb> enter SPARQL, blank line to run, Ctrl-D to exit", file=out)
+    print("graphdb> enter SPARQL, blank line to run, 'exit' or Ctrl-D to quit", file=out)
     for line in inp:
+        if line.strip() == "exit" and not buf:
+            return
         if line.strip():
             buf.append(line)
             continue
         if not buf:
             continue
-        query = "".join(buf)
+        run_block("".join(buf))
         buf = []
-        try:
-            engine.sql(query).show(50, truncate=False)
-        except Exception as e:  # noqa: BLE001 - REPL surfaces all errors
-            print(f"error: {e}", file=out)
     if buf:
-        try:
-            engine.sql("".join(buf)).show(50, truncate=False)
-        except Exception as e:  # noqa: BLE001
-            print(f"error: {e}", file=out)
+        run_block("".join(buf))

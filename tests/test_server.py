@@ -115,3 +115,21 @@ def test_frontend_script(srv):
     assert "javascript" in headers["Content-Type"]
     # the script drives the same /query contract the tests above pin
     assert "/query?query=" in body
+
+
+def test_cli_repl_plan_and_exit(spark):
+    """Parity touches: the REPL prints the algebra plan before results
+    (reference prints its operator tree, cli.rs:98-105) and the literal
+    'exit' quits without consuming the rest of the input."""
+    import io
+
+    from graphdb_wikidata_spark.server import run_cli
+
+    quads = [("Q1", "P2", "Q3", "s1")]
+    engine = GraphEngine(spark, statements_from_quads(spark, quads))
+    inp = io.StringIO("SELECT ?s WHERE { ?s wdt:P2 wd:Q3 . }\n\nexit\nnot sparql\n\n")
+    out = io.StringIO()
+    run_cli(engine, inp=inp, out=out)
+    text = out.getvalue()
+    assert "plan:" in text
+    assert "error:" not in text  # 'exit' stopped before the bad block
