@@ -280,3 +280,45 @@ def pattern_vars(op: Op) -> set[str]:
             if isinstance(v, Op):
                 out |= pattern_vars(v)
     return out
+
+
+def certain_vars(op: Op) -> set[str]:
+    """Variable names an operator tree binds in EVERY solution
+    (SPARQL's "certainly bound" static analysis). Conservative: a var
+    not in this set may still always be bound at runtime. Used to pick
+    the fast equality path for MINUS — compatibility semantics only
+    need the general (domain-aware) path when a shared var can be
+    unbound (OPTIONAL miss, one-armed UNION, UNDEF, error-able BIND,
+    MIN/MAX/SAMPLE of empty-or-all-error groups)."""
+    if isinstance(op, (Bgp, PathPattern)):
+        return pattern_vars(op)
+    if isinstance(op, Values):
+        return {
+            v
+            for i, v in enumerate(op.variables)
+            if all(row[i] is not None for row in op.rows)
+        }
+    if isinstance(op, (Join, LateralJoin)):
+        return certain_vars(op.left) | certain_vars(op.right)
+    if isinstance(op, LeftJoin):
+        return certain_vars(op.left)  # right side only binds on match
+    if isinstance(op, Union):
+        return certain_vars(op.left) & certain_vars(op.right)
+    if isinstance(op, Minus):
+        return certain_vars(op.left)
+    if isinstance(op, Extend):
+        return certain_vars(op.input)  # BIND errors leave var unbound
+    if isinstance(op, Project):
+        return certain_vars(op.input) & set(op.variables)
+    if isinstance(op, Group):
+        certain = certain_vars(op.input)
+        out = set(op.group_vars) & certain
+        # COUNT always yields a value; other aggregates are unbound for
+        # groups whose inputs all error (and SUM/AVG on non-numerics)
+        out |= {a.var for a in op.aggregates if a.func == "count"}
+        return out
+    if isinstance(op, LabelService):
+        return certain_vars(op.input)  # lookup targets may miss
+    if isinstance(op, (Filter, OrderBy, Distinct, Reduced, Slice)):
+        return certain_vars(op.input)
+    return set()

@@ -564,11 +564,69 @@ class Compiler:
         )
 
     def _c_minus(self, op: Minus) -> DataFrame:
+        """SPARQL MINUS (§8.3.3): drop μ when some μ' on the right is
+        COMPATIBLE (agrees on vars bound in BOTH) with a non-empty
+        domain intersection. When every shared var is certainly bound
+        on both sides (the common case — static analysis), that is a
+        plain anti-join. Otherwise (OPTIONAL/UNION/UNDEF can leave a
+        shared var unbound) an unbound var is "don't care", NOT an
+        equality key: group each side by its null-mask over the shared
+        vars and anti-join every (left-mask, right-mask) pair on the
+        vars bound in both — masks are enumerated from the data (two
+        small distinct-aggregates at plan time; mask count <= 2^shared,
+        in practice 1-2 per side). The reference's Minus is todo!
+        (calc_engine.rs) — the spec is the only semantics to match."""
         left, right = self.compile(op.left), self.compile(op.right)
-        shared = [c for c in self._cols(left) if c in self._cols(right)]
+        lcols = self._cols(left)
+        shared = [c for c in lcols if c in self._cols(right)]
         if not shared:
             return left  # disjoint domains remove nothing
-        return self._keyed_join(left, right.select(*shared), shared, "left_anti")
+        from .algebra import certain_vars
+
+        sure_l, sure_r = certain_vars(op.left), certain_vars(op.right)
+        if all(c in sure_l and c in sure_r for c in shared):
+            return self._keyed_join(left, right.select(*shared), shared, "left_anti")
+
+        rshared = self._remember(right.select(*shared), shared)
+
+        def masks(df) -> list[tuple[bool, ...]]:
+            rows = (
+                df.select(*[F.col(c).isNull().alias(c) for c in shared])
+                .distinct()
+                .collect()
+            )
+            return [tuple(bool(r[c]) for c in shared) for r in rows]
+
+        def mask_filter(df, mask) -> Column:
+            cond = F.lit(True)
+            for c, is_null in zip(shared, mask):
+                cond = cond & (F.col(c).isNull() if is_null else F.col(c).isNotNull())
+            return cond
+
+        rmasks = masks(rshared)
+        parts = []
+        for lm in masks(left):
+            lpart = self._remember(left.filter(mask_filter(left, lm)), lcols)
+            kept = lpart
+            for rm in rmasks:
+                common = [
+                    c
+                    for c, lnull, rnull in zip(shared, lm, rm)
+                    if not lnull and not rnull
+                ]
+                if not common:
+                    continue  # empty domain intersection removes nothing
+                rpart = self._remember(
+                    rshared.filter(mask_filter(rshared, rm)).select(*common), common
+                )
+                kept = self._keyed_join(kept, rpart, common, "left_anti")
+            parts.append(kept)
+        if not parts:
+            return left  # left is empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return self._remember(out, lcols)
 
     def _keyed_join(self, left: DataFrame, right: DataFrame, keys: list[str], how: str) -> DataFrame:
         """Semi/anti join on *serialized* term keys.

@@ -1290,3 +1290,31 @@ def sparql_spo_union_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o")["e"].alias("oe"),
         F.col("o")["s"].alias("os"),
     )
+
+
+@register(
+    "sparql_minus_optional",
+    """
+    SELECT 5000000 + s_suppkey AS s, 3000000 + s_nationkey AS n
+    FROM supplier WHERE s_nationkey < 10
+    """,
+)
+def sparql_minus_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINUS under an OPTIONAL-unbound shared var (SPARQL §8.3.3
+    compatibility semantics; the reference's Minus is todo!): left
+    binds ?k only for nationkey 7, the MINUS side binds (?s ?k) for
+    nationkey >= 10. A left row with unbound ?k must still be removed
+    when its ?s matches (domain intersection {s}); the k=7 row survives
+    because no right row has k = 7. Result: suppliers with
+    nationkey < 10 — an equality-keyed MINUS would wrongly keep
+    every supplier with nationkey != 7."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?s ?n WHERE {
+          ?s wdt:P7 ?n .
+          OPTIONAL { ?s wdt:P16 ?k . FILTER(?k = 7) }
+          MINUS { ?s wdt:P16 ?k . FILTER(?k >= 10) }
+        }
+        """
+    )
+    return df.select(_e("s"), _e("n"))

@@ -62,7 +62,10 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_ps_pq_chain",
     "sparql_wds_lookup",
     "sparql_label_service",
-    "sparql_label_lookup",
+    # §8.3.3 compatibility MINUS (the reworked semantics need fresh
+    # evidence; sparql_label_lookup's surface is covered by
+    # sparql_label_service above and round 1 artifacts)
+    "sparql_minus_optional",
     # graph analytics
     "graph_pagerank_chain",
     "graph_connected_components",

@@ -459,3 +459,58 @@ def test_bnode_nested(engine):
         "SELECT ?s WHERE { ?s wdt:P31 ?x . ?x ?p ?o . }"
     ).count()
     assert two_hop == explicit
+
+
+def test_minus_compatibility_with_unbound_shared_var(spark):
+    """SPARQL §8.3.3: an OPTIONAL-unbound shared var is 'don't care' in
+    MINUS compatibility, not an equality key. Left rows must be removed
+    when the vars bound on BOTH sides agree — even if another shared
+    var is unbound on the left."""
+    from graphdb_wikidata_spark.engine import GraphEngine
+    from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+    quads = [
+        ("Q1", "P7", "Q10", "s1"),
+        ("Q2", "P7", "Q10", "s2"),
+        ("Q1", "P16", 7, "s3"),
+        ("Q2", "P16", 3, "s4"),
+    ]
+    eng = GraphEngine(spark, statements_from_quads(spark, quads))
+    # left: (Q1, n, k=7), (Q2, n, k=unbound  — filter kills k=3)
+    # minus right binds (s, k) for both subjects: Q1 agrees on {s,k};
+    # Q2 agrees on its whole bound domain {s} -> BOTH removed
+    got = eng.sql(
+        """
+        SELECT ?s ?k WHERE {
+          ?s wdt:P7 ?n .
+          OPTIONAL { ?s wdt:P16 ?k . FILTER(?k = 7) }
+          MINUS { ?s wdt:P16 ?k . }
+        }
+        """
+    ).count()
+    assert got == 0
+    # right restricted to k=3: Q2's row (k unbound, s agrees) removed;
+    # Q1 (k=7 bound both, 7 != 3 -> incompatible) kept
+    rows = eng.sql(
+        """
+        SELECT ?s WHERE {
+          ?s wdt:P7 ?n .
+          OPTIONAL { ?s wdt:P16 ?k . FILTER(?k = 7) }
+          MINUS { ?s wdt:P16 ?k . FILTER(?k = 3) }
+        }
+        """
+    ).collect()
+    assert [r["s"]["e"] for r in rows] == [1]
+    # shared var is only ?k: Q1 (k=7 vs right k=3) is incompatible,
+    # Q2 (k unbound -> empty domain intersection) removes nothing —
+    # both kept
+    rows = eng.sql(
+        """
+        SELECT ?s WHERE {
+          ?s wdt:P7 ?n .
+          OPTIONAL { ?s wdt:P16 ?k . FILTER(?k = 7) }
+          MINUS { ?x wdt:P16 ?k . FILTER(?k = 3) }
+        }
+        """
+    ).collect()
+    assert sorted(r["s"]["e"] for r in rows) == [1, 2]
