@@ -433,12 +433,90 @@ class Compiler:
             return self._join_values(self.compile(op.left), op.right)
         if isinstance(op.left, Values) and any(None in r for r in op.left.rows):
             return self._join_values(self.compile(op.right), op.left)
+        left, right = self.compile(op.left), self.compile(op.right)
+        shared = [c for c in self._cols(left) if c in self._cols(right)]
+        from .algebra import certain_vars
+
+        sure_l, sure_r = certain_vars(op.left), certain_vars(op.right)
+        if any(c not in sure_l or c not in sure_r for c in shared):
+            # §8.3.1 compatibility join: an OPTIONAL/UNION-unbound
+            # shared var merges with anything (same machinery as MINUS)
+            return self._compat_join(left, right, shared)
         return self._natural_join(
-            self.compile(op.left),
-            self.compile(op.right),
+            left,
+            right,
             l_est=self._est_op(op.left),
             r_est=self._est_op(op.right),
         )
+
+    def _compat_join(self, left: DataFrame, right: DataFrame, shared: list[str]) -> DataFrame:
+        """Inner join under SPARQL compatibility (§8.3.1) when a shared
+        var can be unbound: group both sides by their null-mask over
+        the shared vars; each (left-mask, right-mask) pair equality-
+        joins on the vars bound in BOTH (cross join when none) and the
+        merged solution takes the bound side of every shared var
+        (coalesce). Mask enumeration is two distinct-aggregates at plan
+        time; pair count is tiny in practice (1-2 masks per side)."""
+        from itertools import product
+
+        lcols, rcols = self._cols(left), self._cols(right)
+        out_cols = lcols + [c for c in rcols if c not in shared]
+
+        def masks(df) -> list[tuple[bool, ...]]:
+            rows = (
+                df.select(*[F.col(c).isNull().alias(c) for c in shared])
+                .distinct()
+                .collect()
+            )
+            return [tuple(bool(r[c]) for c in shared) for r in rows]
+
+        def mask_filter(mask) -> Column:
+            cond = F.lit(True)
+            for c, is_null in zip(shared, mask):
+                cond = cond & (F.col(c).isNull() if is_null else F.col(c).isNotNull())
+            return cond
+
+        r2 = right
+        for c in rcols:
+            r2 = r2.withColumnRenamed(c, "__r_" + c)
+        self._remember(r2, ["__r_" + c for c in rcols])
+
+        parts = []
+        for lm, rm in product(masks(left), masks(right)):
+            lpart = self._remember(left.filter(mask_filter(lm)), lcols)
+            rcond = F.lit(True)
+            for c, is_null in zip(shared, rm):
+                col = F.col("__r_" + c)
+                rcond = rcond & (col.isNull() if is_null else col.isNotNull())
+            rpart = self._remember(r2.filter(rcond), ["__r_" + c for c in rcols])
+            common = [
+                c for c, ln, rn in zip(shared, lm, rm) if not ln and not rn
+            ]
+            if common:
+                cond = F.lit(True)
+                for c in common:
+                    cond = cond & (lpart[c] == rpart["__r_" + c])
+                joined = lpart.join(rpart, cond, "inner")
+            else:
+                joined = lpart.crossJoin(rpart)
+            merged = [
+                (
+                    F.coalesce(joined[c], joined["__r_" + c]).alias(c)
+                    if c in shared
+                    else joined[c].alias(c)
+                )
+                for c in lcols
+            ]
+            merged += [
+                joined["__r_" + c].alias(c) for c in rcols if c not in shared
+            ]
+            parts.append(self._remember(joined.select(*merged), out_cols))
+        if not parts:  # one side is empty: empty result, joined shape
+            return self._natural_join(left.limit(0), right.limit(0))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return self._remember(out, out_cols)
 
     def _join_values(self, df: DataFrame, vop: Values) -> DataFrame:
         """Join solutions with an inline table containing UNDEF cells:

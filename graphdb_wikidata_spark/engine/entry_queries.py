@@ -1318,3 +1318,29 @@ def sparql_minus_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df.select(_e("s"), _e("n"))
+
+
+@register(
+    "sparql_join_compat",
+    """
+    SELECT 5000000 + a.s_suppkey AS s, b.s_nationkey AS k,
+           5000000 + b.s_suppkey AS x
+    FROM supplier a, supplier b
+    WHERE a.s_nationkey <> 7 AND b.s_nationkey < 3
+    """,
+)
+def sparql_join_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compatibility join (SPARQL §8.3.1) with a maybe-unbound shared
+    var: ?k binds on the left only for nationkey-7 suppliers, so every
+    other left row must merge with EVERY right row (taking ?k from the
+    right) while the k=7 rows join by equality and find no k<3
+    partner. An equality-keyed join returns zero rows here."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?s ?k ?x WHERE {
+          { ?s wdt:P7 ?n . OPTIONAL { ?s wdt:P16 ?k . FILTER(?k = 7) } }
+          { ?x wdt:P16 ?k . FILTER(?k < 3) }
+        }
+        """
+    )
+    return df.select(_e("s"), _i("k"), _e("x"))

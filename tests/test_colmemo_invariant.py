@@ -25,8 +25,9 @@ QUERIES = [
     "SELECT ?s ?o WHERE { ?s wdt:P2 ?o . OPTIONAL { ?s wdt:P7 ?y . FILTER(?y != ?o) } }",
     "SELECT ?s WHERE { { ?s wdt:P2 ?o . } UNION { ?s wdt:P7 ?o . } }",
     "SELECT ?s WHERE { ?s wdt:P2 ?o . MINUS { ?s wdt:P7 ?z . } }",
-    # compatibility-path MINUS: OPTIONAL leaves ?y maybe-unbound
+    # compatibility-path MINUS / Join: OPTIONAL leaves ?y maybe-unbound
     "SELECT ?s WHERE { ?s wdt:P2 ?o . OPTIONAL { ?s wdt:P7 ?y . } MINUS { ?s wdt:P7 ?y . } }",
+    "SELECT ?s ?y WHERE { { ?s wdt:P2 ?o . OPTIONAL { ?s wdt:P7 ?y . } } { ?x wdt:P7 ?y . } }",
     "SELECT ?s WHERE { ?s wdt:P2 ?o . FILTER EXISTS { ?s wdt:P7 ?w . } }",
     "SELECT ?s WHERE { ?s wdt:P2 ?o . FILTER(BOUND(?o) && EXISTS { ?s wdt:P7 ?w . }) }",
     "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o . } GROUP BY ?s HAVING (COUNT(?o) > 1)",

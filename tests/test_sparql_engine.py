@@ -514,3 +514,31 @@ def test_minus_compatibility_with_unbound_shared_var(spark):
         """
     ).collect()
     assert sorted(r["s"]["e"] for r in rows) == [1, 2]
+
+
+def test_join_compatibility_with_unbound_shared_var(spark):
+    """SPARQL §8.3.1: joining solutions where a shared var is unbound
+    on one side merges (unbound is compatible with anything) instead of
+    dropping the row like an equality key would."""
+    from graphdb_wikidata_spark.engine import GraphEngine
+    from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+    quads = [
+        ("Q1", "P7", "Q10", "s1"),
+        ("Q2", "P7", "Q10", "s2"),
+        ("Q1", "P16", 7, "s3"),
+        ("Q2", "P16", 3, "s4"),
+    ]
+    eng = GraphEngine(spark, statements_from_quads(spark, quads))
+    rows = eng.sql(
+        """
+        SELECT ?s ?k ?x WHERE {
+          { ?s wdt:P7 ?n . OPTIONAL { ?s wdt:P16 ?k . FILTER(?k = 7) } }
+          { ?x wdt:P16 ?k . }
+        }
+        """
+    ).collect()
+    got = sorted((r["s"]["e"], r["k"]["i"], r["x"]["e"]) for r in rows)
+    # Q1 (k=7 bound) joins only the k=7 right row; Q2 (k unbound)
+    # joins BOTH right rows and takes k from the right side
+    assert got == [(1, 7, 1), (2, 3, 2), (2, 7, 1)]
