@@ -518,6 +518,109 @@ class Compiler:
             out = out.unionByName(p)
         return self._remember(out, out_cols)
 
+    def _compat_leftjoin(
+        self, left: DataFrame, right: DataFrame, shared: list[str], expr
+    ) -> DataFrame:
+        """LeftJoin (OPTIONAL) under compatibility semantics when a
+        shared var can be unbound: merged rows come from the pairwise
+        mask-group join (expr folded into each pair's condition);
+        left rows compatible with NO right row (under expr) survive
+        once per input row with the right-only columns unbound. Row
+        identity for the unmatched set is the serialized left row —
+        duplicate left rows match or miss together, so multiset
+        semantics are preserved."""
+        from itertools import product
+
+        lcols, rcols = self._cols(left), self._cols(right)
+        out_cols = lcols + [c for c in rcols if c not in shared]
+
+        def masks(df, cols_prefix="") -> list[tuple[bool, ...]]:
+            rows = (
+                df.select(
+                    *[F.col(cols_prefix + c).isNull().alias(c) for c in shared]
+                )
+                .distinct()
+                .collect()
+            )
+            return [tuple(bool(r[c]) for c in shared) for r in rows]
+
+        lk = self._remember(
+            left.withColumn("__lk", F.to_json(F.struct(*[left[c] for c in lcols]))),
+            lcols + ["__lk"],
+        )
+        r2 = right
+        for c in rcols:
+            r2 = r2.withColumnRenamed(c, "__r_" + c)
+        self._remember(r2, ["__r_" + c for c in rcols])
+
+        parts = []
+        for lm, rm in product(masks(left), masks(r2, "__r_")):
+            lcond, rcond = F.lit(True), F.lit(True)
+            for c, lnull in zip(shared, lm):
+                lcond = lcond & (F.col(c).isNull() if lnull else F.col(c).isNotNull())
+            for c, rnull in zip(shared, rm):
+                col = F.col("__r_" + c)
+                rcond = rcond & (col.isNull() if rnull else col.isNotNull())
+            lpart = self._remember(lk.filter(lcond), lcols + ["__lk"])
+            rpart = self._remember(r2.filter(rcond), ["__r_" + c for c in rcols])
+            bound_l = {c for c, n in zip(shared, lm) if not n}
+            bound_r = {c for c, n in zip(shared, rm) if not n}
+            cond = F.lit(True)
+            for c in bound_l & bound_r:
+                cond = cond & (lpart[c] == rpart["__r_" + c])
+            if expr is not None:
+                # per-pair masks pin which side binds each var, so the
+                # merged value of a shared var is deterministic here
+                def resolve(name: str, _l=lpart, _r=rpart, _bl=bound_l, _br=bound_r):
+                    if name in shared:
+                        if name in _bl:
+                            return _l[name]
+                        if name in _br:
+                            return _r["__r_" + name]
+                        return F.lit(None).cast(TERM_T)
+                    if name in lcols:
+                        return _l[name]
+                    if name in rcols:
+                        return _r["__r_" + name]
+                    return F.lit(None).cast(TERM_T)
+
+                ec = ExprCompiler(lpart, resolve=resolve, colset=lcols)
+                cond = cond & F.coalesce(ebv(ec.col(expr)), F.lit(False))
+            joined = lpart.join(rpart, cond, "inner")
+            merged = [joined["__lk"].alias("__lk")]
+            for c in lcols:
+                if c in shared:
+                    merged.append(
+                        F.coalesce(joined[c], joined["__r_" + c]).alias(c)
+                    )
+                else:
+                    merged.append(joined[c].alias(c))
+            merged += [
+                joined["__r_" + c].alias(c) for c in rcols if c not in shared
+            ]
+            parts.append(
+                self._remember(joined.select(*merged), ["__lk"] + out_cols)
+            )
+
+        pad = [
+            F.lit(None).cast(TERM_T).alias(c) for c in rcols if c not in shared
+        ]
+        if not parts:  # right side empty: every left row survives padded
+            out = lk.select(*[lk[c] for c in lcols], *pad)
+            return self._remember(out, out_cols)
+        matched = parts[0]
+        for p in parts[1:]:
+            matched = matched.unionByName(p)
+        matched = self._remember(matched, ["__lk"] + out_cols)
+        matched_keys = matched.select("__lk").distinct()
+        unmatched = (
+            lk.join(matched_keys, on="__lk", how="left_anti")
+            .select(*[F.col(c) for c in lcols], *pad)
+        )
+        self._remember(unmatched, out_cols)
+        out = matched.drop("__lk").unionByName(unmatched)
+        return self._remember(out, out_cols)
+
     def _join_values(self, df: DataFrame, vop: Values) -> DataFrame:
         """Join solutions with an inline table containing UNDEF cells:
         rows are grouped by their binding pattern (which vars are
@@ -563,6 +666,13 @@ class Compiler:
         left, right = self.compile(op.left), self.compile(op.right)
         lcols, rcols = self._cols(left), self._cols(right)
         shared = [c for c in lcols if c in rcols]
+        from .algebra import certain_vars
+
+        sure_l, sure_r = certain_vars(op.left), certain_vars(op.right)
+        if any(c not in sure_l or c not in sure_r for c in shared):
+            # OPTIONAL under compatibility semantics (nested OPTIONALs /
+            # UNION arms sharing a var): unbound shared vars merge
+            return self._compat_leftjoin(left, right, shared, op.expr)
         if op.expr is None:
             return self._natural_join(
                 left, right, "left_outer", r_est=self._est_op(op.right)

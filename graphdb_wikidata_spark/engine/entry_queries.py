@@ -1344,3 +1344,35 @@ def sparql_join_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df.select(_e("s"), _i("k"), _e("x"))
+
+
+@register(
+    "sparql_optional_compat",
+    """
+    WITH r AS (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_nationkey < 3)
+    SELECT 5000000 + a.s_suppkey AS s, 7 AS k, CAST(NULL AS BIGINT) AS x
+    FROM supplier a WHERE a.s_nationkey = 7
+    UNION ALL
+    SELECT 5000000 + a.s_suppkey, r.s_nationkey, 5000000 + r.s_suppkey
+    FROM supplier a, r WHERE a.s_nationkey <> 7
+    UNION ALL
+    SELECT 5000000 + a.s_suppkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM supplier a WHERE a.s_nationkey <> 7 AND NOT EXISTS (SELECT 1 FROM r)
+    """,
+)
+def sparql_optional_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested OPTIONALs sharing ?k (§8.3.2 LeftJoin over compatibility):
+    suppliers whose first OPTIONAL missed (?k unbound) merge with EVERY
+    second-OPTIONAL row (taking ?k from it); the nationkey-7 suppliers
+    (?k = 7 bound) find no k < 3 partner and survive padded. An
+    equality-keyed left join would pad every supplier instead."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?s ?k ?x WHERE {
+          ?s wdt:P7 ?n .
+          OPTIONAL { ?s wdt:P16 ?k . FILTER(?k = 7) }
+          OPTIONAL { ?x wdt:P16 ?k . FILTER(?k < 3) }
+        }
+        """
+    )
+    return df.select(_e("s"), _i("k"), _e("x"))

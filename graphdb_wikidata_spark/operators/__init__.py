@@ -42,8 +42,11 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # aggregation
     "sparql_agg_suite",
     "sparql_group_concat",
-    "sparql_having_sample",
     "sparql_tpch_q1",
+    # §8.3.1/§8.3.2 compatibility semantics (round-2 paths needing
+    # fresh evidence; having_sample/bound_if stay covered by driver_sim
+    # and the agg/expr rows above)
+    "sparql_join_compat",
     # query forms
     "sparql_ask",
     "sparql_construct",
@@ -55,7 +58,7 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_date_funcs",
     "sparql_hash_funcs",
     "sparql_expr_calc",
-    "sparql_bound_if",
+    "sparql_optional_compat",
     # Wikidata-specific routing
     "sparql_stmt_bind",
     "sparql_qualifier_join",

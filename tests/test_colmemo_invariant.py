@@ -28,6 +28,7 @@ QUERIES = [
     # compatibility-path MINUS / Join: OPTIONAL leaves ?y maybe-unbound
     "SELECT ?s WHERE { ?s wdt:P2 ?o . OPTIONAL { ?s wdt:P7 ?y . } MINUS { ?s wdt:P7 ?y . } }",
     "SELECT ?s ?y WHERE { { ?s wdt:P2 ?o . OPTIONAL { ?s wdt:P7 ?y . } } { ?x wdt:P7 ?y . } }",
+    "SELECT ?s ?y ?x WHERE { ?s wdt:P2 ?o . OPTIONAL { ?s wdt:P7 ?y . } OPTIONAL { ?x wdt:P7 ?y . FILTER(?y != ?x) } }",
     "SELECT ?s WHERE { ?s wdt:P2 ?o . FILTER EXISTS { ?s wdt:P7 ?w . } }",
     "SELECT ?s WHERE { ?s wdt:P2 ?o . FILTER(BOUND(?o) && EXISTS { ?s wdt:P7 ?w . }) }",
     "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o . } GROUP BY ?s HAVING (COUNT(?o) > 1)",

@@ -542,3 +542,50 @@ def test_join_compatibility_with_unbound_shared_var(spark):
     # Q1 (k=7 bound) joins only the k=7 right row; Q2 (k unbound)
     # joins BOTH right rows and takes k from the right side
     assert got == [(1, 7, 1), (2, 3, 2), (2, 7, 1)]
+
+
+def test_optional_compatibility_with_unbound_shared_var(spark):
+    """Nested OPTIONALs sharing a var: a left row whose ?y is unbound
+    is compatible with every right row (§8.3.2 LeftJoin over
+    compatibility), merging ?y from the right — not a missed match."""
+    from graphdb_wikidata_spark.engine import GraphEngine
+    from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+    quads = [
+        ("Q1", "P2", "Q3", "s1"),
+        ("Q2", "P2", "Q3", "s2"),
+        ("Q1", "P7", "Q5", "s3"),
+        ("Q9", "P9", "Q5", "s4"),
+        ("Q8", "P9", "Q6", "s5"),
+    ]
+    eng = GraphEngine(spark, statements_from_quads(spark, quads))
+    rows = eng.sql(
+        """
+        SELECT ?s ?y ?x WHERE {
+          ?s wdt:P2 ?o .
+          OPTIONAL { ?s wdt:P7 ?y . }
+          OPTIONAL { ?x wdt:P9 ?y . }
+        }
+        """
+    ).collect()
+    got = sorted(
+        (r["s"]["e"], r["y"]["e"] if r["y"] else None, r["x"]["e"] if r["x"] else None)
+        for r in rows
+    )
+    assert got == [(1, 5, 9), (2, 5, 9), (2, 6, 8)]
+    # and with a pair-level filter: exclude y=Q6 partners; Q2 still
+    # merges with the Q5 row, Q1 keeps its match
+    rows = eng.sql(
+        """
+        SELECT ?s ?y ?x WHERE {
+          ?s wdt:P2 ?o .
+          OPTIONAL { ?s wdt:P7 ?y . }
+          OPTIONAL { ?x wdt:P9 ?y . FILTER(?y != wd:Q6) }
+        }
+        """
+    ).collect()
+    got = sorted(
+        (r["s"]["e"], r["y"]["e"] if r["y"] else None, r["x"]["e"] if r["x"] else None)
+        for r in rows
+    )
+    assert got == [(1, 5, 9), (2, 5, 9)]
