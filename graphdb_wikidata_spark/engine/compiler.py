@@ -602,23 +602,22 @@ class Compiler:
                 self._remember(joined.select(*merged), ["__lk"] + out_cols)
             )
 
-        pad = [
-            F.lit(None).cast(TERM_T).alias(c) for c in rcols if c not in shared
-        ]
-        if not parts:  # right side empty: every left row survives padded
-            out = lk.select(*[lk[c] for c in lcols], *pad)
-            return self._remember(out, out_cols)
+        if not parts:  # right side empty: every left row survives,
+            # padded by the outer join itself (no matches possible) —
+            # also gets the right-only column TYPES right for free
+            return self._natural_join(left, right.limit(0), "left_outer")
         matched = parts[0]
         for p in parts[1:]:
             matched = matched.unionByName(p)
         matched = self._remember(matched, ["__lk"] + out_cols)
         matched_keys = matched.select("__lk").distinct()
-        unmatched = (
-            lk.join(matched_keys, on="__lk", how="left_anti")
-            .select(*[F.col(c) for c in lcols], *pad)
+        unmatched = self._remember(
+            lk.join(matched_keys, on="__lk", how="left_anti").select(*lcols), lcols
         )
-        self._remember(unmatched, out_cols)
-        out = matched.drop("__lk").unionByName(unmatched)
+        # allowMissingColumns pads the right-only columns with NULLs of
+        # the matched side's types (term structs in the engine, but any
+        # column type works)
+        out = matched.drop("__lk").unionByName(unmatched, allowMissingColumns=True)
         return self._remember(out, out_cols)
 
     def _join_values(self, df: DataFrame, vop: Values) -> DataFrame:
