@@ -210,9 +210,13 @@ def media_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_byte_hist_counts",
     """
     SELECT doc_id AS media_id,
-           [len(list_filter(string_split_regex(text, ''),
-                            c -> ascii(c) // 32 = k))
-            for k in [0, 1, 2, 3, 4, 5, 6, 7]] AS bin_counts
+           """
+    + ",\n           ".join(
+        "len(list_filter(string_split_regex(text, ''),"
+        f" c -> ascii(c) // 32 = {k})) AS bin_{k}"
+        for k in range(8)
+    )
+    + """
     FROM documents
     """,
 )
@@ -222,20 +226,28 @@ def media_byte_hist_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin counts instead of L1-normalized float32 features, so the driver
     can hash-match it against DuckDB (per-character ascii()//32 bins —
     exact because the synthetic payloads are pure-ASCII UTF-8; the
-    float path keeps its rows-only check + unit tests)."""
-    import numpy as np
-    import pandas as pd
+    float path keeps its rows-only check + unit tests).
+
+    Output is one scalar ``bin_k bigint`` column per bin — NOT an
+    ``array<bigint>`` — because the driver canonicalizer sorts rows with
+    pandas, which cannot factorize a list column (r02 red row)."""
 
     def fn(batches):
         for pdf in batches:
-            counts = [
-                np.histogram(
-                    np.frombuffer(b, dtype=np.uint8), bins=8, range=(0, 256)
-                )[0].astype(np.int64)
-                for b in pdf["payload"]
-            ]
-            yield pd.DataFrame({"media_id": pdf["media_id"], "bin_counts": counts})
+            if not len(pdf):
+                continue
+            counts = np.stack(
+                [
+                    np.histogram(
+                        np.frombuffer(b, dtype=np.uint8), bins=8, range=(0, 256)
+                    )[0]
+                    for b in pdf["payload"]
+                ]
+            ).astype(np.int64)
+            out = {"media_id": pdf["media_id"]}
+            for k in range(8):
+                out[f"bin_{k}"] = counts[:, k]
+            yield pd.DataFrame(out)
 
-    return media_table(spark, sf_dir).mapInPandas(
-        fn, schema="media_id bigint, bin_counts array<bigint>"
-    )
+    schema = "media_id bigint, " + ", ".join(f"bin_{k} bigint" for k in range(8))
+    return media_table(spark, sf_dir).mapInPandas(fn, schema=schema)
