@@ -119,6 +119,11 @@ def main() -> None:
                 "dedup_minhash_lsh",
                 "events_asof_join",
                 "sparql_path_transitive",
+                # iterative + stateful entries: regressions here (e.g.
+                # checkpoint-cadence changes) must show up in the
+                # artifact, not wait for the judge (VERDICT r02 #8)
+                "graph_pagerank_chain",
+                "stream_tumbling_counts",
             ):
                 best, n = None, 0
                 for _ in range(2):

@@ -113,13 +113,14 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-        # lineage cut every 5th round: checkpoints are the dominant
-        # cost on small graphs (one job each) while plans only grow
-        # linearly between cuts (measured: 5 beats 3 by ~10% at sf0.1
-        # with no analysis blowup); redistribute's dangling aggregate
-        # is part of the same plan, so it no longer forces per-round
-        # cuts
-        if it % 5 == 4 or it == iterations - 1:
+        # lineage cut every 3rd round: each localCheckpoint runs one
+        # job over the plan accumulated since the last cut, so a longer
+        # cadence makes each cut job re-execute a deeper join chain —
+        # under cold-start driver conditions (BENCH_r02) cadence 5 cost
+        # 3.2x vs cadence 3, far outweighing the ~10% steady-state win
+        # it was picked for; redistribute's dangling aggregate rides in
+        # the same plan either way
+        if it % 3 == 2 or it == iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks
 
