@@ -18,6 +18,7 @@ collection anywhere.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 from typing import Iterable
@@ -38,15 +39,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     is) — the stream sees the same event-time column as the batch
     twin it is cross-checked against."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # file stream sources need a directory: point at the sf dir and
-    # glob-filter to the events file(s)
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        # Spark-written dataset: events.parquet IS a directory of part
+        # files — stream it directly (a glob filter on the parent would
+        # match the directory name, not the files, and read nothing)
+        raw = reader.load(path)
+    else:
+        # single-file testdata: file stream sources need a directory,
+        # so point at the sf dir and glob-filter to the events file
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":
         raw = raw.withColumn(
@@ -176,7 +180,13 @@ def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame
     as a batch DataFrame. Test/bench harness only — production sinks
     are writeStream.format('delta'/'kafka'/...)."""
     name = "mem_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    # checkpoint on tmpfs when available: availableNow runs write the
+    # offset/commit/state files synchronously inside the micro-batch,
+    # and on a disk-backed /tmp that fsync tax dominated the bench tail
+    # (BENCH_r02 stream_tumbling_counts +1.1s); state is tiny and the
+    # dir is deleted right after termination, so tmpfs is safe here
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=ckpt_base)
     spark = df.sparkSession
     # stateful streaming ops key their state stores to
     # spark.sql.shuffle.partitions at FIRST run and AQE does not apply
@@ -199,4 +209,5 @@ def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
