@@ -138,7 +138,11 @@ def _transitive_closure(
         mode = "seminaive" if n > SEMINAIVE_THRESHOLD else "doubling"
 
     if mode == "seminaive":
-        rounds = 256 if max_rounds is None else max_rounds
+        # run until the delta is empty — diameter is data, not a
+        # constant, so a fixed round count would silently truncate the
+        # closure (same rationale as _reachable_from); the cap is a
+        # runaway bound only and raising beats returning a wrong answer
+        rounds = 65_536 if max_rounds is None else max_rounds
         base = paths  # deduped one-step relation, checkpointed
         delta = paths
         for _ in range(rounds):
@@ -157,6 +161,11 @@ def _transitive_closure(
                 break
             paths = paths.unionByName(new).localCheckpoint()
             delta = new
+        else:
+            raise RuntimeError(
+                f"transitive closure did not converge within {rounds} rounds"
+                " — raise max_rounds if the graph really is this deep"
+            )
         return paths.drop("__pk")
 
     rounds = 20 if max_rounds is None else max_rounds  # diameter up to 2^20
@@ -209,6 +218,11 @@ def _reachable_from(step: DataFrame, s: str, o: str, src_col, max_rounds: int = 
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    else:
+        raise RuntimeError(
+            f"BFS frontier did not drain within {max_rounds} rounds"
+            " — raise max_rounds if the graph really is this deep"
+        )
     return visited.drop("__nk")
 
 
