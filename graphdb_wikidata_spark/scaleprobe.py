@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 
 from .tables import TABLE_NAMES, table
 
+#: bump when _scaled's synthesis rules change — the on-disk cache is
+#: keyed to (source files x synthesis code), not the source alone
+_SYNTHESIS_VERSION = 2
+
 COPY_1X = ("region", "nation")
 PK = {
     "customer": "c_custkey",
@@ -68,7 +72,13 @@ def _scaled(spark: SparkSession, sf_dir: str, name: str, factor: int) -> DataFra
         ).withColumn("o_custkey", F.col("o_custkey") + F.col("__copy") * cspan)
     elif name == "lineitem":
         ospan = _span(spark, sf_dir, "orders", "o_orderkey")
-        out = out.withColumn("l_orderkey", F.col("l_orderkey") + F.col("__copy") * ospan)
+        pspan = _span(spark, sf_dir, "part", "p_partkey")
+        sspan = _span(spark, sf_dir, "supplier", "s_suppkey")
+        out = (
+            out.withColumn("l_orderkey", F.col("l_orderkey") + F.col("__copy") * ospan)
+            .withColumn("l_partkey", F.col("l_partkey") + F.col("__copy") * pspan)
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.col("__copy") * sspan)
+        )
     elif name in ("part", "supplier", "embeddings"):
         k = PK[name]
         span = _span(spark, sf_dir, name, k)
@@ -103,6 +113,7 @@ def _source_fingerprint(sf_dir: str) -> str:
     import hashlib
 
     h = hashlib.sha256()
+    h.update(f"synthesis-v{_SYNTHESIS_VERSION}".encode())
     for name in TABLE_NAMES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         try:

@@ -37,6 +37,24 @@ def test_keys_unique_and_fks_intact(spark, big_dir):
     assert o.join(c, o.o_custkey == c.c_custkey, "left_anti").count() == 0
     li = table(spark, big_dir, "lineitem")
     assert li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count() == 0
+    # part/supplier FKs must shift in lockstep with their dimensions:
+    # otherwise copies 1..N-1 of part/supplier are orphaned and each
+    # base key gets FACTORx fan-out (ADVICE r02)
+    p = table(spark, big_dir, "part")
+    s = table(spark, big_dir, "supplier")
+    assert li.join(p, li.l_partkey == p.p_partkey, "left_anti").count() == 0
+    assert li.join(s, li.l_suppkey == s.s_suppkey, "left_anti").count() == 0
+    # and every part/supplier copy keeps its base fan-out (no orphans,
+    # no concentration): referenced-key counts scale exactly FACTORx
+    base_li = table(spark, SF_SMOKE, "lineitem")
+    assert (
+        li.select("l_partkey").distinct().count()
+        == FACTOR * base_li.select("l_partkey").distinct().count()
+    )
+    assert (
+        li.select("l_suppkey").distinct().count()
+        == FACTOR * base_li.select("l_suppkey").distinct().count()
+    )
 
 
 def test_documents_copies_are_not_near_dups(spark, big_dir):
