@@ -282,6 +282,83 @@ def pattern_vars(op: Op) -> set[str]:
     return out
 
 
+#: binding_masks result-size bound — beyond this the analysis returns
+#: None (callers fall back to a coarser approximation); keeps the
+#: compat-join plan from exploding into hundreds of union branches
+MASKS_CAP = 24
+
+
+def binding_masks(op: Op) -> frozenset[frozenset[str]] | None:
+    """The set of POSSIBLE bound-variable sets of solutions produced by
+    ``op``, derived purely from the algebra (no data access), or None
+    when a node makes it undeterminable. Over-approximate by design: a
+    mask that cannot occur at runtime only adds an empty branch to a
+    compatibility join, never a wrong answer. This is what lets the
+    compat machinery stay action-free at plan time (ADVICE r02): the
+    OPTIONAL/UNION/UNDEF structure that creates maybe-unbound vars is
+    exactly the structure this reads the masks off of."""
+
+    def capped(s: frozenset[frozenset[str]]) -> frozenset[frozenset[str]] | None:
+        return s if len(s) <= MASKS_CAP else None
+
+    if isinstance(op, (Bgp, PathPattern)):
+        return frozenset({frozenset(pattern_vars(op))})
+    if isinstance(op, Values):
+        return capped(
+            frozenset(
+                frozenset(
+                    v for i, v in enumerate(op.variables) if row[i] is not None
+                )
+                for row in op.rows
+            )
+        )
+    if isinstance(op, (Join, LateralJoin)):
+        l, r = binding_masks(op.left), binding_masks(op.right)
+        if l is None or r is None:
+            return None
+        return capped(frozenset(a | b for a in l for b in r))
+    if isinstance(op, LeftJoin):
+        l, r = binding_masks(op.left), binding_masks(op.right)
+        if l is None or r is None:
+            return None
+        return capped(frozenset(a | b for a in l for b in r) | l)
+    if isinstance(op, Union):
+        l, r = binding_masks(op.left), binding_masks(op.right)
+        if l is None or r is None:
+            return None
+        return capped(l | r)
+    if isinstance(op, Minus):
+        return binding_masks(op.left)
+    if isinstance(op, Extend):
+        l = binding_masks(op.input)
+        if l is None:
+            return None
+        # BIND errors leave the var unbound, so both shapes are possible
+        return capped(frozenset(a | {op.var} for a in l) | l)
+    if isinstance(op, Project):
+        l = binding_masks(op.input)
+        if l is None:
+            return None
+        keep = set(op.variables)
+        return capped(frozenset(frozenset(a & keep) for a in l))
+    if isinstance(op, LabelService):
+        l = binding_masks(op.input)
+        if l is None:
+            return None
+        # each lookup target independently hits or misses
+        out = l
+        for new_var, _base, _kind in op.targets:
+            out = frozenset(a | {new_var} for a in out) | out
+            if len(out) > MASKS_CAP:
+                return None
+        return out
+    if isinstance(op, (Filter, OrderBy, Distinct, Reduced, Slice)):
+        # Filter can only REMOVE masks (e.g. FILTER(BOUND(?x))) — the
+        # over-approximation stays sound
+        return binding_masks(op.input)
+    return None  # Group / Construct / Describe / unknown
+
+
 def certain_vars(op: Op) -> set[str]:
     """Variable names an operator tree binds in EVERY solution
     (SPARQL's "certainly bound" static analysis). Conservative: a var

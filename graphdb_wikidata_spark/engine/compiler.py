@@ -16,6 +16,8 @@ runtime with real sizes.
 
 from __future__ import annotations
 
+from itertools import product as _iproduct
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -426,22 +428,30 @@ class Compiler:
         )
 
     def _c_join(self, op: Join) -> DataFrame:
+        from .algebra import certain_vars, pattern_vars
+
         # VALUES blocks containing UNDEF need SPARQL compatibility-join
         # semantics (unbound matches anything) — a plain equality join
-        # would drop the NULL keys
-        if isinstance(op.right, Values) and any(None in r for r in op.right.rows):
-            return self._join_values(self.compile(op.left), op.right)
-        if isinstance(op.left, Values) and any(None in r for r in op.left.rows):
-            return self._join_values(self.compile(op.right), op.left)
+        # would drop the NULL keys. The pattern-group fast path is only
+        # sound when the OTHER side certainly binds every shared var;
+        # otherwise (e.g. OPTIONAL then VALUES with UNDEF) a NULL-bound
+        # df row must merge per §8.3.1, so take the general compat path.
+        for vop, other in ((op.right, op.left), (op.left, op.right)):
+            if isinstance(vop, Values) and any(None in r for r in vop.rows):
+                sure = certain_vars(other)
+                shared_v = set(vop.variables) & pattern_vars(other)
+                if all(v in sure for v in shared_v):
+                    return self._join_values(self.compile(other), vop)
+                left, right = self.compile(other), self.compile(vop)
+                shared = [c for c in self._cols(left) if c in self._cols(right)]
+                return self._compat_join(left, right, shared, other, vop)
         left, right = self.compile(op.left), self.compile(op.right)
         shared = [c for c in self._cols(left) if c in self._cols(right)]
-        from .algebra import certain_vars
-
         sure_l, sure_r = certain_vars(op.left), certain_vars(op.right)
         if any(c not in sure_l or c not in sure_r for c in shared):
             # §8.3.1 compatibility join: an OPTIONAL/UNION-unbound
             # shared var merges with anything (same machinery as MINUS)
-            return self._compat_join(left, right, shared)
+            return self._compat_join(left, right, shared, op.left, op.right)
         return self._natural_join(
             left,
             right,
@@ -449,26 +459,67 @@ class Compiler:
             r_est=self._est_op(op.right),
         )
 
-    def _compat_join(self, left: DataFrame, right: DataFrame, shared: list[str]) -> DataFrame:
+    #: max (left-mask x right-mask) pairs a statically over-approximated
+    #: compat join may expand to before we prefer exact data enumeration
+    COMPAT_PAIR_CAP = 9
+
+    def _shared_masks(self, op, df: DataFrame, shared: list[str]) -> list[tuple[bool, ...]]:
+        """Possible null-masks over ``shared`` for the solutions of
+        ``op`` (True = unbound). Static when the algebra determines
+        them (binding_masks), else a 2^|maybe-unbound| over-
+        approximation from certain/pattern vars — both action-free; the
+        plan-time data enumeration (a Spark job inside compile()) only
+        remains as the last resort for unknown algebra shapes."""
+        from .algebra import binding_masks, certain_vars, pattern_vars
+
+        if op is not None:
+            bm = binding_masks(op)
+            if bm is not None:
+                return sorted({tuple(v not in b for v in shared) for b in bm})
+            sure, poss = certain_vars(op), pattern_vars(op)
+            opts = [
+                (False,) if v in sure else ((True,) if v not in poss else (False, True))
+                for v in shared
+            ]
+            combos = [tuple(t) for t in _iproduct(*opts)]
+            if len(combos) <= 16:
+                return combos
+        rows = (
+            df.select(*[F.col(c).isNull().alias(c) for c in shared])
+            .distinct()
+            .collect()
+        )
+        return [tuple(bool(r[c]) for c in shared) for r in rows]
+
+    def _compat_join(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        shared: list[str],
+        lop=None,
+        rop=None,
+    ) -> DataFrame:
         """Inner join under SPARQL compatibility (§8.3.1) when a shared
         var can be unbound: group both sides by their null-mask over
         the shared vars; each (left-mask, right-mask) pair equality-
         joins on the vars bound in BOTH (cross join when none) and the
         merged solution takes the bound side of every shared var
-        (coalesce). Mask enumeration is two distinct-aggregates at plan
-        time; pair count is tiny in practice (1-2 masks per side)."""
+        (coalesce). Masks come from static algebra analysis
+        (_shared_masks) — extra statically-possible masks only add
+        branches that filter to empty; pair count is tiny in practice
+        (1-2 masks per side)."""
         from itertools import product
 
         lcols, rcols = self._cols(left), self._cols(right)
         out_cols = lcols + [c for c in rcols if c not in shared]
 
-        def masks(df) -> list[tuple[bool, ...]]:
-            rows = (
-                df.select(*[F.col(c).isNull().alias(c) for c in shared])
-                .distinct()
-                .collect()
-            )
-            return [tuple(bool(r[c]) for c in shared) for r in rows]
+        lmasks = self._shared_masks(lop, left, shared)
+        rmasks = self._shared_masks(rop, right, shared)
+        if len(lmasks) * len(rmasks) > self.COMPAT_PAIR_CAP:
+            # over-approximation too wide: pay the two plan-time jobs
+            # for the exact (typically 1-2 per side) runtime masks
+            lmasks = self._shared_masks(None, left, shared)
+            rmasks = self._shared_masks(None, right, shared)
 
         def mask_filter(mask) -> Column:
             cond = F.lit(True)
@@ -482,7 +533,7 @@ class Compiler:
         self._remember(r2, ["__r_" + c for c in rcols])
 
         parts = []
-        for lm, rm in product(masks(left), masks(right)):
+        for lm, rm in product(lmasks, rmasks):
             lpart = self._remember(left.filter(mask_filter(lm)), lcols)
             rcond = F.lit(True)
             for c, is_null in zip(shared, rm):
@@ -519,7 +570,13 @@ class Compiler:
         return self._remember(out, out_cols)
 
     def _compat_leftjoin(
-        self, left: DataFrame, right: DataFrame, shared: list[str], expr
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        shared: list[str],
+        expr,
+        lop=None,
+        rop=None,
     ) -> DataFrame:
         """LeftJoin (OPTIONAL) under compatibility semantics when a
         shared var can be unbound: merged rows come from the pairwise
@@ -528,21 +585,17 @@ class Compiler:
         once per input row with the right-only columns unbound. Row
         identity for the unmatched set is the serialized left row —
         duplicate left rows match or miss together, so multiset
-        semantics are preserved."""
+        semantics are preserved. Masks are static (_shared_masks)."""
         from itertools import product
 
         lcols, rcols = self._cols(left), self._cols(right)
         out_cols = lcols + [c for c in rcols if c not in shared]
 
-        def masks(df, cols_prefix="") -> list[tuple[bool, ...]]:
-            rows = (
-                df.select(
-                    *[F.col(cols_prefix + c).isNull().alias(c) for c in shared]
-                )
-                .distinct()
-                .collect()
-            )
-            return [tuple(bool(r[c]) for c in shared) for r in rows]
+        lmasks = self._shared_masks(lop, left, shared)
+        rmasks = self._shared_masks(rop, right, shared)
+        if len(lmasks) * len(rmasks) > self.COMPAT_PAIR_CAP:
+            lmasks = self._shared_masks(None, left, shared)
+            rmasks = self._shared_masks(None, right, shared)
 
         lk = self._remember(
             left.withColumn("__lk", F.to_json(F.struct(*[left[c] for c in lcols]))),
@@ -554,7 +607,7 @@ class Compiler:
         self._remember(r2, ["__r_" + c for c in rcols])
 
         parts = []
-        for lm, rm in product(masks(left), masks(r2, "__r_")):
+        for lm, rm in product(lmasks, rmasks):
             lcond, rcond = F.lit(True), F.lit(True)
             for c, lnull in zip(shared, lm):
                 lcond = lcond & (F.col(c).isNull() if lnull else F.col(c).isNotNull())
@@ -671,7 +724,9 @@ class Compiler:
         if any(c not in sure_l or c not in sure_r for c in shared):
             # OPTIONAL under compatibility semantics (nested OPTIONALs /
             # UNION arms sharing a var): unbound shared vars merge
-            return self._compat_leftjoin(left, right, shared, op.expr)
+            return self._compat_leftjoin(
+                left, right, shared, op.expr, op.left, op.right
+            )
         if op.expr is None:
             return self._natural_join(
                 left, right, "left_outer", r_est=self._est_op(op.right)
@@ -759,10 +814,10 @@ class Compiler:
         shared var unbound) an unbound var is "don't care", NOT an
         equality key: group each side by its null-mask over the shared
         vars and anti-join every (left-mask, right-mask) pair on the
-        vars bound in both — masks are enumerated from the data (two
-        small distinct-aggregates at plan time; mask count <= 2^shared,
-        in practice 1-2 per side). The reference's Minus is todo!
-        (calc_engine.rs) — the spec is the only semantics to match."""
+        vars bound in both — masks from static algebra analysis
+        (_shared_masks; mask count <= 2^shared, in practice 1-2 per
+        side). The reference's Minus is todo! (calc_engine.rs) — the
+        spec is the only semantics to match."""
         left, right = self.compile(op.left), self.compile(op.right)
         lcols = self._cols(left)
         shared = [c for c in lcols if c in self._cols(right)]
@@ -776,23 +831,19 @@ class Compiler:
 
         rshared = self._remember(right.select(*shared), shared)
 
-        def masks(df) -> list[tuple[bool, ...]]:
-            rows = (
-                df.select(*[F.col(c).isNull().alias(c) for c in shared])
-                .distinct()
-                .collect()
-            )
-            return [tuple(bool(r[c]) for c in shared) for r in rows]
-
         def mask_filter(df, mask) -> Column:
             cond = F.lit(True)
             for c, is_null in zip(shared, mask):
                 cond = cond & (F.col(c).isNull() if is_null else F.col(c).isNotNull())
             return cond
 
-        rmasks = masks(rshared)
+        lmasks = self._shared_masks(op.left, left, shared)
+        rmasks = self._shared_masks(op.right, rshared, shared)
+        if len(lmasks) * len(rmasks) > self.COMPAT_PAIR_CAP:
+            lmasks = self._shared_masks(None, left, shared)
+            rmasks = self._shared_masks(None, rshared, shared)
         parts = []
-        for lm in masks(left):
+        for lm in lmasks:
             lpart = self._remember(left.filter(mask_filter(left, lm)), lcols)
             kept = lpart
             for rm in rmasks:
