@@ -58,6 +58,28 @@ class GraphEngine:
     def plan(self, query: str):
         return parse_query(query)
 
+    def register_function(self, iri: str, fn, kind: str = "string") -> "GraphEngine":
+        """Register a custom SPARQL extension function callable as
+        ``<iri>(args...)`` in queries (the hook the reference declares
+        but panics on — interpreter.rs:655-659, calc_engine.rs:2930).
+
+        ``fn`` is any Column builder — including a ``pandas_udf`` —
+        and ``kind`` picks the term/value convention ('string',
+        'numeric', 'bool', or 'term' for raw term structs); see
+        expressions.register_custom_function. The registry is
+        process-wide (like ``spark.udf.register``), so two engines in
+        one process share it."""
+        from .expressions import register_custom_function
+
+        register_custom_function(iri, fn, kind)
+        return self
+
+    def unregister_function(self, iri: str) -> "GraphEngine":
+        from .expressions import unregister_custom_function
+
+        unregister_custom_function(iri)
+        return self
+
     def sql(self, query: str) -> DataFrame:
         """SPARQL -> DataFrame of term-struct columns (one per
         projected variable)."""

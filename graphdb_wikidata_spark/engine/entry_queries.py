@@ -493,6 +493,46 @@ def sparql_label_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_custom_func",
+    """
+    SELECT 2000000 + o_orderkey AS o,
+           regexp_replace(lower(o_orderpriority), '[^a-z0-9]+', '-', 'g') AS slug,
+           o_totalprice * 2 + 1 AS scaled
+    FROM orders
+    """,
+)
+def sparql_custom_func(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom extension functions by IRI — the hook the reference
+    declares but panics on (interpreter.rs:655-659, calc_engine.rs:
+    2930): register a string slugifier and a numeric tax function,
+    then call them as ``ex:slug(...)`` / ``ex:scale(...)`` inside BIND.
+    Both are plain Column builders, so they stay JVM-side (whole-stage
+    codegen) — a pandas_udf registers identically (unit-tested)."""
+    eng = _engine(spark, sf_dir)
+    eng.register_function(
+        "http://example.org/fn/slug",
+        lambda s: F.regexp_replace(F.lower(s), "[^a-z0-9]+", "-"),
+        kind="string",
+    )
+    eng.register_function(
+        "http://example.org/fn/scale",
+        lambda x: x * 2 + 1,  # exact in binary: no round-tie risk vs DuckDB
+        kind="numeric",
+    )
+    df = eng.sql(
+        """
+        PREFIX ex: <http://example.org/fn/>
+        SELECT ?o ?slug ?scaled WHERE {
+          ?o wdt:P6 ?prio . ?o wdt:P4 ?price .
+          BIND(ex:slug(?prio) AS ?slug)
+          BIND(ex:scale(?price) AS ?scaled)
+        }
+        """
+    )
+    return df.select(_e("o"), _s("slug"), _d("scaled"))
+
+
+@register(
     "sparql_hash_funcs",
     """
     SELECT 3000000 + n_nationkey AS n,

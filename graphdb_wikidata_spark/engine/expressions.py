@@ -263,9 +263,50 @@ def _flags_of(args: tuple[Expr, ...], idx: int) -> str | None:
     return None
 
 
+# ---- custom (extension) functions by IRI --------------------------------
+# The reference declares this hook and panics (interpreter.rs:655-659,
+# calc_engine.rs:2930); here it is real: register a Column builder (or
+# any pandas_udf — it is called like a Column function) under the
+# function's IRI and queries may call `<iri>(args...)`. The registry is
+# process-wide, like SparkSession.udf.register.
+
+CUSTOM_FUNCTIONS: dict[str, "object"] = {}
+
+
+def register_custom_function(iri: str, fn, kind: str = "string") -> None:
+    """Register ``fn`` as the SPARQL extension function ``<iri>``.
+
+    kind picks the value convention at the term boundary:
+    - 'term':    fn receives/returns term-struct Columns (full control)
+    - 'string':  fn receives plain string Columns, returns a string
+                 Column (or pandas_udf result) -> xsd:string term
+    - 'numeric': fn receives double Columns, returns a double Column
+                 -> xsd:double term
+    - 'bool':    fn receives double Columns, returns a boolean Column
+                 -> xsd:boolean term
+    """
+    if kind == "term":
+        wrapped = fn
+    elif kind == "string":
+        wrapped = lambda *a: _plain(fn(*[str_val(x) for x in a]))  # noqa: E731
+    elif kind == "numeric":
+        wrapped = lambda *a: _num_result(fn(*[num(x) for x in a]))  # noqa: E731
+    elif kind == "bool":
+        wrapped = lambda *a: _bool_result(fn(*[num(x) for x in a]))  # noqa: E731
+    else:
+        raise ValueError(f"unknown custom-function kind {kind!r}")
+    CUSTOM_FUNCTIONS[iri] = wrapped
+
+
+def unregister_custom_function(iri: str) -> None:
+    CUSTOM_FUNCTIONS.pop(iri, None)
+
+
 def build_function(name: str, args: list[Column], raw_args: tuple[Expr, ...]) -> Column:
     """Builtin function dispatch (reference calculate_function_call,
     calc_engine.rs:1186-2936)."""
+    if name in CUSTOM_FUNCTIONS:
+        return CUSTOM_FUNCTIONS[name](*args)
     n = name.upper()
     a = args[0] if args else None
 
@@ -447,6 +488,11 @@ def build_function(name: str, args: list[Column], raw_args: tuple[Expr, ...]) ->
     if n in ("SHA256", "SHA384", "SHA512"):
         return _plain(F.sha2(str_val(a), int(n[3:])))
 
+    if "://" in name:
+        raise NotImplementedError(
+            f"extension function <{name}> is not registered — use "
+            "GraphEngine.register_function(iri, fn) to provide it"
+        )
     raise NotImplementedError(f"SPARQL function {name}")
 
 

@@ -914,7 +914,19 @@ class Parser:
                     return ECmp("sameTerm", args[0], args[1])
                 args = self._parse_expr_list()
                 return EFunc(up, tuple(args))
-        # IRI function call or plain term literal
+        # IRI function call (iriOrFunction: custom/extension functions
+        # dispatched by full IRI — the hook the reference panics on,
+        # interpreter.rs:655-659) or plain term literal
+        if t.kind in ("IRIREF", "PNAME"):
+            if t.kind == "IRIREF":
+                iri = t.value[1:-1]
+            else:
+                prefix, _, local = t.value.partition(":")
+                iri = expand_pname(prefix, local, self.prefixes)
+            self.next()
+            if self.peek().value == "(":
+                return EFunc(iri, tuple(self._parse_expr_list()))
+            return ELit(parse_iri(iri))
         term = self.parse_var_or_term()
         if isinstance(term, Term):
             return ELit(term)
