@@ -240,6 +240,17 @@ class Describe(Op):
 
 
 @dataclass(frozen=True)
+class Graph(Op):
+    """GRAPH name { input }: scope the inner pattern to a named graph
+    (reference IR declares Graph but never executes it,
+    calc_data_types.rs:117-205). ``name`` is a Var (range over all
+    named graphs, binding the var) or a Term (that graph only)."""
+
+    name: "Term | Var"
+    input: Op
+
+
+@dataclass(frozen=True)
 class LabelService(Op):
     """The wikibase:label SERVICE rewrite target (reference
     rewrite_label_service, interpreter.rs:784-917): for each target
@@ -272,6 +283,10 @@ def pattern_vars(op: Op) -> set[str]:
     elif isinstance(op, Group):
         out.update(op.group_vars)
         out.update(a.var for a in op.aggregates)
+    elif isinstance(op, Graph):
+        out = pattern_vars(op.input) | (
+            {op.name.name} if isinstance(op.name, Var) else set()
+        )
     elif isinstance(op, LabelService):
         out = pattern_vars(op.input) | {t[0] for t in op.targets}
     else:
@@ -352,6 +367,14 @@ def binding_masks(op: Op) -> frozenset[frozenset[str]] | None:
             if len(out) > MASKS_CAP:
                 return None
         return out
+    if isinstance(op, Graph):
+        inner = binding_masks(op.input)
+        if inner is None:
+            return None
+        if isinstance(op.name, Var):
+            g = op.name.name
+            return capped(frozenset(a | {g} for a in inner))
+        return inner
     if isinstance(op, (Filter, OrderBy, Distinct, Reduced, Slice)):
         # Filter can only REMOVE masks (e.g. FILTER(BOUND(?x))) — the
         # over-approximation stays sound
@@ -394,6 +417,11 @@ def certain_vars(op: Op) -> set[str]:
         # groups whose inputs all error (and SUM/AVG on non-numerics)
         out |= {a.var for a in op.aggregates if a.func == "count"}
         return out
+    if isinstance(op, Graph):
+        # every solution of GRAPH ?g binds ?g (to the matched graph)
+        return certain_vars(op.input) | (
+            {op.name.name} if isinstance(op.name, Var) else set()
+        )
     if isinstance(op, LabelService):
         return certain_vars(op.input)  # lookup targets may miss
     if isinstance(op, (Filter, OrderBy, Distinct, Reduced, Slice)):

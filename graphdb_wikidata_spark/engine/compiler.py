@@ -71,6 +71,10 @@ class Compiler:
         # var-predicate scans (see scan.py module docstring); default off
         # to match the reference's published cardinalities
         self.union_stmt_forms = union_stmt_forms
+        # active GRAPH scope (Term | Var | None): set while compiling
+        # the body of a Graph operator; scans read it to filter/bind
+        # the quad's graph_id
+        self._graph_ctx: "Term | Var | None" = None
         self._pred_stats: tuple[dict, int] | None = None
         # DataFrame -> column list memo. Spark 4 analyzes lazily, so
         # every .columns read on a freshly built DataFrame re-analyzes
@@ -94,12 +98,14 @@ class Compiler:
         self._colmemo[df] = list(cols)
         return df
 
-    @staticmethod
-    def _tp_cols(tp: TriplePattern) -> list[str]:
-        """Output columns of scan_pattern(tp): the pattern's variables
-        in s,p,o binding order, first occurrence wins (mirrors
-        scan.py's repeated-variable handling)."""
+    def _tp_cols(self, tp: TriplePattern) -> list[str]:
+        """Output columns of scan_pattern(tp): the graph var (when
+        inside GRAPH ?g), then the pattern's variables in s,p,o binding
+        order, first occurrence wins (mirrors scan.py's
+        repeated-variable handling)."""
         out: list[str] = []
+        if isinstance(self._graph_ctx, Var):
+            out.append(self._graph_ctx.name)
         for x in (tp.s, tp.p, tp.o):
             if isinstance(x, Var) and x.name not in out:
                 out.append(x.name)
@@ -320,6 +326,11 @@ class Compiler:
         one shuffle where the join form is N."""
         from collections import defaultdict
 
+        if isinstance(self._graph_ctx, Var):
+            # inside GRAPH ?g every scan must bind the graph var; the
+            # star's single groupBy cannot, so fall back to plain scans
+            return [], patterns
+
         groups: dict[str, list[TriplePattern]] = defaultdict(list)
         rest: list[TriplePattern] = []
         for tp in patterns:
@@ -347,10 +358,11 @@ class Compiler:
             ):
                 rest.extend(tps)
                 continue
-            from .scan import ensure_term_columns
+            from .scan import _graph_clause, ensure_term_columns
 
+            gcond, _ = _graph_clause(self._graph_ctx)
             st = ensure_term_columns(self.statements).filter(
-                (F.col("pred_kind") == "P") & F.col("pred_id").isin(preds)
+                (F.col("pred_kind") == "P") & F.col("pred_id").isin(preds) & gcond
             )
             aggs = [
                 F.max(F.when(F.col("pred_id") == p, F.col("__obj_term"))).alias(v)
@@ -394,7 +406,12 @@ class Compiler:
                 (
                     self._estimate(tp),
                     self._remember(
-                        scan_pattern(self.statements, tp, self.union_stmt_forms),
+                        scan_pattern(
+                            self.statements,
+                            tp,
+                            self.union_stmt_forms,
+                            graph=self._graph_ctx,
+                        ),
                         self._tp_cols(tp),
                     ),
                 )
@@ -423,9 +440,24 @@ class Compiler:
 
     def _c_triplepattern(self, op: TriplePattern) -> DataFrame:
         return self._remember(
-            scan_pattern(self.statements, op, self.union_stmt_forms),
+            scan_pattern(
+                self.statements, op, self.union_stmt_forms, graph=self._graph_ctx
+            ),
             self._tp_cols(op),
         )
+
+    def _c_graph(self, op) -> DataFrame:
+        """GRAPH name { body }: compile the body with the graph scope
+        active — each scan inside filters graph_id and (for GRAPH ?g)
+        binds the graph var, so a BGP's natural joins keep one
+        solution's triples in a single named graph with no extra
+        operator. The reference declares Graph but never executes it
+        (calc_data_types.rs:117-205)."""
+        prev, self._graph_ctx = self._graph_ctx, op.name
+        try:
+            return self.compile(op.input)
+        finally:
+            self._graph_ctx = prev
 
     def _c_join(self, op: Join) -> DataFrame:
         from .algebra import certain_vars, pattern_vars
@@ -1097,9 +1129,16 @@ class Compiler:
             F.array(*[F.lit(x) for x in langs]), F.col("__tl")
         )
         for new_var, base, kind in op.targets:
+            gdefault = (
+                F.col("graph_id").isNull()
+                if "graph_id" in self.statements.columns
+                else F.lit(True)
+            )
             terms = (
                 self.statements.filter(
-                    (F.col("pred_kind") == kind) & F.col("pred_lang").isin(langs)
+                    (F.col("pred_kind") == kind)
+                    & F.col("pred_lang").isin(langs)
+                    & gdefault
                 )
                 .select(
                     F.col("subject_kind").alias("__tk"),

@@ -767,21 +767,47 @@ def sparql_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sparql_graph_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GRAPH patterns range over named graphs, of which a Wikidata
-    store has none (the reference's Graph operator is declared-but-
-    todo!, calc_engine.rs:244-246): the GRAPH branch of the UNION
-    contributes zero solutions, leaving exactly the default-graph
-    branch."""
+    """Default-graph isolation: GRAPH scoped to an IRI with no quads
+    contributes zero solutions (the reference's Graph operator is
+    declared-but-todo!, calc_engine.rs:244-246 — here GRAPH executes
+    for real, so the empty case must come from an absent graph, not
+    from GRAPH being a stub)."""
     df = _engine(spark, sf_dir).sql(
         """
         SELECT ?r WHERE {
           { ?n wdt:P3 ?r . }
           UNION
-          { GRAPH ?g { ?n wdt:P3 ?r . } }
+          { GRAPH <http://example.org/graph/absent> { ?n wdt:P3 ?r . } }
         }
         """
     )
     return df.select(_e("r"))
+
+
+@register(
+    "sparql_graph_named",
+    """
+    SELECT 'http://example.org/graph/geo' AS g,
+           3000000 + n_nationkey AS n, 4000000 + n_regionkey AS r
+    FROM nation
+    UNION ALL
+    SELECT 'http://example.org/graph/chain',
+           3000000 + n_nationkey, 3000000 + n_nationkey - 1
+    FROM nation WHERE n_nationkey > 0
+    """,
+)
+def sparql_graph_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-graph quads for real (beyond the reference, whose Graph IR
+    never executes): GRAPH ?g ranges over the named graphs only — the
+    geo graph holds the nation->region edges, the chain graph the
+    nation chain — binding ?g per solution; the default-graph copies of
+    the same claims are invisible inside GRAPH."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?g ?n ?x WHERE { GRAPH ?g { ?n ?p ?x . } }
+        """
+    )
+    return df.select(_s("g"), _e("n").alias("n"), _e("x").alias("r"))
 
 
 @register(

@@ -31,6 +31,7 @@ from .algebra import (
     Expr,
     Extend,
     Filter,
+    Graph,
     Group,
     Join,
     LabelService,
@@ -497,21 +498,21 @@ class Parser:
                 self.next()
                 self.parse_service_clause()
             elif self.at_keyword("GRAPH"):
-                # the store is a single default graph (the reference's
-                # Graph operator is declared-but-todo!, calc_engine.rs:
-                # 244-246): GRAPH patterns range over named graphs only,
-                # of which there are none -> empty solution set
+                # named-graph scope (the reference's Graph operator is
+                # declared-but-todo!, calc_engine.rs:244-246; here it
+                # executes for real against the quad column graph_id)
                 self.next()
                 t = self.next()  # graph name: var or IRI
-                if t.kind not in ("VAR", "PNAME", "IRIREF"):
+                if t.kind == "VAR":
+                    gname: Term | Var = Var(t.value[1:])
+                elif t.kind == "IRIREF":
+                    gname = parse_iri(t.value[1:-1])
+                elif t.kind == "PNAME":
+                    prefix, _, local = t.value.partition(":")
+                    gname = parse_iri(expand_pname(prefix, local, self.prefixes))
+                else:
                     raise SyntaxError(f"GRAPH expects a var or IRI, got {t.value!r}")
-                inner = self.parse_group_graph_pattern()
-                from .algebra import pattern_vars
-
-                gvars = ([t.value[1:]] if t.kind == "VAR" else []) + sorted(
-                    pattern_vars(inner)
-                )
-                add(Values(tuple(dict.fromkeys(gvars)), ()))
+                add(Graph(gname, self.parse_group_graph_pattern()))
             elif self.peek().value == "{":
                 sub = self.parse_group_graph_pattern()
                 while self.at_keyword("UNION"):

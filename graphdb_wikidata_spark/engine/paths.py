@@ -31,11 +31,19 @@ def _fresh() -> Var:
 
 
 def _pairs(compiler, path: PathExpr, s: Var, o: Var) -> DataFrame:
-    """Compile a path into a DataFrame with columns [s.name, o.name]."""
+    """Compile a path into a DataFrame with columns [s.name, o.name].
+
+    Inside GRAPH <iri> the scans are graph-scoped; GRAPH ?g around a
+    path is rejected in compile_path (a closure must stay within ONE
+    graph, which per-row graph binding cannot express through the
+    iterative join)."""
     from .scan import scan_pattern
 
+    graph = getattr(compiler, "_graph_ctx", None)
     if path.kind == "link":
-        return scan_pattern(compiler.statements, TriplePattern(s, path.terms[0], o))
+        return scan_pattern(
+            compiler.statements, TriplePattern(s, path.terms[0], o), graph=graph
+        )
     if path.kind == "reverse":
         inner = _pairs(compiler, path.parts[0], o, s)
         return inner.select(s.name, o.name)
@@ -72,11 +80,12 @@ def _identity_pairs(compiler, s: Var, o: Var) -> DataFrame:
     zero-length-path node set."""
     from .scan import scan_pattern
 
+    graph = getattr(compiler, "_graph_ctx", None)
     subs = scan_pattern(
-        compiler.statements, TriplePattern(s, Var("__ip"), Var("__io"))
+        compiler.statements, TriplePattern(s, Var("__ip"), Var("__io")), graph=graph
     ).select(s.name)
     objs = scan_pattern(
-        compiler.statements, TriplePattern(Var("__is"), Var("__ip2"), s)
+        compiler.statements, TriplePattern(Var("__is"), Var("__ip2"), s), graph=graph
     ).select(s.name)
     nodes = subs.unionByName(objs).distinct()
     return nodes.select(F.col(s.name), F.col(s.name).alias(o.name))
@@ -86,7 +95,11 @@ def _negated_pairs(compiler, path: PathExpr, s: Var, o: Var) -> DataFrame:
     from .scan import scan_pattern
 
     pvar = _fresh()
-    df = scan_pattern(compiler.statements, TriplePattern(s, pvar, o))
+    df = scan_pattern(
+        compiler.statements,
+        TriplePattern(s, pvar, o),
+        graph=getattr(compiler, "_graph_ctx", None),
+    )
     excluded = [t for t in path.terms if isinstance(t, Term) and t.t == "entity"]
     cond = F.lit(True)
     for t in excluded:
@@ -227,7 +240,15 @@ def _reachable_from(step: DataFrame, s: str, o: str, src_col, max_rounds: int = 
 
 
 def compile_path(compiler, op: PathPattern) -> DataFrame:
+    from .algebra import Var as _V
     from .expressions import lit_term
+
+    if isinstance(getattr(compiler, "_graph_ctx", None), _V):
+        raise NotImplementedError(
+            "property paths inside GRAPH ?var — a closure is per-graph"
+            " and the variable scope cannot be bound through the"
+            " iterative join; bind the graph IRI instead"
+        )
 
     s = op.s if isinstance(op.s, Var) else _fresh()
     o = op.o if isinstance(op.o, Var) else _fresh()

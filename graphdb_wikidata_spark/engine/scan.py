@@ -104,6 +104,11 @@ def _stmt_id_term() -> Column:
     return make_term(t="stmt", s=F.col("statement_id"))
 
 
+def _graph_term() -> Column:
+    """Named-graph IRI -> plain-IRI term (NULL row = default graph)."""
+    return make_term(t="str", k="string", s=F.col("graph_id"))
+
+
 #: precomputed term-struct columns (see ensure_term_columns)
 TERM_COLS = {
     "__subj_term": _subject_term,
@@ -111,21 +116,27 @@ TERM_COLS = {
     "__pred_term_stmt": lambda: _predicate_term(as_pstmt=True),
     "__obj_term": _object_term,
     "__stmt_term": _stmt_id_term,
+    "__graph_term": _graph_term,
 }
 
 
 def ensure_term_columns(statements: DataFrame) -> DataFrame:
-    """Append the five term-struct columns once, up front.
+    """Append the term-struct columns once, up front.
 
     Building the 11-field term structs (with their 10-branch object
     type dispatch) inside every ``scan_pattern`` call costs hundreds of
     driver-side Column constructions per query — measurable seconds of
     plan-build time on complex BGPs. Materializing them as ordinary
-    columns makes each scan a filter + a five-column select; the
+    columns makes each scan a filter + a few-column select; the
     projection itself is whole-stage-codegen'd and cached with the
-    DataFrame."""
+    DataFrame. Pre-graph data (no ``graph_id`` column) gets a NULL
+    one, i.e. everything lives in the default graph."""
     if "__obj_term" in statements.columns:
         return statements
+    if "graph_id" not in statements.columns:
+        statements = statements.withColumn(
+            "graph_id", F.lit(None).cast("string")
+        )
     return statements.withColumns({name: fn() for name, fn in TERM_COLS.items()})
 
 
@@ -171,8 +182,27 @@ def _filter_object(t: Term) -> Column:
     return F.lit(False)
 
 
+def _graph_clause(graph) -> tuple[Column, tuple[str, Column] | None]:
+    """(filter condition, optional var binding) for a GRAPH scope."""
+    if graph is None:
+        return F.col("graph_id").isNull(), None
+    if isinstance(graph, Var):
+        return F.col("graph_id").isNotNull(), (graph.name, F.col("__graph_term"))
+    if graph.t == "str":
+        return F.col("graph_id") == graph.s, None
+    if graph.t == "entity":
+        # entity-shaped graph name: match its canonical wd: IRI
+        from .terms import PREFIXES
+
+        return F.col("graph_id") == f"{PREFIXES['wd']}{graph.k}{graph.e}", None
+    return F.lit(False), None
+
+
 def scan_pattern(
-    statements: DataFrame, tp: TriplePattern, union_stmt_forms: bool = False
+    statements: DataFrame,
+    tp: TriplePattern,
+    union_stmt_forms: bool = False,
+    graph: "Term | Var | None" = None,
 ) -> DataFrame:
     """Compile one triple pattern into a filtered projection of
     ``statements`` whose columns are the pattern's variables (term
@@ -182,6 +212,13 @@ def scan_pattern(
     bound-subject/var-predicate/var-object behavior (calc_engine.rs:
     3182-3203): each claim edge is emitted twice — direct form
     ``(wdt:P, value)`` and statement form ``(p:P, wds:stmt-id)``.
+
+    ``graph`` scopes the match per SPARQL dataset semantics: None ->
+    default graph only (graph_id IS NULL); a Term -> that named graph;
+    a Var -> any named graph, with the var bound to the graph IRI. A
+    BGP inside GRAPH ?g then keeps all triples of one solution in the
+    SAME graph for free: every scan binds ?g and the natural join
+    equates them.
     """
     statements = ensure_term_columns(statements)
     s, p, o = tp.s, tp.p, tp.o
@@ -193,24 +230,40 @@ def scan_pattern(
         and isinstance(o, Var)
         and p.name != o.name
     ):
-        direct = scan_pattern(statements, tp, union_stmt_forms=False)
+        direct = scan_pattern(statements, tp, union_stmt_forms=False, graph=graph)
         # statement-form half: claim rows only (term edges — labels/
         # descriptions/aliases — have no statement node; qualifier rows
         # hang off stmt subjects and are excluded by the bound subject
         # unless it IS a stmt node, in which case there is no second form
         # either: their statement_id is the edge id, not a wds: node)
+        gcond, gbind = _graph_clause(graph)
         stmt_cond = (
             _filter_subject(s)
             & (F.col("subject_kind") != "stmt")
             & (F.col("pred_kind") == "P")
+            & gcond
         )
-        stmt_half = statements.filter(stmt_cond).select(
+        stmt_sel = [
             F.col("__pred_term_stmt").alias(p.name),
             F.col("__stmt_term").alias(o.name),
-        )
+        ]
+        if gbind is not None:
+            if gbind[0] not in (p.name, o.name):
+                stmt_sel.append(gbind[1].alias(gbind[0]))
+            else:  # graph var repeated in the pattern: equality-constrain
+                tcol = (
+                    F.col("__pred_term_stmt")
+                    if gbind[0] == p.name
+                    else F.col("__stmt_term")
+                )
+                stmt_cond = stmt_cond & gbind[1].eqNullSafe(tcol)
+        stmt_half = statements.filter(stmt_cond).select(*stmt_sel)
         return direct.unionByName(stmt_half)
-    cond = F.lit(True)
+    gcond, gbind = _graph_clause(graph)
+    cond = gcond
     bindings: list[tuple[str, Column]] = []  # (var name, column) per position
+    if gbind is not None:
+        bindings.append(gbind)
 
     # ---- predicate routing flags
     stmt_pred = isinstance(p, Term) and p.t == "entity" and p.k == "Pstmt"

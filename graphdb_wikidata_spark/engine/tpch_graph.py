@@ -73,6 +73,7 @@ def _stmt(
     subj_stmt=None,
     pred_kind: str = "P",
     pred_lang=None,
+    graph: str | None = None,
 ) -> list:
     """Column template for one statement row. With ``subj_stmt`` the
     subject is a statement node (qualifier edge, parser.rs:483-492)."""
@@ -194,6 +195,7 @@ def _stmt(
             F.lit("-"),
             (subj_stmt if subj_stmt is not None else subj_id).cast("string"),
         ).alias("statement_id"),
+        F.lit(graph).cast("string").alias("graph_id"),
     ]
     return cols
 
@@ -270,6 +272,27 @@ def tpch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cust.select(
             *_stmt(F.col("c_custkey") + C, 0, obj_string=F.col("c_name"), pred_kind="label", pred_lang="en")
+        ),
+        # named graphs (provenance-graph style): the nation geo edges
+        # and the chain edges ALSO recorded under named-graph IRIs.
+        # Default-graph scans filter graph_id IS NULL, so these rows
+        # are invisible to every non-GRAPH pattern; GRAPH ?g / GRAPH
+        # <iri> bind them (entry sparql_graph_named).
+        nation.select(
+            *_stmt(
+                F.col("n_nationkey") + N,
+                3,
+                obj_entity=F.col("n_regionkey") + R,
+                graph="http://example.org/graph/geo",
+            )
+        ),
+        nation.filter(F.col("n_nationkey") > 0).select(
+            *_stmt(
+                F.col("n_nationkey") + N,
+                8,
+                obj_entity=F.col("n_nationkey") - 1 + N,
+                graph="http://example.org/graph/chain",
+            )
         ),
     ]
     out = parts[0]

@@ -252,9 +252,12 @@ def load_dump(
         F.col("claim")["qualifiers"].alias("qualifiers"),
     )
 
-    claim_edges = claims.select(*STATEMENT_COLUMNS)
+    # Wikidata dumps carry no named graphs: everything lands in the
+    # default graph (graph_id NULL)
+    null_graph = F.lit(None).cast("string").alias("graph_id")
+    claim_edges = claims.withColumn("graph_id", null_graph).select(*STATEMENT_COLUMNS)
 
-    out = terms.unionByName(claim_edges)
+    out = terms.withColumn("graph_id", null_graph).unionByName(claim_edges)
 
     if parse_qualifiers:
         quals = (
@@ -281,6 +284,7 @@ def load_dump(
                     F.xxhash64("parent_stmt", "pred_id", "pos").cast("string"),
                 ).alias("statement_id"),
             )
+            .withColumn("graph_id", null_graph)
             .select(*STATEMENT_COLUMNS)
         )
         out = out.unionByName(quals)

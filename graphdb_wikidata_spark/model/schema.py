@@ -80,6 +80,11 @@ STATEMENT_COLUMNS = [
     "obj_qty",
     "obj_coord",
     "statement_id",
+    # named-graph IRI; NULL = default graph. The reference IR declares
+    # a Graph operator but never executes it (calc_data_types.rs:
+    # 117-205) — carrying the quad's graph in the schema is what lets
+    # GRAPH patterns actually bind here.
+    "graph_id",
 ]
 
 
@@ -125,16 +130,21 @@ def statements_from_quads(spark: SparkSession, quads: list[tuple]) -> DataFrame:
     Spark analogue of the reference's prefix-quad mini-DSL
     (storage_engine/mod.rs:713-729: "wd:Q1, wdt:P2, wd:Q3, wds:4").
 
-    Each quad is (subject, predicate, object, statement_id) where
+    Each quad is (subject, predicate, object, statement_id) — or a
+    5-tuple with a trailing named-graph IRI — where
     - subject: 'Q1' / 'P2' / 'L3' entity token, or ('stmt', id)
     - predicate: 'P2' token, or ('label'|'description'|'alias', lang)
     - object: entity token, python str/int/float/bool, or a dict with a
       'type' key for exotic values
     - statement_id: str or None (auto 'anon-<n>')
+    - graph: full IRI string, or absent/None for the default graph
     """
     rows = []
-    for n, (s, p, o, sid) in enumerate(quads):
+    for n, q in enumerate(quads):
+        s, p, o, sid = q[:4]
         row: dict = {c: None for c in STATEMENT_COLUMNS}
+        if len(q) > 4:
+            row["graph_id"] = q[4]
         if isinstance(s, tuple) and s[0] == "stmt":
             row["subject_kind"] = "stmt"
             row["subject_stmt"] = s[1]
@@ -175,7 +185,7 @@ def statements_from_quads(spark: SparkSession, quads: list[tuple]) -> DataFrame:
         "obj_type string, obj_entity_kind string, obj_entity_id long,"
         "obj_string string, obj_lang string,"
         f"obj_time {TIME_T}, obj_qty {QTY_T}, obj_coord {COORD_T},"
-        "statement_id string"
+        "statement_id string, graph_id string"
     )
     df = spark.createDataFrame(rows, schema=schema)
     # int/double/bool objects arrive via obj_string for createDataFrame
