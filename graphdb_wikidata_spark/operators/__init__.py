@@ -13,81 +13,74 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The external correctness gate hashes the FIRST 50 registry entries against
-# the DuckDB oracle each round.  Round 1's artifact already proved the
-# relational/events/text/dedup families, so this list front-loads the entries
-# that round 1's window missed — the SPARQL engine (the core deliverable)
-# plus one full family each of graph / streaming / multimodal / ANN — so that
-# across rounds every operator family has a green row in a hard artifact.
+# the DuckDB oracle each round. Rounds 1-2 proved the relational/events/
+# text/dedup families and the SPARQL core; round 3's window front-loads
+# (a) every entry whose CODE CHANGED this round — new GRAPH/custom-func
+# surface, the static-mask compat rewrite, the graph-scoped scan layer,
+# paths, streaming, PageRank cadence, the reshaped media entry — and
+# (b) the 21 entries that had never been inside a driver window
+# (VERDICT r02 task 2), so every registry entry has hard-artifact
+# evidence in SOME round.
 PRIORITY_ENTRIES: tuple[str, ...] = (
-    # SPARQL algebra core
-    "sparql_bgp_join",
-    "sparql_optional",
-    "sparql_union",
-    "sparql_minus",
-    "sparql_exists",
-    "sparql_not_exists",
-    "sparql_lateral",
-    "sparql_values_undef",
-    "sparql_reduced",
+    # -- new this round: named graphs + extension functions
+    "sparql_graph_named",
     "sparql_graph_empty",
-    "sparql_subselect",
-    "sparql_order_limit",
-    "sparql_filter_agg",
-    # property paths
+    "sparql_custom_func",
+    # -- reshaped this round (r02's one red row)
+    "media_byte_hist_counts",
+    # -- never-windowed backlog (VERDICT r02 task 2)
+    "sparql_agg_distinct",
+    "sparql_bnode_list",
+    "sparql_bound_if",
+    "sparql_concat_case",
+    "sparql_coord_terms",
+    "sparql_count_optional",
+    "sparql_distinct_offset",
+    "sparql_having_sample",
+    "sparql_in_filter",
+    "sparql_int_cross_type",
+    "sparql_label_lookup",
+    "sparql_lang_funcs",
+    "sparql_optional_filter",
+    "sparql_quantity_terms",
+    "sparql_regex_uri",
+    "sparql_spo_union_forms",
+    "sparql_sum_distinct",
+    "stream_dedup_exact",
+    "stream_running_totals",
+    "stream_session_stats",
+    "media_feature_hist",  # rows-only by design (float features)
+    # -- compat machinery rewritten onto static masks this round
+    "sparql_join_compat",
+    "sparql_optional_compat",
+    "sparql_minus_optional",
+    "sparql_minus",
+    "sparql_optional",
+    "sparql_values_undef",
+    # -- property paths (closure loop + graph threading changed)
     "sparql_path_sequence",
     "sparql_path_transitive",
     "sparql_path_alt_inverse",
     "sparql_path_zero_or_one",
     "sparql_path_negated",
-    # aggregation
-    "sparql_agg_suite",
-    "sparql_group_concat",
+    # -- scan layer grew the default-graph filter: re-prove the core
+    #    shapes + Wikidata routing over it
+    "sparql_bgp_join",
     "sparql_tpch_q1",
-    # §8.3.1/§8.3.2 compatibility semantics (round-2 paths needing
-    # fresh evidence; having_sample/bound_if stay covered by driver_sim
-    # and the agg/expr rows above)
-    "sparql_join_compat",
-    # query forms
-    "sparql_ask",
-    "sparql_construct",
-    "sparql_describe",
-    # expression / function library
-    "sparql_term_funcs",
-    "sparql_string_funcs",
-    "sparql_numeric_funcs",
-    "sparql_date_funcs",
-    "sparql_hash_funcs",
-    "sparql_expr_calc",
-    "sparql_optional_compat",
-    # Wikidata-specific routing
+    "sparql_agg_suite",
     "sparql_stmt_bind",
     "sparql_qualifier_join",
     "sparql_ps_pq_chain",
     "sparql_wds_lookup",
     "sparql_label_service",
-    # §8.3.3 compatibility MINUS (the reworked semantics need fresh
-    # evidence; sparql_label_lookup's surface is covered by
-    # sparql_label_service above and round 1 artifacts)
-    "sparql_minus_optional",
-    # graph analytics
-    "graph_pagerank_chain",
-    "graph_connected_components",
-    "graph_bfs_chain",
-    # structured streaming (windowed agg + stream-stream join; the other
-    # three streaming entries were green in round 1's artifact)
+    "sparql_describe",
+    "sparql_exists",
+    "sparql_not_exists",
+    # -- streaming (checkpoint/tmpfs + source-path logic changed)
     "stream_tumbling_counts",
     "stream_interval_join",
-    # multimodal
-    "media_catalog",
-    "media_frame_sample",
-    "media_byte_hist_counts",
-    # ANN candidate bounding + the round-2 LSH-bounded dedup compositions
-    # (these three REPLACED the all-pairs kernels round 1 proved, so they
-    # need fresh hard evidence)
-    "embedding_lsh_buckets",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_lsh_verified",
+    # -- PageRank cadence reverted this round
+    "graph_pagerank_chain",
 )
 
 
