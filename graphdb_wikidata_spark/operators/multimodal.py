@@ -80,18 +80,27 @@ _DECODE_SCHEMA = (
 
 
 def _decode_payload(b: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decoder. A real build would do::
+    """Decode a media payload into a (height, width) uint8 grid.
 
-        from PIL import Image; import io
-        return np.asarray(Image.open(io.BytesIO(b)))
+    Opportunistic real codec: when PIL is importable AND the payload is
+    actual image bytes, decode + grayscale + resize with it. Otherwise
+    — codec absent (this container) or payload not decodable media
+    (the synthetic testdata payloads are UTF-8 text) — fall back to the
+    deterministic STUB that tiles the payload bytes into the declared
+    grid: same shape, same dtype, fully reproducible, so oracles and
+    benchmarks never depend on which branch ran."""
+    try:
+        import io
 
-    PIL is not in this container, so the deterministic fake tiles the
-    payload bytes into the (height, width) grid the metadata declares —
-    same shape, same dtype, fully reproducible."""
-    try:  # pragma: no cover - codec not present in this container
-        import PIL.Image  # noqa: F401
+        import PIL.Image
 
-        raise NotImplementedError("real codec path intentionally stubbed")
+        try:  # pragma: no cover - PIL absent in this container
+            img = PIL.Image.open(io.BytesIO(b)).convert("L")
+            return np.asarray(img.resize((width, height)), dtype=np.uint8).reshape(
+                (height, width)
+            )
+        except Exception:  # noqa: BLE001 - not an image: deterministic path
+            pass
     except ImportError:
         pass
     arr = np.frombuffer(b, dtype=np.uint8)
