@@ -118,8 +118,15 @@ class Compiler:
         116-119). One tiny distributed aggregate, cached per engine;
         at full-Wikidata scale this is still only ~#predicates rows."""
         if self._pred_stats is None:
+            # default-graph stats: estimates drive join order, broadcast
+            # hints AND the star rewrite's functionality proof — named-
+            # graph copies of a claim would otherwise make a functional
+            # predicate look non-functional (n > distinct subjects)
+            base = self.statements
+            if "graph_id" in base.columns:
+                base = base.filter(F.col("graph_id").isNull())
             rows = (
-                self.statements.groupBy("pred_kind", "pred_id")
+                base.groupBy("pred_kind", "pred_id")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     # struct-wrapped: count_distinct over bare columns
@@ -1014,6 +1021,22 @@ class Compiler:
             ).alias(spec.var)
         if f == "sample":
             return F.first(e, ignorenulls=True).alias(spec.var)
+        from .expressions import CUSTOM_AGGREGATES, str_val
+
+        if f in CUSTOM_AGGREGATES:
+            fn, kind = CUSTOM_AGGREGATES[f]
+            if kind == "numeric":
+                return make_term(t="double", d=fn(num(e))).alias(spec.var)
+            if kind == "int":
+                return make_term(t="int", i=fn(num(e))).alias(spec.var)
+            if kind == "string":
+                return make_term(t="str", k="string", s=fn(str_val(e))).alias(spec.var)
+            return fn(e).alias(spec.var)  # 'term': raw structs through
+        if "://" in f:
+            raise NotImplementedError(
+                f"custom aggregate <{f}> is not registered — use "
+                "GraphEngine.register_aggregate(iri, fn) to provide it"
+            )
         raise NotImplementedError(f"aggregate {f}")
 
     def _c_group(self, op: Group) -> DataFrame:

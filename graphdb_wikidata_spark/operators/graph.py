@@ -207,7 +207,11 @@ def _entity_edges(spark: SparkSession, sf_dir: str, preds: list[int] | None = No
     from ..engine.tpch_graph import tpch_statements
 
     st = tpch_statements(spark, sf_dir).filter(
-        (F.col("pred_kind") == "P") & (F.col("obj_type") == "entity")
+        (F.col("pred_kind") == "P")
+        & (F.col("obj_type") == "entity")
+        # default graph only: the named-graph provenance copies of the
+        # chain/geo claims would otherwise double every edge
+        & F.col("graph_id").isNull()
     )
     if preds is not None:
         st = st.filter(F.col("pred_id").isin(preds))
