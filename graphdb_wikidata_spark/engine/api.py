@@ -80,6 +80,26 @@ class GraphEngine:
         unregister_custom_function(iri)
         return self
 
+    def register_aggregate(self, iri: str, fn, kind: str = "numeric") -> "GraphEngine":
+        """Register a custom SPARQL AGGREGATE callable as
+        ``(<iri>(?x) AS ?v)`` in queries — the reference's other
+        declared-but-todo hook (calc_engine.rs:877-879). ``fn`` is an
+        aggregate Column builder: a builtin (``F.median``) or a
+        ``pandas_udf(..., functionType=GROUPED_AGG)``; ``kind`` is
+        'numeric' | 'int' | 'string' | 'term'. Registration is parse
+        time — register before ``sql()``. Process-wide, like
+        register_function."""
+        from .expressions import register_custom_aggregate
+
+        register_custom_aggregate(iri, fn, kind)
+        return self
+
+    def unregister_aggregate(self, iri: str) -> "GraphEngine":
+        from .expressions import unregister_custom_aggregate
+
+        unregister_custom_aggregate(iri)
+        return self
+
     def sql(self, query: str) -> DataFrame:
         """SPARQL -> DataFrame of term-struct columns (one per
         projected variable)."""

@@ -533,6 +533,38 @@ def sparql_custom_func(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_custom_agg",
+    """
+    SELECT 1000000 + o_custkey AS c,
+           count(CASE WHEN o_totalprice > 150000 THEN 1 END) AS nbig
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def sparql_custom_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AGGREGATE by IRI (reference hook calc_engine.rs:877-879,
+    todo! there): register a threshold-count aggregate and call it as
+    ``(ex:bigcnt(?price) AS ?nbig)`` — any aggregate Column builder or
+    GROUPED_AGG pandas_udf registers the same way (the pandas_udf path
+    is unit-tested; this entry keeps an exact integer result so the
+    DuckDB hash-match is airtight)."""
+    eng = _engine(spark, sf_dir)
+    eng.register_aggregate(
+        "http://example.org/fn/bigcnt",
+        lambda v: F.count(F.when(v > 150000, F.lit(1))),
+        kind="int",
+    )
+    df = eng.sql(
+        """
+        PREFIX ex: <http://example.org/fn/>
+        SELECT ?c (ex:bigcnt(?price) AS ?nbig) WHERE {
+          ?o wdt:P1 ?c . ?o wdt:P4 ?price .
+        } GROUP BY ?c
+        """
+    )
+    return df.select(_e("c"), _i("nbig"))
+
+
+@register(
     "sparql_hash_funcs",
     """
     SELECT 3000000 + n_nationkey AS n,

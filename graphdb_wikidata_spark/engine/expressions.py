@@ -302,6 +302,25 @@ def unregister_custom_function(iri: str) -> None:
     CUSTOM_FUNCTIONS.pop(iri, None)
 
 
+# custom AGGREGATES by IRI — the reference's other declared-but-todo
+# hook (calc_engine.rs:877-879). fn is an aggregate Column builder: a
+# builtin (F.median, F.mode, ...) or a pandas_udf(..., GROUPED_AGG).
+# kind picks the value convention: 'numeric' feeds doubles and wraps a
+# double term, 'int' wraps an integer term, 'string' feeds rendered
+# strings, 'term' passes the raw term structs through untouched.
+CUSTOM_AGGREGATES: dict[str, tuple[object, str]] = {}
+
+
+def register_custom_aggregate(iri: str, fn, kind: str = "numeric") -> None:
+    if kind not in ("numeric", "int", "string", "term"):
+        raise ValueError(f"unknown custom-aggregate kind {kind!r}")
+    CUSTOM_AGGREGATES[iri] = (fn, kind)
+
+
+def unregister_custom_aggregate(iri: str) -> None:
+    CUSTOM_AGGREGATES.pop(iri, None)
+
+
 def build_function(name: str, args: list[Column], raw_args: tuple[Expr, ...]) -> Column:
     """Builtin function dispatch (reference calculate_function_call,
     calc_engine.rs:1186-2936)."""

@@ -439,6 +439,16 @@ class Parser:
         if isinstance(e, ENeg):
             return ENeg(self._extract_aggregates(e.arg))
         if isinstance(e, EFunc):
+            from .expressions import CUSTOM_AGGREGATES
+
+            if e.name in CUSTOM_AGGREGATES:
+                # registered custom aggregate called by IRI (reference
+                # hook calc_engine.rs:877-879, todo! there)
+                var = f"__agg{self._agg_counter}"
+                self._agg_counter += 1
+                arg = e.args[0] if e.args else None
+                self._aggs.append(AggSpec(var, e.name, arg))
+                return EVar(var)
             return EFunc(e.name, tuple(self._extract_aggregates(a) for a in e.args))
         if isinstance(e, EIn):
             return EIn(

@@ -26,6 +26,7 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_graph_named",
     "sparql_graph_empty",
     "sparql_custom_func",
+    "sparql_custom_agg",
     # -- reshaped this round (r02's one red row)
     "media_byte_hist_counts",
     # -- never-windowed backlog (VERDICT r02 task 2)
@@ -75,7 +76,6 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_label_service",
     "sparql_describe",
     "sparql_exists",
-    "sparql_not_exists",
     # -- streaming (checkpoint/tmpfs + source-path logic changed)
     "stream_tumbling_counts",
     "stream_interval_join",

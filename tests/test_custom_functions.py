@@ -118,6 +118,53 @@ def test_iri_literal_without_call_still_a_term(engine):
     assert rows[0]["x"]["e"] == 31
 
 
+def test_custom_aggregate_builtin_builder(engine):
+    from graphdb_wikidata_spark.engine.expressions import unregister_custom_aggregate
+
+    engine.register_aggregate(EX + "nvals", lambda v: F.count(v), kind="int")
+    try:
+        rows = engine.sql(
+            f"""
+            PREFIX ex: <{EX}>
+            SELECT (ex:nvals(?v) AS ?n) WHERE {{ VALUES ?v {{ 1 2 3 }} }}
+            """
+        ).collect()
+        assert rows[0]["n"]["i"] == 3
+    finally:
+        unregister_custom_aggregate(EX + "nvals")
+
+
+def test_custom_aggregate_pandas_udf(engine):
+    from pyspark.sql.functions import PandasUDFType
+
+    from graphdb_wikidata_spark.engine.expressions import unregister_custom_aggregate
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def p90(v: pd.Series) -> float:
+        return float(v.quantile(0.9, interpolation="lower"))
+
+    engine.register_aggregate(EX + "p90", p90, kind="numeric")
+    try:
+        rows = engine.sql(
+            f"""
+            PREFIX ex: <{EX}>
+            SELECT (ex:p90(?v) AS ?q) WHERE {{
+              VALUES ?v {{ 1 2 3 4 5 6 7 8 9 10 }}
+            }}
+            """
+        ).collect()
+        assert rows[0]["q"]["d"] == 9.0  # lower-interpolated p90 of 1..10
+    finally:
+        unregister_custom_aggregate(EX + "p90")
+
+
+def test_unregistered_aggregate_iri_raises(engine):
+    with pytest.raises(NotImplementedError, match="not registered"):
+        engine.sql(
+            f'PREFIX ex: <{EX}> SELECT (ex:noagg(?o) AS ?n) WHERE {{ wdt:Q31 ?p ?o . }}'
+        ).collect()
+
+
 # ---------------------------------------------------------------------------
 # compat machinery: action-free compilation for static mask shapes
 # ---------------------------------------------------------------------------
