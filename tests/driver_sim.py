@@ -27,7 +27,7 @@ def main() -> None:
 
     df = entry_mod.entry(spark)
     rows = df.collect()
-    print(f"entry(): {len(rows)} rows, schema={df.columns}")
+    print(f"entry(): {len(rows)} rows, schema={df.columns}", flush=True)
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -37,11 +37,11 @@ def main() -> None:
         sdf = queries[name](spark, sf_dir)
         if name not in oracles:
             n = sdf.count()
-            print(f"  {name}: rows-only check, {n} rows ({time.perf_counter()-t0:.2f}s)")
+            print(f"  {name}: rows-only check, {n} rows ({time.perf_counter()-t0:.2f}s)", flush=True)
             continue
         ok, msg = compare(sdf, oracles[name], sf_dir)
         status = "OK " if ok else "FAIL"
-        print(f"  {status} {name} ({time.perf_counter()-t0:.2f}s) {'' if ok else msg}")
+        print(f"  {status} {name} ({time.perf_counter()-t0:.2f}s) {'' if ok else msg}", flush=True)
         if not ok:
             failed.append(name)
     print(f"\n{len(queries) - len(failed)}/{len(queries)} queries match at {sf_dir}")
