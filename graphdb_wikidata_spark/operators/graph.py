@@ -155,6 +155,11 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         )
         # path halving: comp <- comp[comp]
         c2 = new.select(F.col("node").alias("n2"), F.col("comp").alias("c2"))
+        # localCheckpoint (not persist): checkpointed RDDs are cleaned
+        # by the ContextCleaner when the frame goes out of scope,
+        # while persist() pins blocks in the cache manager until an
+        # explicit unpersist — across 50 rounds that leak OOMs a
+        # default-sized driver
         new = (
             new.join(c2, new["comp"] == c2["n2"], "left")
             .select("node", F.least(F.col("comp"), F.coalesce(F.col("c2"), F.col("comp"))).alias("comp"))

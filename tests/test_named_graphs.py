@@ -98,6 +98,28 @@ def test_path_inside_graph_var_rejected(eng):
         eng.sql("SELECT ?o WHERE { GRAPH ?g { wd:Q1 wdt:P1+ ?o . } }")
 
 
+def test_graph_filter_pushes_to_parquet(spark, eng, tmp_path_factory):
+    """The 100 TB design point for named graphs: the graph_id filter
+    (both the default-graph IS NULL and the bound-graph equality) must
+    reach the parquet scan as a pushed filter, so GRAPH <iri> prunes at
+    the storage layer instead of post-scan."""
+    from graphdb_wikidata_spark.engine.algebra import TriplePattern, Var
+    from graphdb_wikidata_spark.engine.scan import scan_pattern
+    from graphdb_wikidata_spark.engine.terms import Term
+
+    path = str(tmp_path_factory.mktemp("ng") / "stmts.parquet")
+    statements_from_quads(spark, QUADS).write.parquet(path)
+    stmts = spark.read.parquet(path)
+    tp = TriplePattern(Var("s"), Var("p"), Var("o"))
+
+    plan = scan_pattern(stmts, tp)._jdf.queryExecution().executedPlan().toString()
+    assert "IsNull(graph_id)" in plan, plan
+
+    g = Term(t="str", k="string", s=G1)
+    plan = scan_pattern(stmts, tp, graph=g)._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(graph_id," in plan, plan
+
+
 def test_graph_var_certainly_bound(eng):
     # ?g from GRAPH is certainly bound: joining two GRAPH blocks on ?g
     # must use the plain equality path and agree on the graph
