@@ -251,6 +251,22 @@ class Graph(Op):
 
 
 @dataclass(frozen=True)
+class Service(Op):
+    """SERVICE [SILENT] <iri> { input }: evaluate the inner pattern
+    against a registered secondary dataset (federation). The reference
+    IR declares Service (calc_data_types.rs:117-205) but its
+    interpreter recognizes only wikibase:label and panics on every
+    other IRI (interpreter.rs:655-659); here any IRI registered via
+    ``GraphEngine.register_service`` executes for real. Per SPARQL 1.1
+    Federated Query §2.3, SILENT turns a service failure (here: an
+    unregistered IRI) into the unit solution instead of an error."""
+
+    iri: str
+    input: Op
+    silent: bool = False
+
+
+@dataclass(frozen=True)
 class LabelService(Op):
     """The wikibase:label SERVICE rewrite target (reference
     rewrite_label_service, interpreter.rs:784-917): for each target
@@ -356,6 +372,12 @@ def binding_masks(op: Op) -> frozenset[frozenset[str]] | None:
             return None
         keep = set(op.variables)
         return capped(frozenset(frozenset(a & keep) for a in l))
+    if isinstance(op, Service):
+        inner = binding_masks(op.input)
+        if inner is None:
+            return None
+        # SILENT failure yields the unit solution (nothing bound)
+        return capped(inner | {frozenset()}) if op.silent else inner
     if isinstance(op, LabelService):
         l = binding_masks(op.input)
         if l is None:
@@ -422,6 +444,9 @@ def certain_vars(op: Op) -> set[str]:
         return certain_vars(op.input) | (
             {op.name.name} if isinstance(op.name, Var) else set()
         )
+    if isinstance(op, Service):
+        # SILENT: the unit solution binds nothing, so nothing is certain
+        return set() if op.silent else certain_vars(op.input)
     if isinstance(op, LabelService):
         return certain_vars(op.input)  # lookup targets may miss
     if isinstance(op, (Filter, OrderBy, Distinct, Reduced, Slice)):

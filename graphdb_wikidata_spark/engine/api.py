@@ -100,6 +100,28 @@ class GraphEngine:
         unregister_custom_aggregate(iri)
         return self
 
+    def register_service(self, iri: str, statements) -> "GraphEngine":
+        """Register a dataset for ``SERVICE <iri> { ... }`` federation
+        (reference: declares Service in the IR but panics on every
+        non-label SERVICE IRI — interpreter.rs:655-659).
+
+        ``statements`` is a statements DataFrame (any source: parquet,
+        another engine's graph, JDBC) or another ``GraphEngine``.
+        Unlike HTTP federation, the service executes in-plan: Catalyst
+        sees one DAG and can broadcast either side of the service
+        join. Per-engine, unlike the function registries."""
+        if isinstance(statements, GraphEngine):
+            statements = statements.statements
+        from .scan import ensure_term_columns
+
+        self._compiler.services[iri] = ensure_term_columns(statements)
+        return self
+
+    def unregister_service(self, iri: str) -> "GraphEngine":
+        self._compiler.services.pop(iri, None)
+        self._compiler._svc_stats.pop(iri, None)
+        return self
+
     def sql(self, query: str) -> DataFrame:
         """SPARQL -> DataFrame of term-struct columns (one per
         projected variable)."""

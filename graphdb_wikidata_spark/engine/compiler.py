@@ -76,6 +76,12 @@ class Compiler:
         # the quad's graph_id
         self._graph_ctx: "Term | Var | None" = None
         self._pred_stats: tuple[dict, int] | None = None
+        # SERVICE registry: iri -> statements DataFrame (term columns
+        # ensured at registration time); stats memo per service so the
+        # join-order/broadcast estimates inside a SERVICE body come
+        # from THAT dataset, computed once per engine
+        self.services: dict[str, DataFrame] = {}
+        self._svc_stats: dict[str, "tuple[dict, int] | None"] = {}
         # DataFrame -> column list memo. Spark 4 analyzes lazily, so
         # every .columns read on a freshly built DataFrame re-analyzes
         # its whole (growing) plan — O(ops^2) driver time per compile.
@@ -465,6 +471,40 @@ class Compiler:
             return self.compile(op.input)
         finally:
             self._graph_ctx = prev
+
+    def _c_service(self, op) -> DataFrame:
+        """SERVICE [SILENT] iri { body }: compile the body against the
+        dataset registered under the IRI, swapping the scan source and
+        the per-predicate stats for the duration — joins inside the
+        body get estimates from the SERVICE dataset, not ours. The
+        reference declares Service in its IR but panics on every
+        non-label IRI (interpreter.rs:655-659). Federation here is
+        in-plan (the "remote" dataset is a registered DataFrame — a
+        parquet path, another engine's statements, a JDBC source), so
+        Catalyst still sees one plan and can broadcast either side of
+        the service join."""
+        src = self.services.get(op.iri)
+        if src is None:
+            if op.silent:
+                # SPARQL 1.1 Federated Query §2.3: failure under SILENT
+                # is the unit solution — one row, nothing bound (the
+                # join identity), NOT the empty solution set
+                return self._remember(self.spark.range(1).select(), [])
+            raise KeyError(
+                f"SERVICE {op.iri} is not registered; use "
+                "GraphEngine.register_service(iri, statements_df)"
+            )
+        # an outer GRAPH scope does not reach into the service (the
+        # remote dataset has its own graphs); body-level GRAPH works
+        prev = (self.statements, self._pred_stats, self._graph_ctx)
+        self.statements = src
+        self._pred_stats = self._svc_stats.get(op.iri)
+        self._graph_ctx = None
+        try:
+            return self.compile(op.input)
+        finally:
+            self._svc_stats[op.iri] = self._pred_stats
+            self.statements, self._pred_stats, self._graph_ctx = prev
 
     def _c_join(self, op: Join) -> DataFrame:
         from .algebra import certain_vars, pattern_vars

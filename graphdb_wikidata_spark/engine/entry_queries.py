@@ -565,6 +565,38 @@ def sparql_custom_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_service_federated",
+    """
+    SELECT 3000000 + n_nationkey AS n, upper(r_name) AS rname
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def sparql_service_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE federation against a registered second dataset — the
+    reference declares Service in its IR (calc_data_types.rs:117-205)
+    but panics on every non-label SERVICE IRI (interpreter.rs:
+    655-659). The P30 uppercased region name exists ONLY in the
+    service dataset (tpch_graph.geo_service_statements), so a
+    non-empty hash-matching result proves the service scan answered
+    and joined in-plan with the default-graph P3 pattern."""
+    from .tpch_graph import geo_service_statements
+
+    eng = _engine(spark, sf_dir)
+    eng.register_service(
+        "http://example.org/svc/geo", geo_service_statements(spark, sf_dir)
+    )
+    df = eng.sql(
+        """
+        SELECT ?n ?rname WHERE {
+          ?n wdt:P3 ?r .
+          SERVICE <http://example.org/svc/geo> { ?r wdt:P30 ?rname . }
+        }
+        """
+    )
+    return df.select(_e("n"), _s("rname"))
+
+
+@register(
     "sparql_hash_funcs",
     """
     SELECT 3000000 + n_nationkey AS n,

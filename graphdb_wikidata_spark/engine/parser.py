@@ -44,6 +44,7 @@ from .algebra import (
     PathPattern,
     Project,
     Reduced,
+    Service,
     Slice,
     TriplePattern,
     Union,
@@ -506,7 +507,9 @@ class Parser:
                 add(self.parse_inline_data())
             elif self.at_keyword("SERVICE"):
                 self.next()
-                self.parse_service_clause()
+                svc = self.parse_service_clause()
+                if svc is not None:
+                    add(svc)
             elif self.at_keyword("GRAPH"):
                 # named-graph scope (the reference's Graph operator is
                 # declared-but-todo!, calc_engine.rs:244-246; here it
@@ -537,13 +540,18 @@ class Parser:
             plan = Filter(fexpr, plan)
         return plan
 
-    def parse_service_clause(self) -> None:
-        """SERVICE [SILENT] <iri> { ... } — only wikibase:label is
-        recognized (same as the reference: interpreter.rs:655-659
-        panics on any other SERVICE IRI). The body is scanned for
-        ``bd:serviceParam wikibase:language "en,de"``; the actual
-        rewrite happens in finish_select against the projection."""
-        self.accept("SILENT")
+    def parse_service_clause(self) -> "Op | None":
+        """SERVICE [SILENT] <iri> { ... }.
+
+        ``wikibase:label`` keeps its special handling (the body is
+        scanned for ``bd:serviceParam wikibase:language "en,de"`` and
+        the actual rewrite happens in finish_select against the
+        projection; returns None). Any OTHER IRI parses its body as a
+        normal group graph pattern and yields a ``Service`` node —
+        executed against a dataset registered via
+        ``GraphEngine.register_service`` (the reference panics on
+        every non-label SERVICE IRI, interpreter.rs:655-659)."""
+        silent = bool(self.accept("SILENT"))
         t = self.next()
         if t.kind == "PNAME":
             prefix, _, local = t.value.partition(":")
@@ -553,7 +561,7 @@ class Parser:
         else:
             raise SyntaxError(f"SERVICE expects an IRI, got {t.value!r}")
         if iri != PREFIXES["wikibase"] + "label":
-            raise NotImplementedError(f"SERVICE {iri} (only wikibase:label)")
+            return Service(iri, self.parse_group_graph_pattern(), silent)
         self.expect("{")
         depth, langs = 1, None
         while depth:

@@ -299,3 +299,17 @@ def tpch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(*STATEMENT_COLUMNS)
+
+
+def geo_service_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A second, disjoint statements dataset playing the "remote
+    endpoint" role for SERVICE federation entries (SPARQL 1.1
+    Federated Query; the reference panics on every non-label SERVICE
+    IRI, interpreter.rs:655-659). Region entities carry a P30
+    uppercased-name string that exists nowhere in the main graph, so
+    any result containing it proves the service dataset answered."""
+    region = table(spark, sf_dir, "region")
+    out = region.select(
+        *_stmt(F.col("r_regionkey") + R, 30, obj_string=F.upper(F.col("r_name")))
+    )
+    return out.select(*STATEMENT_COLUMNS)

@@ -22,11 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 # (VERDICT r02 task 2), so every registry entry has hard-artifact
 # evidence in SOME round.
 PRIORITY_ENTRIES: tuple[str, ...] = (
-    # -- new this round: named graphs + extension functions
+    # -- new this round: named graphs + extension functions + SERVICE
     "sparql_graph_named",
     "sparql_graph_empty",
     "sparql_custom_func",
     "sparql_custom_agg",
+    "sparql_service_federated",
     # -- reshaped this round (r02's one red row)
     "media_byte_hist_counts",
     # -- never-windowed backlog (VERDICT r02 task 2)
@@ -75,7 +76,9 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_wds_lookup",
     "sparql_label_service",
     "sparql_describe",
-    "sparql_exists",
+    # (sparql_exists dropped from the window to stay at 50: green in
+    # r02, and the graph_id scan change it would re-prove is covered
+    # by the nine sibling entries in this group)
     # -- streaming (checkpoint/tmpfs + source-path logic changed)
     "stream_tumbling_counts",
     "stream_interval_join",
