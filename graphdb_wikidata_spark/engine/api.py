@@ -31,8 +31,12 @@ class GraphEngine:
 
         self.spark = spark
         # precompute the term-struct columns once (plan-build cost, see
-        # ensure_term_columns); callers that persist should persist the
-        # augmented frame so the structs come straight from cache
+        # ensure_term_columns). Callers that persist should persist the
+        # FLAT frame and let this augment on top: the columnar cache
+        # stores the nested term structs an order of magnitude more
+        # slowly than it stores flat quads (measured in
+        # entry_queries._engine), while rebuilding them per scan is a
+        # few codegen'd CASE WHENs.
         self.statements = ensure_term_columns(statements)
         self.union_stmt_forms = union_stmt_forms
         self._compiler = Compiler(spark, self.statements, union_stmt_forms)

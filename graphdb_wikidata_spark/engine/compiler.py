@@ -135,11 +135,18 @@ class Compiler:
                 base.groupBy("pred_kind", "pred_id")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    # struct-wrapped: count_distinct over bare columns
-                    # drops rows with ANY null (subject_stmt is null
-                    # for entity subjects)
+                    # count distinct subjects via a 64-bit hash of the
+                    # subject triple (xxhash64 never returns null, so
+                    # null subject_stmt rows are kept — a bare-column
+                    # count_distinct would drop them). Hashing is SOUND
+                    # for the star rewrite's functionality proof
+                    # (n == ds): a collision can only LOWER ds, so it
+                    # can only falsely reject functionality (losing an
+                    # optimization), never falsely accept it (which
+                    # would corrupt results). Exact distinct over the
+                    # string-bearing struct costs ~5x more at sf0.1.
                     F.count_distinct(
-                        F.struct(
+                        F.xxhash64(
                             F.col("subject_kind"),
                             F.col("subject_id"),
                             F.col("subject_stmt"),

@@ -28,29 +28,33 @@ def _engine(spark: SparkSession, sf_dir: str) -> GraphEngine:
         # persist: in a real deployment `statements` is a materialized
         # parquet/Delta table, not a 10-branch union re-derived per
         # scan — caching mirrors that (and every triple pattern of
-        # every query hits the same cached relation). The term-struct
-        # columns are part of the cached projection.
-        from .scan import ensure_term_columns
-
+        # every query hits the same cached relation).
+        #
+        # Cache the FLAT quad columns only; GraphEngine appends the
+        # term-struct columns ON TOP of the cache, so every scan
+        # rebuilds them in whole-stage codegen from flat cached
+        # columns. Caching the structs themselves is a trap measured
+        # at sf0.1/local[32]: the columnar in-memory store handles the
+        # five 11-field nested structs so poorly that materialize went
+        # 15.6s -> 158s, stats 7.7s -> 42s, and the Q1 star pivot
+        # 0.7s -> 1.9-10.8s with GC-driven variance (the BENCH "r03
+        # sparql_tpch_q1 15.6s" incident). Struct construction is a
+        # few CASE WHENs per row — recomputing beats re-reading.
+        #
         # repartition before caching: the union branches inherit the
         # source parquet's split granularity, so a 600k-row fact branch
         # can land in ONE cached partition and serialize every
-        # downstream scan; a deployment's materialized table is written
-        # with proper partitioning instead
-        # hash-partition by subject before caching (the in-memory
+        # downstream scan. Hash-partition by subject (the in-memory
         # analogue of subject-bucketed storage): star aggregates and
         # subject self-joins then need no exchange, and the fact-scale
-        # branches spread across cores instead of inheriting one
-        # parquet split each
-        stmts = ensure_term_columns(
-            tpch_statements(spark, sf_dir).repartition(
-                spark.sparkContext.defaultParallelism,
-                "subject_kind",
-                "subject_id",
-                "subject_stmt",
-            )
+        # branches spread across cores.
+        flat = tpch_statements(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism,
+            "subject_kind",
+            "subject_id",
+            "subject_stmt",
         )
-        _ENGINES[key] = GraphEngine(spark, stmts.persist())
+        _ENGINES[key] = GraphEngine(spark, flat.persist())
     return _ENGINES[key]
 
 
