@@ -28,6 +28,10 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_custom_func",
     "sparql_custom_agg",
     "sparql_service_federated",
+    # -- new this round: corpus-assembly + dedup-cluster compositions
+    "dedup_clusters",
+    "pack_sequences_budget",
+    "sample_stratified_hash",
     # -- reshaped this round (r02's one red row)
     "media_byte_hist_counts",
     # -- never-windowed backlog (VERDICT r02 task 2)
@@ -71,13 +75,11 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_tpch_q1",
     "sparql_agg_suite",
     "sparql_stmt_bind",
-    "sparql_qualifier_join",
-    "sparql_ps_pq_chain",
     "sparql_wds_lookup",
     "sparql_label_service",
-    "sparql_describe",
-    # (sparql_exists dropped from the window to stay at 50: green in
-    # r02, and the graph_id scan change it would re-prove is covered
+    # (sparql_exists, sparql_qualifier_join, sparql_ps_pq_chain and
+    # sparql_describe dropped from the window to stay at 50: all green
+    # in r02, and the graph_id scan change they would re-prove is covered
     # by the nine sibling entries in this group)
     # -- streaming (checkpoint/tmpfs + source-path logic changed)
     "stream_tumbling_counts",
@@ -97,24 +99,24 @@ def _reorder(merged: dict) -> dict:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import asof, dedup, events, graph, multimodal, relational, similarity, text
+    from . import asof, corpus, dedup, events, graph, multimodal, relational, similarity, text
 
     from ..engine import entry_queries as sparql_queries
     from ..streaming import entry as streaming_entry
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, events, asof, text, dedup, similarity, multimodal, graph, streaming_entry, sparql_queries):
+    for mod in (relational, events, asof, text, corpus, dedup, similarity, multimodal, graph, streaming_entry, sparql_queries):
         merged.update(mod.QUERIES)
     return _reorder(merged)
 
 
 def all_oracles() -> dict[str, str]:
-    from . import asof, dedup, events, graph, multimodal, relational, similarity, text
+    from . import asof, corpus, dedup, events, graph, multimodal, relational, similarity, text
 
     from ..engine import entry_queries as sparql_queries
     from ..streaming import entry as streaming_entry
 
     merged: dict[str, str] = {}
-    for mod in (relational, events, asof, text, dedup, similarity, multimodal, graph, streaming_entry, sparql_queries):
+    for mod in (relational, events, asof, text, corpus, dedup, similarity, multimodal, graph, streaming_entry, sparql_queries):
         merged.update(mod.ORACLES)
     return {k: merged[k] for k in all_queries() if k in merged}

@@ -1,0 +1,172 @@
+"""Training-corpus assembly operators: sequence packing and
+stratified sampling — the steps that turn a deduped document set into
+model-ready shards.
+
+Scale design:
+
+- ``pack_sequences_budget`` assigns each document the pack (fixed
+  token-budget training sequence) its first token lands in, under the
+  GPT-style concat-then-chunk regime (documents are concatenated in
+  a deterministic order per source; packs are consecutive
+  ``PACK_BUDGET``-token windows of that stream). The naive plan is a
+  running-sum window over one global sort per source — a
+  single-partition bottleneck when one source holds billions of
+  documents. The implementation instead computes a **sharded prefix
+  sum**: an in-shard running sum (window over ``SHARD_DOCS``-sized
+  doc-id shards), plus per-shard token totals rolled into shard
+  offsets by a second window over the *tiny* (source, shard) relation.
+  cum_before(doc) = shard_offset + in-shard running sum — identical
+  output to the global window (the oracle IS the global window), but
+  the widest partition is bounded by SHARD_DOCS rows and the global
+  step touches #shards rows, not #docs.
+- ``sample_stratified_hash`` keeps a deterministic per-source fraction
+  of documents by hashing the doc id into a percentile bucket —
+  embarrassingly parallel (map-only, no shuffle), reproducible across
+  engines and runs (md5 is the hash on both sides), and stable under
+  re-partitioning, which row-sampling with RNG state is not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+#: tokens per training sequence (pack)
+PACK_BUDGET = 2048
+#: documents per prefix-sum shard — bounds the widest window partition;
+#: at 100 TB raise it so #shards stays ~10^6 (the shard-offset relation
+#: must stay driver-broadcastable)
+SHARD_DOCS = 4096
+
+
+@register(
+    "pack_sequences_budget",
+    f"""
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(floor(coalesce(sum(len(string_split(text, ' ')))
+                               OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING),
+                               0) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM documents
+    """,
+)
+def pack_sequences_budget(
+    spark: SparkSession, sf_dir: str, shard_docs: int = SHARD_DOCS
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are concatenated
+    per source in doc_id order and chopped into PACK_BUDGET-token
+    sequences; each doc is assigned the pack its first token falls in
+    (pack_id = floor(tokens-before-this-doc / budget)).
+
+    The oracle states the semantics as ONE running-sum window per
+    source; the implementation is the distributed equivalent — a
+    sharded two-pass prefix sum (see module docstring) whose widest
+    shuffle partition is SHARD_DOCS rows regardless of corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    d = d.select("doc_id", "source", toks.alias("n_tokens"), F.floor(F.col("doc_id") / shard_docs).alias("__shard"))
+
+    # pass 1: running sum WITHIN a (source, shard) partition — bounded
+    # by SHARD_DOCS rows however large the source is
+    w_in = (
+        Window.partitionBy("source", "__shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("__cum_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+
+    # pass 2: per-shard totals -> exclusive prefix over the tiny
+    # (source, shard) relation -> broadcast back. #shards rows, not
+    # #docs rows, go through this global window.
+    totals = d.groupBy("source", "__shard").agg(F.sum("n_tokens").alias("__tot"))
+    w_sh = (
+        Window.partitionBy("source")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("__off", F.coalesce(F.sum("__tot").over(w_sh), F.lit(0))).drop(
+        "__tot"
+    )
+
+    out = d.join(F.broadcast(offsets), ["source", "__shard"])
+    cum_before = F.col("__off") + F.col("__cum_in")
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum_before / PACK_BUDGET).cast("long").alias("pack_id"),
+    )
+
+
+def pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-window twin of pack_sequences_budget (the oracle's plan,
+    verbatim) — unregistered; pytest asserts the sharded version equals
+    it row-for-row."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(toks).over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "source",
+        toks.alias("n_tokens"),
+        F.floor(cum_before / PACK_BUDGET).cast("long").alias("pack_id"),
+    )
+
+
+@register(
+    "sample_stratified_hash",
+    """
+    WITH rated AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket,
+               10 + (substr(source, 4)::BIGINT * 7) % 80 AS rate
+        FROM documents)
+    SELECT doc_id, source, bucket, rate
+    FROM rated WHERE bucket < rate
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: hash each doc id into a
+    percentile bucket (first 16 md5 bits mod 100) and keep it when the
+    bucket falls under its stratum's rate — here a per-source rate
+    derived from the source's numeric suffix, standing in for a mixing
+    config. Map-only (no shuffle, no RNG state), so the sample is
+    reproducible under any partitioning and any engine that agrees on
+    md5 — the property row-level Bernoulli sampling with seeds does
+    not give across repartitions."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+        % 100
+    )
+    rate = F.lit(10) + (F.substring(F.col("source"), 4, 10).cast("long") * 7) % 80
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+    )

@@ -290,6 +290,75 @@ def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# candidate-pair CTE chain shared by cluster-level oracles: the
+# dedup_minhash_lsh pipeline ending in `cand(doc_a, doc_b)`.
+_CAND_CTE = f"""
+    {_SH_CTE},
+    sh2 AS (SELECT doc_id,
+                   ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
+            FROM sh),
+    hs AS (SELECT doc_id, s.seed, min(h1 + s.seed * h2) AS mh
+           FROM sh2, generate_series(0, {N_SEEDS - 1}) s(seed)
+           GROUP BY doc_id, s.seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     string_agg(mh::VARCHAR, '|' ORDER BY seed) AS band_key
+              FROM hs GROUP BY doc_id, seed // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_CAND_CTE},
+    ed AS (SELECT doc_a AS u, doc_b AS v FROM cand
+           UNION SELECT doc_b, doc_a FROM cand),
+    reach AS (SELECT u, v FROM ed
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u
+              WHERE e.v <> r.u),
+    comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           coalesce(least(c.mn, d.doc_id), d.doc_id) AS cluster_id,
+           coalesce(least(c.mn, d.doc_id), d.doc_id) = d.doc_id AS is_kept
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup composition a pipeline actually ships: MinHash-LSH
+    candidate pairs -> undirected connected components -> every doc
+    labeled with its cluster (min doc_id in the component; singletons
+    are their own cluster) and a keep/drop flag (the cluster minimum
+    survives).
+
+    Scale shape: candidates come from the banded bucket join (never
+    all-pairs); the component step is min-label propagation with path
+    halving over the CANDIDATE-PAIR graph — O(log d) rounds of joins
+    keyed on doc_id, and the pair graph is orders of magnitude smaller
+    than the corpus (only near-duplicates appear in it). The final
+    left join back to `documents` is a broadcast when the pair graph
+    is small, a shuffle join otherwise — Catalyst/AQE's call. The
+    DuckDB oracle states the same semantics as a recursive reachability
+    closure, tractable at oracle scale only."""
+    from .graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_candidates(_shingled(spark, sf_dir))
+    edges = cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges).withColumnRenamed("node", "doc_id")
+    out = d.select("doc_id").join(comp, "doc_id", "left")
+    cluster = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_kept"),
+    )
+
+
 #: near-dup cosine threshold. 0.95 is the production setting for real
 #: embeddings; the synthetic test vectors are near-orthogonal (in-bucket
 #: max ~0.41 at sf0.01), so the gated entry uses 0.3 to exercise the
