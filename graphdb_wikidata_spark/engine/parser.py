@@ -61,7 +61,9 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+|\#[^\n]*)
   | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
-  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<STRING>"{3}(?:(?:"|"")?(?:[^"\\]|\\.))*"{3}
+              |'{3}(?:(?:'|'')?(?:[^'\\]|\\.))*'{3}
+              |"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_][A-Za-z0-9_.\-]*|[A-Za-z_][A-Za-z0-9_\-]*:)
@@ -98,7 +100,9 @@ _ESCAPES = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
 
 
 def _unquote(s: str) -> str:
-    body = s[1:-1]
+    # long (triple-quoted) form may contain raw newlines and quotes
+    n = 3 if s[:3] in ('"""', "'''") else 1
+    body = s[n:-n]
     return re.sub(r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), body)
 
 
@@ -600,6 +604,10 @@ class Parser:
                 subj = self._parse_bnode(patterns, paths)
                 if self._at_verb():
                     self._parse_property_list(subj, patterns, paths)
+            elif self.peek().value == "(":
+                subj = self._parse_collection(patterns, paths)
+                if self._at_verb():
+                    self._parse_property_list(subj, patterns, paths)
             else:
                 subj = self.parse_var_or_term()
                 self._parse_property_list(subj, patterns, paths)
@@ -631,6 +639,8 @@ class Parser:
             while True:
                 if self.peek().value == "[":
                     obj = self._parse_bnode(patterns, paths)
+                elif self.peek().value == "(":
+                    obj = self._parse_collection(patterns, paths)
                 else:
                     obj = self.parse_var_or_term()
                 if path.kind == "link" and len(path.terms) == 1:
@@ -653,6 +663,39 @@ class Parser:
             or (t.kind == "KEYWORD" and t.value == "a")
             or t.value in ("(", "^", "!")
         )
+
+    def _parse_collection(self, patterns, paths):
+        """`( e1 e2 ... )` RDF collection (SPARQL 1.1 §4.2): sugar for
+        an rdf:first/rdf:rest chain of fresh blank nodes; `()` is
+        rdf:nil. The reference accepts these via spargebra's grammar;
+        against a store without collection edges the expansion simply
+        matches nothing, which is the correct answer."""
+        from .terms import parse_iri
+
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        first, rest, nil = (parse_iri(rdf + n) for n in ("first", "rest", "nil"))
+        self.expect("(")
+        items = []
+        while self.peek().value != ")":
+            if self.peek().value == "[":
+                items.append(self._parse_bnode(patterns, paths))
+            elif self.peek().value == "(":
+                items.append(self._parse_collection(patterns, paths))
+            else:
+                items.append(self.parse_var_or_term())
+        self.expect(")")
+        if not items:
+            return nil
+        nodes = []
+        for _ in items:
+            nodes.append(Var(f"__bn{self._bnode_counter}"))
+            self._bnode_counter += 1
+        for i, (node, item) in enumerate(zip(nodes, items)):
+            patterns.append(TriplePattern(node, first, item))
+            patterns.append(
+                TriplePattern(node, rest, nodes[i + 1] if i + 1 < len(nodes) else nil)
+            )
+        return nodes[0]
 
     def _parse_bnode(self, patterns, paths) -> Var:
         """`[ pred obj ; ... ]` / `[]`: a blank node is a fresh
@@ -713,24 +756,47 @@ class Parser:
             self.expect(")")
             return p
         if t.value == "!":
+            # negated property set (SPARQL 1.1 §9.1 / grammar
+            # PathNegatedPropertySet): members are iri, `a`, or ^iri.
+            # Per the §18.2.2.3 translation, forward members become
+            # NPS(F), inverse members inv(NPS(I)), mixed sets the
+            # alternative of both.
             self.next()
-            inner = self._path_primary()
-            if inner.kind == "link":
-                terms = inner.terms
-            elif inner.kind == "alternative" and all(
-                p.kind == "link" for p in inner.parts
-            ):
-                terms = tuple(x for p in inner.parts for x in p.terms)
+            if self.peek().value == "(":
+                self.next()
+                members = [self._nps_member()]
+                while self.accept("|"):
+                    members.append(self._nps_member())
+                self.expect(")")
             else:
-                raise SyntaxError(
-                    "negated property set supports only !iri or !(iri|...|iri)"
+                members = [self._nps_member()]
+            fwd = tuple(term for term, inv in members if not inv)
+            rev = tuple(term for term, inv in members if inv)
+            parts: list[PathExpr] = []
+            if fwd:
+                parts.append(PathExpr("negated", terms=fwd))
+            if rev:
+                parts.append(
+                    PathExpr("reverse", parts=(PathExpr("negated", terms=rev),))
                 )
-            return PathExpr("negated", terms=terms)
+            if len(parts) == 1:
+                return parts[0]
+            return PathExpr("alternative", parts=tuple(parts))
         if t.kind == "KEYWORD" and t.value == "a":
             self.next()
             return PathExpr("link", terms=(parse_iri(PREFIXES["rdf"] + "type"),))
         term = self.parse_iri_term()
         return PathExpr("link", terms=(term,))
+
+    def _nps_member(self):
+        """One negated-property-set member: iri | `a` | ^iri | ^a.
+        Returns (term, inverted)."""
+        inverted = bool(self.accept("^"))
+        t = self.peek()
+        if t.kind == "KEYWORD" and t.value == "a":
+            self.next()
+            return parse_iri(PREFIXES["rdf"] + "type"), inverted
+        return self.parse_iri_term(), inverted
 
     def parse_iri_term(self) -> Term:
         t = self.peek()

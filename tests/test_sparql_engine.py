@@ -589,3 +589,46 @@ def test_optional_compatibility_with_unbound_shared_var(spark):
         for r in rows
     )
     assert got == [(1, 5, 9), (2, 5, 9)]
+
+
+def test_triple_quoted_literal(engine):
+    # long-string literals (SPARQL grammar STRING_LITERAL_LONG2) may
+    # hold raw newlines and quotes; BIND round-trips one through
+    # STRLEN to prove lexing, unescaping, and execution
+    rows = engine.sql(
+        'SELECT ?n WHERE { ?s ?p ?o . BIND(STRLEN("""a\n"b""") AS ?n) } LIMIT 1'
+    ).collect()
+    assert rows[0]["n"]["i"] == 4
+
+
+def test_rdf_collection_matches_nothing(engine):
+    # `( 1 2 )` expands to rdf:first/rdf:rest chains (SPARQL 1.1 §4.2);
+    # a Wikidata store holds no collection edges, so the correct result
+    # is empty — the point is the syntax parses and compiles
+    assert engine.sql("SELECT ?s WHERE { ?s wdt:P31 ( 1 2 ) . }").count() == 0
+    assert engine.sql("SELECT ?s WHERE { ( ?a ?b ) wdt:P31 ?s . }").count() == 0
+
+
+def test_negated_property_set_with_inverse_members(engine):
+    # SPARQL 1.1 §18.2.2.3: !(^q) == ^(!q); !(p|^q) == alt(!p, ^(!q))
+    fwd = {
+        (r["a"]["e"], r["b"]["e"])
+        for r in engine.sql(
+            "SELECT ?a ?b WHERE { ?a !wdt:P31 ?b . FILTER(isIRI(?a) && isIRI(?b)) }"
+        ).collect()
+    }
+    inv = {
+        (r["a"]["e"], r["b"]["e"])
+        for r in engine.sql(
+            "SELECT ?a ?b WHERE { ?a !(^wdt:P31) ?b . FILTER(isIRI(?a) && isIRI(?b)) }"
+        ).collect()
+    }
+    assert inv == {(b, a) for a, b in fwd}
+    mixed = {
+        (r["a"]["e"], r["b"]["e"])
+        for r in engine.sql(
+            "SELECT ?a ?b WHERE { ?a !(wdt:P31|^wdt:P31) ?b . FILTER(isIRI(?a) && isIRI(?b)) }"
+        ).collect()
+    }
+    assert mixed == fwd | inv
+    assert fwd  # fixture has non-P31 entity->entity edges
