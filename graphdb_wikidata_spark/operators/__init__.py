@@ -32,6 +32,9 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "dedup_clusters",
     "pack_sequences_budget",
     "sample_stratified_hash",
+    # -- new this round: statistical aggregates
+    "agg_stats_suite",
+    "agg_percentiles",
     # -- reshaped this round (r02's one red row)
     "media_byte_hist_counts",
     # -- never-windowed backlog (VERDICT r02 task 2)
@@ -73,12 +76,11 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     #    shapes + Wikidata routing over it
     "sparql_bgp_join",
     "sparql_tpch_q1",
-    "sparql_agg_suite",
     "sparql_stmt_bind",
-    "sparql_wds_lookup",
     "sparql_label_service",
-    # (sparql_exists, sparql_qualifier_join, sparql_ps_pq_chain and
-    # sparql_describe dropped from the window to stay at 50: all green
+    # (sparql_exists, sparql_agg_suite, sparql_wds_lookup,
+    # sparql_qualifier_join, sparql_ps_pq_chain and sparql_describe
+    # dropped from the window to stay at 50: all green
     # in r02, and the graph_id scan change they would re-prove is covered
     # by the nine sibling entries in this group)
     # -- streaming (checkpoint/tmpfs + source-path logic changed)

@@ -191,6 +191,60 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_stats_suite",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)                 AS sd_qty,
+           round(stddev_pop(l_quantity), 6)                  AS sdp_qty,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/correlation/regression slope) —
+    absent in the reference's seven-aggregate set, standard analytics
+    surface here. All are single-pass partial+final moment aggregates
+    (map-side combine of count/sum/sum-of-squares/cross-products), so
+    one shuffle of per-group moment tuples regardless of data size.
+    Rounded to decimals the cross-engine float summation order cannot
+    disturb (quantity is O(10), the moments are exact integers)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_pq"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)  AS p50_qty,
+           quantile_cont(l_quantity, 0.9)  AS p90_qty,
+           quantile_cont(l_quantity, 0.99) AS p99_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics; the
+    (n-1)*p linear-interpolation rule matches DuckDB's quantile_cont
+    bit-for-bit on integer quantities). Exact percentile is a per-group
+    sort — acceptable because groups partition the shuffle; at 100 TB
+    the approximate path is `approx_percentile` (t-digest sketch,
+    partial+final mergeable), which is deliberately NOT the oracle
+    entry because sketches are engine-specific."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        F.percentile("l_quantity", F.lit(0.99)).alias("p99_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (SURVEY §2.3)
 # ---------------------------------------------------------------------------
