@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .compiler import Compiler
-from .json_result import to_sparql_json
+from .json_result import to_sparql_csv, to_sparql_json, to_sparql_tsv
 from .parser import parse_query
 from .scan import scan_pattern as _scan
 from .algebra import TriplePattern, Var
@@ -148,6 +148,15 @@ class GraphEngine:
         """SPARQL -> W3C SPARQL-JSON string (the reference HTTP
         endpoint's response format, server.rs:87-141)."""
         return to_sparql_json(self.sql(query))
+
+    def sql_csv(self, query: str) -> str:
+        """SPARQL -> W3C SPARQL 1.1 CSV results (an extension; the
+        reference serializes JSON only)."""
+        return to_sparql_csv(self.sql(query))
+
+    def sql_tsv(self, query: str) -> str:
+        """SPARQL -> W3C SPARQL 1.1 TSV results (Turtle-style terms)."""
+        return to_sparql_tsv(self.sql(query))
 
     def scan_pattern(self, s, p, o) -> DataFrame:
         """Single triple-pattern scan; each argument is a Var, a Term,

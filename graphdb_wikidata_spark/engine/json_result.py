@@ -46,6 +46,66 @@ def _cell(c) -> "F.Column":
     )
 
 
+def to_sparql_csv(df: DataFrame) -> str:
+    """W3C SPARQL 1.1 Query Results CSV format: header row of bare
+    variable names, cells are the plain lexical/IRI form (no term
+    quoting), RFC 4180 field quoting, CRLF line endings, unbound ->
+    empty field. An extension over the reference, which serializes
+    JSON only (to_json_result.rs)."""
+    vars_ = df.columns
+    rows = df.select(*[render(df[v]).alias(v) for v in vars_]).collect()
+
+    def field(s: str | None) -> str:
+        if s is None:
+            return ""
+        if any(ch in s for ch in (",", '"', "\n", "\r")):
+            return '"' + s.replace('"', '""') + '"'
+        return s
+
+    lines = [",".join(vars_)]
+    lines += [",".join(field(row[v]) for v in vars_) for row in rows]
+    return "\r\n".join(lines) + "\r\n"
+
+
+def _tsv_term(c) -> "F.Column":
+    """One cell in SPARQL TSV term syntax: IRIs in <>, literals quoted
+    with \\-escapes plus @lang / ^^<datatype>; numerics and booleans as
+    bare literals (allowed by the TSV spec and round-trippable)."""
+    quoted = F.concat(
+        F.lit('"'),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c["s"], F.lit("\\\\"), F.lit("\\\\\\\\")),
+                F.lit('"'),
+                F.lit('\\\\"'),
+            ),
+            F.lit("\n"),
+            F.lit("\\\\n"),
+        ),
+        F.lit('"'),
+    )
+    return (
+        F.when(c.isNull(), F.lit(""))
+        .when(c["t"].isin("entity", "stmt"), F.concat(F.lit("<"), render(c), F.lit(">")))
+        .when(c["t"].isin("int", "double", "bool"), render(c))
+        .when(c["t"] == "mono", F.concat(quoted, F.lit("@"), c["lang"]))
+        .when(c["t"] == "str", quoted)
+        .otherwise(
+            F.concat(F.lit('"'), render(c), F.lit('"'))
+        )
+    )
+
+
+def to_sparql_tsv(df: DataFrame) -> str:
+    """W3C SPARQL 1.1 Query Results TSV format: header of ?-prefixed
+    variables, cells in Turtle-style term syntax, unbound -> empty."""
+    vars_ = df.columns
+    rows = df.select(*[_tsv_term(df[v]).alias(v) for v in vars_]).collect()
+    lines = ["\t".join("?" + v for v in vars_)]
+    lines += ["\t".join(row[v] if row[v] is not None else "" for v in vars_) for row in rows]
+    return "\n".join(lines) + "\n"
+
+
 def to_sparql_json(df: DataFrame) -> str:
     vars_ = df.columns
     cells = df.select(*[_cell(df[v]).alias(v) for v in vars_])

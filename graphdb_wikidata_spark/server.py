@@ -51,18 +51,35 @@ def make_handler(engine: GraphEngine):
             if u.path != "/query":
                 self._reply(404, json.dumps({"error": "use /query?query=..."}), "application/json")
                 return
-            q = parse_qs(u.query).get("query", [None])[0]
+            params = parse_qs(u.query)
+            q = params.get("query", [None])[0]
             if not q:
                 self._reply(400, json.dumps({"error": "missing query parameter"}), "application/json")
                 return
+            # format=json|csv|tsv (or the matching Accept header) —
+            # the W3C results formats; the reference serves JSON only
+            fmt = params.get("format", [None])[0]
+            if fmt is None:
+                accept = self.headers.get("Accept", "")
+                if "text/csv" in accept:
+                    fmt = "csv"
+                elif "text/tab-separated-values" in accept:
+                    fmt = "tsv"
+                else:
+                    fmt = "json"
             try:
-                body = engine.sql_json(q)
+                if fmt == "csv":
+                    body, ctype = engine.sql_csv(q), "text/csv; charset=utf-8"
+                elif fmt == "tsv":
+                    body, ctype = engine.sql_tsv(q), "text/tab-separated-values; charset=utf-8"
+                else:
+                    body, ctype = engine.sql_json(q), "application/sparql-results+json"
             except (SyntaxError, NotImplementedError) as e:
                 # parse/compile error -> 400, like the reference
                 # (server.rs:110-127 returns the parser message)
                 self._reply(400, json.dumps({"error": str(e)}), "application/json")
                 return
-            self._reply(200, body)
+            self._reply(200, body, ctype)
 
     return Handler
 

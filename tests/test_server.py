@@ -133,3 +133,37 @@ def test_cli_repl_plan_and_exit(spark):
     text = out.getvalue()
     assert "plan:" in text
     assert "error:" not in text  # 'exit' stopped before the bad block
+
+
+def test_csv_results_format(srv):
+    # W3C SPARQL 1.1 CSV results: bare-var header, plain lexical
+    # values, RFC 4180 quoting, CRLF lines (an extension — the
+    # reference serves JSON only)
+    q = urllib.parse.quote(
+        'SELECT ?s ?x WHERE { ?s wdt:P2 wdt:Q3 . BIND("a,\\"b" AS ?x) }'
+    )
+    status, headers, body = _get(f"{srv}/query?query={q}&format=csv")
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/csv")
+    lines = body.split("\r\n")
+    assert lines[0] == "s,x"
+    assert len([ln for ln in lines if ln]) == 3
+    # the comma/quote literal is RFC-4180 quoted
+    assert all(ln.endswith(',"a,""b"') for ln in lines[1:] if ln)
+    assert "http://www.wikidata.org/entity/Q1" in body
+
+
+def test_tsv_results_format_via_accept(srv):
+    q = urllib.parse.quote("SELECT ?s ?n WHERE { ?s wdt:P2 wdt:Q3 . BIND(5 AS ?n) }")
+    req = urllib.request.Request(
+        f"{srv}/query?query={q}", headers={"Accept": "text/tab-separated-values"}
+    )
+    with urllib.request.urlopen(req) as r:
+        status, headers, body = r.status, dict(r.headers), r.read().decode()
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/tab-separated-values")
+    lines = body.strip().split("\n")
+    assert lines[0] == "?s\t?n"
+    # IRIs in angle brackets, numerics as bare literals
+    assert lines[1].startswith("<http://www.wikidata.org/entity/Q")
+    assert lines[1].endswith("\t5")
