@@ -32,6 +32,7 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "dedup_clusters",
     "pack_sequences_budget",
     "sample_stratified_hash",
+    "corpus_quality_pack",
     # -- new this round: statistical aggregates
     "agg_stats_suite",
     "agg_percentiles",
@@ -63,7 +64,8 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_join_compat",
     "sparql_optional_compat",
     "sparql_minus_optional",
-    "sparql_minus",
+    # (sparql_minus rotated out for corpus_quality_pack: its static-mask
+    # rewrite is exercised more deeply by sparql_minus_optional)
     "sparql_optional",
     "sparql_values_undef",
     # -- property paths (closure loop + graph threading changed)

@@ -57,33 +57,10 @@ PACK_BUDGET = 2048
 SHARD_DOCS = 4096
 
 
-@register(
-    "pack_sequences_budget",
-    f"""
-    SELECT doc_id, source,
-           len(string_split(text, ' ')) AS n_tokens,
-           CAST(floor(coalesce(sum(len(string_split(text, ' ')))
-                               OVER (PARTITION BY source ORDER BY doc_id
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                              AND 1 PRECEDING),
-                               0) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
-    FROM documents
-    """,
-)
-def pack_sequences_budget(
-    spark: SparkSession, sf_dir: str, shard_docs: int = SHARD_DOCS
-) -> DataFrame:
-    """Concat-then-chunk sequence packing: documents are concatenated
-    per source in doc_id order and chopped into PACK_BUDGET-token
-    sequences; each doc is assigned the pack its first token falls in
-    (pack_id = floor(tokens-before-this-doc / budget)).
-
-    The oracle states the semantics as ONE running-sum window per
-    source; the implementation is the distributed equivalent — a
-    sharded two-pass prefix sum (see module docstring) whose widest
-    shuffle partition is SHARD_DOCS rows regardless of corpus size.
-    """
-    d = table(spark, sf_dir, "documents")
+def pack_documents(d: DataFrame, shard_docs: int = SHARD_DOCS) -> DataFrame:
+    """Sharded two-pass prefix-sum packing over any (doc_id, source,
+    text) frame — the reusable kernel behind pack_sequences_budget and
+    the quality-filtered pipeline composition."""
     toks = F.size(F.split(F.col("text"), " "))
     d = d.select("doc_id", "source", toks.alias("n_tokens"), F.floor(F.col("doc_id") / shard_docs).alias("__shard"))
 
@@ -119,6 +96,36 @@ def pack_sequences_budget(
     )
 
 
+
+@register(
+    "pack_sequences_budget",
+    f"""
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(floor(coalesce(sum(len(string_split(text, ' ')))
+                               OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING),
+                               0) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM documents
+    """,
+)
+def pack_sequences_budget(
+    spark: SparkSession, sf_dir: str, shard_docs: int = SHARD_DOCS
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are concatenated
+    per source in doc_id order and chopped into PACK_BUDGET-token
+    sequences; each doc is assigned the pack its first token falls in
+    (pack_id = floor(tokens-before-this-doc / budget)).
+
+    The oracle states the semantics as ONE running-sum window per
+    source; the implementation is the distributed equivalent — a
+    sharded two-pass prefix sum (see module docstring) whose widest
+    shuffle partition is SHARD_DOCS rows regardless of corpus size.
+    """
+    return pack_documents(table(spark, sf_dir, "documents"), shard_docs)
+
+
 def pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-window twin of pack_sequences_budget (the oracle's plan,
     verbatim) — unregistered; pytest asserts the sharded version equals
@@ -137,6 +144,42 @@ def pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.alias("n_tokens"),
         F.floor(cum_before / PACK_BUDGET).cast("long").alias("pack_id"),
     )
+
+
+@register(
+    "corpus_quality_pack",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the','a','of','and','in'))) AS ns
+        FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE n BETWEEN 20 AND 80 AND ns * 50 >= n)
+    SELECT doc_id, source, n AS n_tokens,
+           CAST(floor(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND 1 PRECEDING),
+                               0) / 2048.0) AS BIGINT) AS pack_id
+    FROM kept
+    """,
+)
+def corpus_quality_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed preprocessing pipeline a training run actually
+    executes: quality filter (token-count band + integer-arithmetic
+    stopword-ratio floor, so both engines compare exactly) -> sequence
+    packing over the surviving docs. The filter is map-only and fuses
+    into the parquet scan; the packing reuses the sharded prefix-sum
+    kernel, so the composition adds no new shuffle beyond the pack's
+    own two bounded passes."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_list = ", ".join(f"'{s}'" for s in ("the", "a", "of", "and", "in"))
+    ns = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    kept = d.filter(n.between(20, 80) & (ns * 50 >= n)).select("doc_id", "source", "text")
+    return pack_documents(kept)
 
 
 @register(

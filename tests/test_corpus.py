@@ -80,3 +80,28 @@ def test_dedup_clusters_invariants(spark):
     # exactly one keeper per cluster
     keepers = {cid for doc, (cid, kept) in clusters.items() if kept}
     assert keepers == {cid for cid, _ in clusters.values()}
+
+
+def test_pack_plan_shapes(spark):
+    """The sharded pack must broadcast the shard-offset relation (a
+    #shards-row frame) and never fall back to a cartesian/BNLJ — the
+    plan property that makes it scale."""
+    plan = pack_sequences_budget(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_pack_composition(spark):
+    """corpus_quality_pack == quality filter then pack: every output
+    doc satisfies the filter, and pack ids re-derive from the filtered
+    token stream (not the unfiltered one)."""
+    from graphdb_wikidata_spark.operators.corpus import corpus_quality_pack
+
+    out = sorted(corpus_quality_pack(spark, SF_CORRECT).collect(), key=lambda r: (r.source, r.doc_id))
+    assert out
+    assert all(20 <= r.n_tokens <= 80 for r in out)
+    cum: dict[str, int] = {}
+    for r in out:
+        assert r.pack_id == cum.get(r.source, 0) // PACK_BUDGET
+        cum[r.source] = cum.get(r.source, 0) + r.n_tokens
