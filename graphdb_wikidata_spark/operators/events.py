@@ -131,6 +131,45 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_topk_per_window",
+    """
+    WITH hourly AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               user_id,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT hour_start, user_id, sum_value, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY hour_start
+                                     ORDER BY sum_value DESC, user_id) AS rk
+        FROM hourly) x
+    WHERE rk <= 3
+    """,
+)
+def events_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k contributors per tumbling window: pre-aggregate (hour,
+    user) with map-side partial agg — the rank window then sees #users
+    rows per window, not #events — and row_number with a deterministic
+    (value desc, user asc) tie-break keeps the answer engine-stable.
+    At scale the expensive step stays the partial aggregation; the
+    per-window rank partitions are bounded by user cardinality."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "user_id",
+        )
+        .agg(F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    w = Window.partitionBy("hour_start").orderBy(F.desc("sum_value"), F.asc("user_id"))
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("hour_start", "user_id", "sum_value", "rk")
+    )
+
+
+@register(
     "events_rollup_multires",
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')  AS day_start,
