@@ -252,3 +252,75 @@ def lsh_bucket_assignments(e: DataFrame) -> DataFrame:
         .cast("long")
         .alias("bucket")
     )
+
+
+@register(
+    "embedding_knn_join",
+    f"""
+    WITH r AS (SELECT j.j, i.i,
+                      ((('0x' || substr(md5(j.j || '_' || i.i), 1, 8))::BIGINT % 1000)
+                       / 1000.0 - 0.5) AS rv
+               FROM generate_series(0, {N_PLANES - 1}) j(j),
+                    generate_series(1, 64) i(i)),
+    pl AS (SELECT e.vec_id, r.j, e.embedding[r.i]::DOUBLE * r.rv AS prod
+           FROM embeddings e JOIN r ON r.i <= len(e.embedding)),
+    d AS (SELECT vec_id, j, sum(prod) AS dotp FROM pl GROUP BY vec_id, j),
+    bk AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN dotp > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+           FROM d GROUP BY vec_id),
+    e2 AS (SELECT e.vec_id, e.embedding, bk.bucket
+           FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+    p0 AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                  generate_subscripts(a.embedding, 1) AS i,
+                  unnest(a.embedding)::DOUBLE AS x, b.embedding AS eb
+           FROM e2 a JOIN e2 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    p AS (SELECT va, vb, x, eb[i]::DOUBLE AS y FROM p0),
+    s AS (SELECT va, vb, sum(x * y) AS dotp,
+                 sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+          FROM p GROUP BY va, vb),
+    sims AS (SELECT va, vb, round(dotp / (nx * ny), 6) AS sim FROM s)
+    SELECT va AS vec_id, vb AS neighbor_id, sim, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY va
+                                     ORDER BY sim DESC, vb) AS rk
+        FROM sims) x
+    WHERE rk <= 3
+    """,
+)
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN JOIN — top-3 nearest neighbours for EVERY vector, the
+    retrieval shape a training pipeline runs corpus-wide (hard-negative
+    mining, semantic dedup sweeps), not the single-query top-k of
+    ``embedding_knn_topk``.
+
+    Scale shape: candidates are bounded by the same hyperplane-LSH
+    equi-join on `bucket` as the near-dup pipeline (never an all-pairs
+    cross product); the exact cosine runs per candidate pair, and the
+    per-query rank window partitions by query vector over its bucket's
+    candidates only. Rounded sim + neighbour-id tie-break keeps the
+    ranking engine-stable. Production recall tuning (multi-probe /
+    multiple hash tables) unions more bucket joins — the plan shape is
+    unchanged."""
+    e = table(spark, sf_dir, "embeddings")
+    buckets = lsh_bucket_assignments(e)
+    eb = e.join(buckets, "vec_id")
+    a = eb.select(
+        F.col("vec_id"), F.col("bucket").alias("bucket_a"), _as_double("embedding").alias("ea")
+    )
+    b = eb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("bucket_b"),
+        _as_double("embedding").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_id") != F.col("neighbor_id"))
+    )
+    sim = F.round(dot(F.col("ea"), F.col("nb")) / (norm(F.col("ea")) * norm(F.col("nb"))), 6)
+    sims = pairs.select("vec_id", "neighbor_id", sim.alias("sim"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("vec_id", "neighbor_id", "sim", "rk")
+    )
