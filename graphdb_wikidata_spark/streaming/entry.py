@@ -17,6 +17,7 @@ from .streams import (
     run_available_now,
     running_user_totals,
     session_stats,
+    static_enriched_counts,
     stream_interval_join,
     tumbling_counts,
 )
@@ -50,6 +51,31 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment + windowed agg (see
+    streams.static_enriched_counts): the streaming result on the
+    finite replay must equal the batch join+group answer."""
+    from ..tables import table
+
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    df = run_available_now(static_enriched_counts(events_stream(spark, sf_dir), dim))
+    return df.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "c_mktsegment",
         "n",
         "sum_value",
     )

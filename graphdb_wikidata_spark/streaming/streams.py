@@ -79,6 +79,28 @@ def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFra
     )
 
 
+def static_enriched_counts(
+    events: DataFrame, dim: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-static enrichment: each micro-batch joins the stream
+    against a STATIC dimension (broadcast — no stream-side state for
+    the join, unlike stream-stream joins), then aggregates per
+    (1-hour window, customer segment). The canonical "enrich events
+    with a dimension table" deployment shape; the dimension is re-read
+    per batch in production (picking up slowly-changing updates)
+    without restarting the query."""
+    e = events.withWatermark("ts", watermark)
+    joined = e.join(F.broadcast(dim), e["user_id"] == dim["c_custkey"])
+    return (
+        joined.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w").start.alias("win_start"), "c_mktsegment", "n", "sum_value")
+    )
+
+
 def sliding_avg(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """1-hour windows sliding every 15 minutes — each event lands in 4
     windows; Spark expands then aggregates (shuffle on window+type)."""
