@@ -61,3 +61,36 @@ def test_gated_embedding_subset_of_exact(spark):
     assert gated, "composition found no pairs at sf0.001 — not exercising the path"
     for pair, s in gated.items():
         assert exact.get(pair) == s, f"{pair}: gated={s} exact={exact.get(pair)}"
+
+
+def test_knn_join_plan_and_subset_of_exact(spark):
+    """embedding_knn_join must (1) bound candidates by the bucket
+    equi-join — no all-pairs operator in the plan — and (2) return only
+    TRUE neighbour edges: every (query, neighbour, sim) it reports must
+    appear in the exact all-pairs similarity set with the identical
+    rounded sim (LSH may lower recall, never invent or mis-score an
+    edge)."""
+    from pyspark.sql import functions as F
+
+    from graphdb_wikidata_spark.operators.similarity import QUERIES as SIM_Q
+    from graphdb_wikidata_spark.operators.similarity import _as_double, dot, norm
+    from graphdb_wikidata_spark.tables import table
+
+    got_df = SIM_Q["embedding_knn_join"](spark, SF_SMOKE)
+    plan = _plan(got_df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    got = {(r.vec_id, r.neighbor_id): r.sim for r in got_df.collect()}
+    assert got, "bucketed kNN join must return neighbours at sf0.001"
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), _as_double("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), _as_double("embedding").alias("eb"))
+    sim = F.round(dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb"))), 6)
+    exact = {
+        (r.va, r.vb): r.s
+        for r in a.join(b, F.col("va") != F.col("vb")).select("va", "vb", sim.alias("s")).collect()
+    }
+    for pair, s in got.items():
+        assert exact[pair] == s  # never invents or mis-scores an edge
