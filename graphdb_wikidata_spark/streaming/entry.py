@@ -82,6 +82,33 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_avg",
+    """
+    WITH s AS (SELECT e.*,
+                      time_bucket(INTERVAL '15 minutes', ts)
+                        - k.k * INTERVAL '15 minutes' AS win_start
+               FROM events e, generate_series(0, 3) k(k))
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, round(avg(value), 4) AS avg_value
+    FROM s GROUP BY 1, 2
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour windows sliding every 15 minutes (streaming
+    form of the batch events_sliding): each event expands into its 4
+    covering windows before the (window, type) partial agg; state is
+    bounded by the watermark horizon times the 4x window overlap."""
+    from .streams import sliding_avg
+
+    df = run_available_now(sliding_avg(events_stream(spark, sf_dir)))
+    return df.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "avg_value",
+    )
+
+
+@register(
     "stream_interval_join",
     """
     SELECT p.event_id AS eid, c.event_id AS click_eid
