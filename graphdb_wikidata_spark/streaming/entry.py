@@ -89,7 +89,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - k.k * INTERVAL '15 minutes' AS win_start
                FROM events e, generate_series(0, 3) k(k))
     SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
-           event_type, round(avg(value), 4) AS avg_value
+           event_type, count(*) AS n,
+           sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
     FROM s GROUP BY 1, 2
     """,
 )
@@ -104,7 +105,8 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
-        "avg_value",
+        "n",
+        "sum_value",
     )
 
 

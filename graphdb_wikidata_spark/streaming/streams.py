@@ -103,12 +103,22 @@ def static_enriched_counts(
 
 def sliding_avg(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """1-hour windows sliding every 15 minutes — each event lands in 4
-    windows; Spark expands then aggregates (shuffle on window+type)."""
+    windows; Spark expands then aggregates (shuffle on window+type).
+
+    Emits count + EXACT-decimal sum rather than a rounded float
+    average: with ~14k groups a handful of quotients land exactly on
+    the round-half boundary, where even the same IEEE double rounds
+    differently across engines (Spark's BigDecimal HALF_UP vs DuckDB's
+    scale-multiply — caught by the sf0.1 oracle sweep). sum/count is
+    derivable; only the division result is not cross-engine-stable."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(F.col("w").start.alias("win_start"), "event_type", "avg_value")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w").start.alias("win_start"), "event_type", "n", "sum_value")
     )
 
 

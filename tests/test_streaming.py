@@ -41,8 +41,11 @@ def test_sliding_avg_matches_batch(spark, batch_events):
     got = run_available_now(sliding_avg(events_stream(spark, SF)))
     want = (
         batch_events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(F.col("w").start.alias("win_start"), "event_type", "avg_value")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w").start.alias("win_start"), "event_type", "n", "sum_value")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
