@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 PRIORITY_ENTRIES: tuple[str, ...] = (
     # -- new this round: named graphs + extension functions + SERVICE
     "sparql_graph_named",
-    "sparql_graph_empty",
+    # (sparql_graph_empty rotated out for stream_sliding_avg: the
+    # default-graph scoping it proves is exercised by sparql_graph_named
+    # and every sibling scan entry, while the sliding aggregate's
+    # cross-engine determinism fix deserves the hard gate)
+    "stream_sliding_avg",
     "sparql_custom_func",
     "sparql_custom_agg",
     "sparql_service_federated",
