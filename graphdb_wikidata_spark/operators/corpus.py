@@ -213,3 +213,67 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", bucket.alias("bucket"), rate.alias("rate"))
         .filter(F.col("bucket") < F.col("rate"))
     )
+
+
+#: n-gram width for the decontamination overlap check — wide enough
+#: that chance collisions are rare, narrow enough to catch rephrased
+#: spans (real pipelines use 8-13; the synthetic corpus' short docs
+#: make 5 the equivalent regime)
+DECON_N = 5
+
+
+@register(
+    "decontaminate_ngrams",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE len(string_split(text, ' ')) >= {DECON_N}),
+    pos AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM toks),
+    g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{DECON_N - 1}], ' ') AS g
+          FROM pos WHERE i <= len(toks) - {DECON_N - 1}),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+    tr AS (SELECT * FROM g WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id,
+           count(*)                                    AS n_grams,
+           count(ev.g)                                 AS n_shared,
+           round(count(ev.g)::DOUBLE / count(*), 4)    AS shared_frac,
+           count(ev.g) > 0                             AS contaminated
+    FROM tr LEFT JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any ``DECON_N``-token n-gram with the held-out evaluation set
+    (here the deterministic ``doc_id % 20 == 0`` stratum standing in
+    for a benchmark suite).
+
+    Shape at scale: both sides explode to distinct n-grams (linear,
+    map-side); the eval side collapses to a distinct-gram set that is
+    ~benchmark-sized, i.e. tiny next to a 100 TB corpus, so the
+    overlap join is an explicitly broadcast hash join — every training
+    gram is checked without shuffling the corpus. The per-doc rollup
+    is one partial-agg groupBy on doc_id.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= DECON_N)
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(toks) - {DECON_N - 1}),"
+            f" i -> array_join(slice(toks, i, {DECON_N}), ' '))"
+        )
+    )
+    g = d.select("doc_id", F.explode(grams).alias("g"))
+    ev = g.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    tr = g.filter(F.col("doc_id") % 20 != 0)
+    hit = F.col("ev_g").isNotNull()
+    return (
+        tr.join(F.broadcast(ev.select(F.col("g").alias("ev_g"))), tr["g"] == F.col("ev_g"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(hit, 1)).alias("n_shared"),
+            F.round(F.count(F.when(hit, 1)).cast("double") / F.count("*"), 4).alias("shared_frac"),
+            (F.count(F.when(hit, 1)) > 0).alias("contaminated"),
+        )
+    )

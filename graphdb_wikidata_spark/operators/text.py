@@ -200,3 +200,55 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bow_fingerprint"
         ),
     )
+
+
+@register(
+    "quality_gopher_rules",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+    m AS (SELECT doc_id,
+                 sum(c)::BIGINT  AS n_tokens,
+                 max(c)          AS top_c,
+                 count(*)        AS n_distinct
+          FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           n_tokens,
+           round(top_c::DOUBLE / n_tokens, 4)            AS top_tok_frac,
+           round(1 - n_distinct::DOUBLE / n_tokens, 4)   AS dup_tok_frac,
+           (n_tokens BETWEEN 20 AND 80
+            AND top_c::DOUBLE / n_tokens <= 0.2
+            AND 1 - n_distinct::DOUBLE / n_tokens <= 0.6) AS keep
+    FROM m
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rules (Rae et al. 2021 §A1.1):
+    per-document token count, most-frequent-token fraction, and
+    duplicate-token fraction, folded into a boolean ``keep`` gate.
+
+    Shape at scale: tokenize -> explode -> two groupBy stages, both
+    with map-side partial aggregation keyed by doc_id (+ token in the
+    first) — the same linear shuffle profile as ``tfidf_rarest_term``.
+    No Python in the row path, no window over the whole corpus; a doc's
+    metrics never leave its hash partition.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    m = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_c"),
+        F.count("*").alias("n_distinct"),
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("n_tokens")
+    dup_frac = F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_frac, 4).alias("top_tok_frac"),
+        F.round(dup_frac, 4).alias("dup_tok_frac"),
+        (
+            F.col("n_tokens").between(20, 80) & (top_frac <= 0.2) & (dup_frac <= 0.6)
+        ).alias("keep"),
+    )

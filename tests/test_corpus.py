@@ -105,3 +105,71 @@ def test_quality_pack_composition(spark):
     for r in out:
         assert r.pack_id == cum.get(r.source, 0) // PACK_BUDGET
         cum[r.source] = cum.get(r.source, 0) + r.n_tokens
+
+
+def test_decontaminate_plan_broadcasts_eval_grams(spark):
+    """The eval-gram set must reach the overlap join as a broadcast
+    (the corpus side never shuffles), and a contaminated doc is
+    exactly one sharing a distinct n-gram with the eval stratum."""
+    from graphdb_wikidata_spark.operators.corpus import DECON_N, decontaminate_ngrams
+
+    df = decontaminate_ngrams(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    rows = df.collect()
+    # recompute ground truth in Python at sf0.01 scale (small enough)
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchall()
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + DECON_N]) for i in range(len(w) - DECON_N + 1)}
+    ev = set()
+    for did, text in docs:
+        if did % 20 == 0 and len(text.split(" ")) >= DECON_N:
+            ev |= grams(text)
+    truth = {}
+    for did, text in docs:
+        if did % 20 != 0 and len(text.split(" ")) >= DECON_N:
+            g = grams(text)
+            truth[did] = (len(g), len(g & ev))
+    assert len(rows) == len(truth)
+    for r in rows:
+        n, s = truth[r.doc_id]
+        assert (r.n_grams, r.n_shared, r.contaminated) == (n, s, s > 0)
+
+
+def test_gopher_rules_match_python_model(spark):
+    """keep flag and metrics re-derive from a direct per-doc model."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x):  # Spark/DuckDB round() is HALF_UP; Python round() is not
+        return float(Decimal(str(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    from graphdb_wikidata_spark.operators.text import quality_gopher_rules
+
+    rows = quality_gopher_rules(spark, SF_SMOKE).collect()
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    assert len(rows) == len(docs)
+    model = {}
+    for did, text in docs:
+        c = Counter(text.split(" "))
+        n = sum(c.values())
+        top = max(c.values())
+        dup = 1 - len(c) / n
+        model[did] = (n, top / n, dup, 20 <= n <= 80 and top / n <= 0.2 and dup <= 0.6)
+    for r in rows:
+        n, topf, dupf, keep = model[r.doc_id]
+        assert r.n_tokens == n
+        assert r.top_tok_frac == r4(topf)
+        assert r.dup_tok_frac == r4(dupf)
+        assert r.keep == keep
