@@ -251,6 +251,24 @@ class Graph(Op):
 
 
 @dataclass(frozen=True)
+class Dataset(Op):
+    """FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2): the query
+    executes against a dataset whose default graph is the MERGE of the
+    ``default_graphs`` and whose named-graph set is ``named_graphs``.
+    Either tuple may be empty — per spec, the presence of ANY dataset
+    clause replaces the whole dataset, so FROM-only queries see no
+    named graphs (GRAPH matches nothing) and FROM-NAMED-only queries
+    see an empty default graph. The reference never consumes dataset
+    clauses (spargebra parses them; interpreter.rs ignores the
+    dataset field) — implementing them puts this engine ahead on
+    declared surface, like Graph itself."""
+
+    input: Op
+    default_graphs: tuple[str, ...]
+    named_graphs: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class Service(Op):
     """SERVICE [SILENT] <iri> { input }: evaluate the inner pattern
     against a registered secondary dataset (federation). The reference
@@ -397,7 +415,7 @@ def binding_masks(op: Op) -> frozenset[frozenset[str]] | None:
             g = op.name.name
             return capped(frozenset(a | {g} for a in inner))
         return inner
-    if isinstance(op, (Filter, OrderBy, Distinct, Reduced, Slice)):
+    if isinstance(op, (Filter, OrderBy, Distinct, Reduced, Slice, Dataset)):
         # Filter can only REMOVE masks (e.g. FILTER(BOUND(?x))) — the
         # over-approximation stays sound
         return binding_masks(op.input)
@@ -449,6 +467,6 @@ def certain_vars(op: Op) -> set[str]:
         return set() if op.silent else certain_vars(op.input)
     if isinstance(op, LabelService):
         return certain_vars(op.input)  # lookup targets may miss
-    if isinstance(op, (Filter, OrderBy, Distinct, Reduced, Slice)):
+    if isinstance(op, (Filter, OrderBy, Distinct, Reduced, Slice, Dataset)):
         return certain_vars(op.input)
     return set()

@@ -75,6 +75,10 @@ class Compiler:
         # the body of a Graph operator; scans read it to filter/bind
         # the quad's graph_id
         self._graph_ctx: "Term | Var | None" = None
+        # active FROM/FROM NAMED dataset, as (default_graphs, named
+        # _graphs) tuples of IRI strings, or None when the query has no
+        # dataset clause; scans read it through _graph_clause
+        self._dataset_ctx: "tuple | None" = None
         self._pred_stats: tuple[dict, int] | None = None
         # SERVICE registry: iri -> statements DataFrame (term columns
         # ensured at registration time); stats memo per service so the
@@ -350,6 +354,11 @@ class Compiler:
             # inside GRAPH ?g every scan must bind the graph var; the
             # star's single groupBy cannot, so fall back to plain scans
             return [], patterns
+        if self._dataset_ctx is not None:
+            # FROM-merged default graphs: the functionality proof comes
+            # from default-graph stats and need not hold across the
+            # merged graphs, so take the exact join path
+            return [], patterns
 
         groups: dict[str, list[TriplePattern]] = defaultdict(list)
         rest: list[TriplePattern] = []
@@ -380,7 +389,7 @@ class Compiler:
                 continue
             from .scan import _graph_clause, ensure_term_columns
 
-            gcond, _ = _graph_clause(self._graph_ctx)
+            gcond, _ = _graph_clause(self._graph_ctx, self._dataset_ctx)
             st = ensure_term_columns(self.statements).filter(
                 (F.col("pred_kind") == "P") & F.col("pred_id").isin(preds) & gcond
             )
@@ -431,6 +440,7 @@ class Compiler:
                             tp,
                             self.union_stmt_forms,
                             graph=self._graph_ctx,
+                            dataset=self._dataset_ctx,
                         ),
                         self._tp_cols(tp),
                     ),
@@ -461,10 +471,31 @@ class Compiler:
     def _c_triplepattern(self, op: TriplePattern) -> DataFrame:
         return self._remember(
             scan_pattern(
-                self.statements, op, self.union_stmt_forms, graph=self._graph_ctx
+                self.statements,
+                op,
+                self.union_stmt_forms,
+                graph=self._graph_ctx,
+                dataset=self._dataset_ctx,
             ),
             self._tp_cols(op),
         )
+
+    def _c_dataset(self, op) -> DataFrame:
+        """FROM / FROM NAMED (SPARQL 1.1 §13.2): activate the query
+        dataset while compiling the body — every scan inside then
+        matches the merged FROM graphs where it would match the default
+        graph, and GRAPH ranges over the FROM NAMED set only. Purely a
+        scan-filter rewrite: no extra operator, no shuffle, and the
+        graph_id IN (...) predicate pushes into the parquet scan like
+        any other filter."""
+        prev, self._dataset_ctx = self._dataset_ctx, (
+            op.default_graphs,
+            op.named_graphs,
+        )
+        try:
+            return self.compile(op.input)
+        finally:
+            self._dataset_ctx = prev
 
     def _c_graph(self, op) -> DataFrame:
         """GRAPH name { body }: compile the body with the graph scope
@@ -503,15 +534,21 @@ class Compiler:
             )
         # an outer GRAPH scope does not reach into the service (the
         # remote dataset has its own graphs); body-level GRAPH works
-        prev = (self.statements, self._pred_stats, self._graph_ctx)
+        prev = (self.statements, self._pred_stats, self._graph_ctx, self._dataset_ctx)
         self.statements = src
         self._pred_stats = self._svc_stats.get(op.iri)
         self._graph_ctx = None
+        self._dataset_ctx = None
         try:
             return self.compile(op.input)
         finally:
             self._svc_stats[op.iri] = self._pred_stats
-            self.statements, self._pred_stats, self._graph_ctx = prev
+            (
+                self.statements,
+                self._pred_stats,
+                self._graph_ctx,
+                self._dataset_ctx,
+            ) = prev
 
     def _c_join(self, op: Join) -> DataFrame:
         from .algebra import certain_vars, pattern_vars
@@ -1150,6 +1187,7 @@ class Compiler:
         spo = scan_pattern(
             self.statements,
             TriplePattern(Var("subject"), Var("predicate"), Var("object")),
+            dataset=self._dataset_ctx,
         )
         node_sets = []
         for t in op.nodes:
@@ -1199,11 +1237,12 @@ class Compiler:
             F.array(*[F.lit(x) for x in langs]), F.col("__tl")
         )
         for new_var, base, kind in op.targets:
-            gdefault = (
-                F.col("graph_id").isNull()
-                if "graph_id" in self.statements.columns
-                else F.lit(True)
-            )
+            if "graph_id" in self.statements.columns:
+                from .scan import _graph_clause
+
+                gdefault, _ = _graph_clause(None, self._dataset_ctx)
+            else:
+                gdefault = F.lit(True)
             terms = (
                 self.statements.filter(
                     (F.col("pred_kind") == kind)

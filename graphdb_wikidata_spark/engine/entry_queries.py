@@ -879,6 +879,36 @@ def sparql_graph_named(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_dataset_from",
+    """
+    SELECT 3000000 + n_nationkey AS n, 4000000 + n_regionkey AS r,
+           CASE WHEN n_nationkey > 0 THEN 3000000 + n_nationkey - 1 END AS m
+    FROM nation
+    """,
+)
+def sparql_dataset_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2; the
+    reference parses but ignores them): FROM <geo> makes the geo named
+    graph the query's default graph — the pattern matches ITS 25
+    nation->region edges, not the default-graph copies — while FROM
+    NAMED <chain> admits the chain graph for the GRAPH block. Purely a
+    scan-filter rewrite (graph_id IN (...) pushed to parquet), no new
+    operator."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n ?r ?m
+        FROM <http://example.org/graph/geo>
+        FROM NAMED <http://example.org/graph/chain>
+        WHERE {
+          ?n wdt:P3 ?r .
+          OPTIONAL { GRAPH <http://example.org/graph/chain> { ?n wdt:P8 ?m . } }
+        }
+        """
+    )
+    return df.select(_e("n"), _e("r"), _e("m"))
+
+
+@register(
     "sparql_path_alt_inverse",
     """
     SELECT 3000000 + c_nationkey AS n, 1000000 + c_custkey AS x FROM customer

@@ -182,8 +182,10 @@ class Parser:
                 self.expect(kind="IRIREF")
         if self.at_keyword("ASK"):
             self.next()
+            ds = self.parse_dataset_clauses()
+            self.accept("WHERE")
             pattern = self.parse_group_graph_pattern()
-            return Slice(pattern, 0, 1)
+            return self._wrap_dataset(Slice(pattern, 0, 1), ds)
         if self.at_keyword("CONSTRUCT"):
             return self.parse_construct_query()
         if self.at_keyword("DESCRIBE"):
@@ -202,9 +204,11 @@ class Parser:
             if not isinstance(tmpl_op, Bgp):
                 raise SyntaxError("property paths are not allowed in CONSTRUCT templates")
             template = tmpl_op.patterns
+            ds = self.parse_dataset_clauses()
             self.accept("WHERE")
             pattern = self.parse_group_graph_pattern()
         else:  # CONSTRUCT WHERE { pattern }: template = pattern
+            ds = self.parse_dataset_clauses()
             self.expect("WHERE")
             pattern = self.parse_group_graph_pattern()
             if not isinstance(pattern, Bgp):
@@ -223,7 +227,7 @@ class Parser:
                 offset = int(self.expect(kind="NUMBER").value)
         if offset or limit is not None:
             plan = Slice(plan, offset, limit)
-        return plan
+        return self._wrap_dataset(plan, ds)
 
     def parse_describe_query(self) -> Op:
         from .algebra import Describe
@@ -243,6 +247,7 @@ class Parser:
                     nodes.append(self.parse_iri_term())
                 else:
                     break
+        ds = self.parse_dataset_clauses()
         pattern: Op | None = None
         if self.accept("WHERE") or self.peek().value == "{":
             pattern = self.parse_group_graph_pattern()
@@ -252,14 +257,15 @@ class Parser:
                 variables = sorted(pattern_vars(pattern))
         if not nodes and not variables:
             raise SyntaxError("DESCRIBE needs at least one IRI or variable")
-        return Describe(tuple(nodes), tuple(variables), pattern)
+        return self._wrap_dataset(Describe(tuple(nodes), tuple(variables), pattern), ds)
 
     # ---- SELECT
     def parse_select_query(self) -> Op:
         spec = self.parse_select_clause()
+        ds = self.parse_dataset_clauses()
         self.accept("WHERE")
         pattern = self.parse_group_graph_pattern()
-        return self.finish_select(spec, pattern)
+        return self._wrap_dataset(self.finish_select(spec, pattern), ds)
 
     def parse_select_clause(self) -> SelectSpec:
         self.expect("SELECT")
@@ -797,6 +803,42 @@ class Parser:
             self.next()
             return parse_iri(PREFIXES["rdf"] + "type"), inverted
         return self.parse_iri_term(), inverted
+
+    def parse_dataset_clauses(self):
+        """FROM / FROM NAMED clauses (SPARQL 1.1 grammar DatasetClause):
+        returns (default_graphs, named_graphs) IRI tuples, or None when
+        no clause is present (= query runs against the store's own
+        dataset)."""
+        defaults: list[str] = []
+        named: list[str] = []
+        seen = False
+        while self.at_keyword("FROM"):
+            self.next()
+            seen = True
+            if self.at_keyword("NAMED"):
+                self.next()
+                named.append(self._dataset_iri())
+            else:
+                defaults.append(self._dataset_iri())
+        return (tuple(defaults), tuple(named)) if seen else None
+
+    def _dataset_iri(self) -> str:
+        t = self.parse_iri_term()
+        if t.t == "str":
+            return t.s
+        if t.t == "entity":
+            # entity-shaped graph name -> its canonical wd: IRI (the
+            # normalization _graph_clause applies to GRAPH wd:Qn)
+            from .terms import PREFIXES
+
+            return f"{PREFIXES['wd']}{t.k}{t.e}"
+        raise SyntaxError("FROM expects an IRI")
+
+    @staticmethod
+    def _wrap_dataset(plan: Op, ds) -> Op:
+        from .algebra import Dataset
+
+        return plan if ds is None else Dataset(plan, ds[0], ds[1])
 
     def parse_iri_term(self) -> Term:
         t = self.peek()

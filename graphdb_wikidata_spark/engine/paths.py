@@ -40,9 +40,13 @@ def _pairs(compiler, path: PathExpr, s: Var, o: Var) -> DataFrame:
     from .scan import scan_pattern
 
     graph = getattr(compiler, "_graph_ctx", None)
+    dataset = getattr(compiler, "_dataset_ctx", None)
     if path.kind == "link":
         return scan_pattern(
-            compiler.statements, TriplePattern(s, path.terms[0], o), graph=graph
+            compiler.statements,
+            TriplePattern(s, path.terms[0], o),
+            graph=graph,
+            dataset=dataset,
         )
     if path.kind == "reverse":
         inner = _pairs(compiler, path.parts[0], o, s)
@@ -81,11 +85,18 @@ def _identity_pairs(compiler, s: Var, o: Var) -> DataFrame:
     from .scan import scan_pattern
 
     graph = getattr(compiler, "_graph_ctx", None)
+    dataset = getattr(compiler, "_dataset_ctx", None)
     subs = scan_pattern(
-        compiler.statements, TriplePattern(s, Var("__ip"), Var("__io")), graph=graph
+        compiler.statements,
+        TriplePattern(s, Var("__ip"), Var("__io")),
+        graph=graph,
+        dataset=dataset,
     ).select(s.name)
     objs = scan_pattern(
-        compiler.statements, TriplePattern(Var("__is"), Var("__ip2"), s), graph=graph
+        compiler.statements,
+        TriplePattern(Var("__is"), Var("__ip2"), s),
+        graph=graph,
+        dataset=dataset,
     ).select(s.name)
     nodes = subs.unionByName(objs).distinct()
     return nodes.select(F.col(s.name), F.col(s.name).alias(o.name))
@@ -99,6 +110,7 @@ def _negated_pairs(compiler, path: PathExpr, s: Var, o: Var) -> DataFrame:
         compiler.statements,
         TriplePattern(s, pvar, o),
         graph=getattr(compiler, "_graph_ctx", None),
+        dataset=getattr(compiler, "_dataset_ctx", None),
     )
     excluded = [t for t in path.terms if isinstance(t, Term) and t.t == "entity"]
     cond = F.lit(True)

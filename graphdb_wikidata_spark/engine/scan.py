@@ -182,20 +182,44 @@ def _filter_object(t: Term) -> Column:
     return F.lit(False)
 
 
-def _graph_clause(graph) -> tuple[Column, tuple[str, Column] | None]:
-    """(filter condition, optional var binding) for a GRAPH scope."""
+def _graph_clause(
+    graph, dataset: tuple | None = None
+) -> tuple[Column, tuple[str, Column] | None]:
+    """(filter condition, optional var binding) for a GRAPH scope.
+
+    ``dataset`` is the active FROM/FROM NAMED pair
+    ``(default_graphs, named_graphs)`` or None when the query has no
+    dataset clause (SPARQL 1.1 §13.2): with a dataset, the default
+    graph is the merge of ``default_graphs`` (so a non-GRAPH scan
+    filters graph_id IN defaults instead of IS NULL) and GRAPH ranges
+    only over ``named_graphs``. Empty tuples mean "that side of the
+    dataset is empty" — the scan matches nothing, per spec."""
+    defaults, named = dataset if dataset is not None else (None, None)
     if graph is None:
+        if defaults is not None:
+            if not defaults:
+                return F.lit(False), None
+            return F.col("graph_id").isin(*defaults), None
         return F.col("graph_id").isNull(), None
     if isinstance(graph, Var):
-        return F.col("graph_id").isNotNull(), (graph.name, F.col("__graph_term"))
+        cond = (
+            F.col("graph_id").isin(*named)
+            if named is not None and named
+            else (F.lit(False) if named is not None else F.col("graph_id").isNotNull())
+        )
+        return cond, (graph.name, F.col("__graph_term"))
     if graph.t == "str":
-        return F.col("graph_id") == graph.s, None
-    if graph.t == "entity":
+        iri = graph.s
+    elif graph.t == "entity":
         # entity-shaped graph name: match its canonical wd: IRI
         from .terms import PREFIXES
 
-        return F.col("graph_id") == f"{PREFIXES['wd']}{graph.k}{graph.e}", None
-    return F.lit(False), None
+        iri = f"{PREFIXES['wd']}{graph.k}{graph.e}"
+    else:
+        return F.lit(False), None
+    if named is not None and iri not in named:
+        return F.lit(False), None  # GRAPH <iri> outside FROM NAMED
+    return F.col("graph_id") == iri, None
 
 
 def scan_pattern(
@@ -203,6 +227,7 @@ def scan_pattern(
     tp: TriplePattern,
     union_stmt_forms: bool = False,
     graph: "Term | Var | None" = None,
+    dataset: tuple | None = None,
 ) -> DataFrame:
     """Compile one triple pattern into a filtered projection of
     ``statements`` whose columns are the pattern's variables (term
@@ -230,13 +255,13 @@ def scan_pattern(
         and isinstance(o, Var)
         and p.name != o.name
     ):
-        direct = scan_pattern(statements, tp, union_stmt_forms=False, graph=graph)
+        direct = scan_pattern(statements, tp, union_stmt_forms=False, graph=graph, dataset=dataset)
         # statement-form half: claim rows only (term edges — labels/
         # descriptions/aliases — have no statement node; qualifier rows
         # hang off stmt subjects and are excluded by the bound subject
         # unless it IS a stmt node, in which case there is no second form
         # either: their statement_id is the edge id, not a wds: node)
-        gcond, gbind = _graph_clause(graph)
+        gcond, gbind = _graph_clause(graph, dataset)
         stmt_cond = (
             _filter_subject(s)
             & (F.col("subject_kind") != "stmt")
@@ -259,7 +284,7 @@ def scan_pattern(
                 stmt_cond = stmt_cond & gbind[1].eqNullSafe(tcol)
         stmt_half = statements.filter(stmt_cond).select(*stmt_sel)
         return direct.unionByName(stmt_half)
-    gcond, gbind = _graph_clause(graph)
+    gcond, gbind = _graph_clause(graph, dataset)
     cond = gcond
     bindings: list[tuple[str, Column]] = []  # (var name, column) per position
     if gbind is not None:

@@ -127,3 +127,59 @@ def test_graph_var_certainly_bound(eng):
         "SELECT ?g WHERE { GRAPH ?g { wd:Q1 wdt:P1 ?o . } GRAPH ?g { wd:Q6 wdt:P1 ?n . } }"
     ).collect()
     assert [r["g"]["s"] for r in rows] == [G1]
+
+
+# ---- FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2) ----------------
+
+
+def test_from_merges_named_graphs_into_default(eng):
+    # FROM <g1> FROM <g2>: default graph = merge of the two named
+    # graphs; the default-graph rows (Q1->Q2) are NOT in the dataset
+    rows = eng.sql(
+        f"SELECT ?o FROM <{G1}> FROM <{G2}> WHERE {{ wd:Q1 wdt:P1 ?o . }}"
+    ).collect()
+    assert _vals(rows, "o") == [4, 6]
+
+
+def test_from_named_only_empties_default_graph(eng):
+    rows = eng.sql(
+        f"SELECT ?o FROM NAMED <{G1}> WHERE {{ wd:Q1 wdt:P1 ?o . }}"
+    ).collect()
+    assert rows == []
+
+
+def test_from_named_restricts_graph_var(eng):
+    rows = eng.sql(
+        f"SELECT ?g ?o FROM NAMED <{G1}> WHERE {{ GRAPH ?g {{ wd:Q1 wdt:P1 ?o . }} }}"
+    ).collect()
+    assert _vals(rows, "o") == [4]
+    assert [r["g"]["s"] for r in rows] == [G1]
+
+
+def test_graph_iri_outside_from_named_is_empty(eng):
+    rows = eng.sql(
+        f"SELECT ?o FROM NAMED <{G1}> WHERE {{ GRAPH <{G2}> {{ wd:Q1 wdt:P1 ?o . }} }}"
+    ).collect()
+    assert rows == []
+
+
+def test_from_without_named_leaves_graph_empty(eng):
+    rows = eng.sql(
+        f"SELECT ?g ?o FROM <{G1}> WHERE {{ GRAPH ?g {{ ?s wdt:P1 ?o . }} }}"
+    ).collect()
+    assert rows == []
+
+
+def test_path_closure_inside_from(eng):
+    # +-closure over the FROM-merged default graph: g/one's chain only
+    rows = eng.sql(f"SELECT ?o FROM <{G1}> WHERE {{ wd:Q1 wdt:P1+ ?o . }}").collect()
+    assert _vals(rows, "o") == [4, 5]
+
+
+def test_from_ask_and_describe_forms(eng):
+    assert eng.sql(f"ASK FROM <{G1}> {{ wd:Q4 wdt:P1 ?o . }}").count() == 1
+    assert eng.sql(f"ASK FROM NAMED <{G1}> {{ wd:Q4 wdt:P1 ?o . }}").count() == 0
+    # DESCRIBE wd:Q1 under FROM <g2>: only the g/two statement about Q1
+    rows = eng.sql(f"DESCRIBE wd:Q1 FROM <{G2}>").collect()
+    assert len(rows) == 1
+    assert rows[0]["object"]["e"] == 6
