@@ -1,1 +1,7 @@
-from .wikidata import load_dump, write_statements  # noqa: F401
+from .wikidata import (  # noqa: F401
+    load_dump,
+    run_stream_to_parquet,
+    statements_from_lines,
+    stream_dump,
+    write_statements,
+)

@@ -216,7 +216,21 @@ def load_dump(
 ) -> DataFrame:
     """Parse a Wikidata JSON dump (one entity per line, '['/']' first and
     last lines skipped, trailing commas stripped) into statements."""
-    lines = spark.read.text(path)
+    return statements_from_lines(
+        spark.read.text(path), parse_qualifiers, language_filter
+    )
+
+
+def statements_from_lines(
+    lines: DataFrame,
+    parse_qualifiers: bool = True,
+    language_filter: list[str] | None = None,
+) -> DataFrame:
+    """dump lines (one `value` column) -> statements. Every step is a
+    narrow transformation (from_json / explode / union — no aggregate,
+    no join), so the SAME pipeline runs batch (load_dump) or continuous
+    (stream_dump over readStream): the Spark expression of the
+    reference's line-at-a-time parser (parser.rs:423-494)."""
     items = (
         lines.select(F.regexp_replace(F.rtrim("value"), r",\s*$", "").alias("line"))
         .filter(F.length("line") > 1)
@@ -321,4 +335,45 @@ def save_statements_bucketed(
         .bucketBy(buckets, "subject_kind", "subject_id")
         .sortBy("subject_kind", "subject_id", "pred_kind", "pred_id")
         .saveAsTable(table_name)
+    )
+
+
+def stream_dump(
+    spark: SparkSession,
+    src_dir: str,
+    parse_qualifiers: bool = True,
+    language_filter: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous ingest: watch ``src_dir`` for dump shards and parse
+    each into statements as it arrives — the same transformation as
+    ``load_dump`` over ``readStream`` (the reference has no streaming
+    surface at all; its parallel ingest, parser.rs:419-421, is a batch
+    rayon loop). Pair with ``run_stream_to_parquet`` for an exactly-
+    once parquet sink: the file source + checkpoint tracks which
+    shards are done, so a crashed ingest resumes without re-emitting
+    (the property the reference's restart-from-scratch builder lacks).
+    """
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(src_dir)
+    return statements_from_lines(lines, parse_qualifiers, language_filter)
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame, out_path: str, checkpoint: str
+) -> None:
+    """Drain a streaming statements frame into a parquet directory with
+    available-now semantics (process everything currently in the
+    source, then stop). Append mode: ingest emits rows only, so no
+    state store is involved and the sink scales with input splits."""
+    (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
     )

@@ -81,3 +81,39 @@ def test_parquet_scan_pushdown(spark, tmp_path_factory):
     plan = eng.explain("SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }")
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and any("subject_id" in ln for ln in pushed), plan
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path_factory):
+    """stream_dump + parquet sink == load_dump row-for-row: the ingest
+    pipeline is one set of narrow transformations shared by batch and
+    Structured Streaming (exactly-once file-source semantics); a second
+    available-now run is a no-op (checkpoint remembers the shard)."""
+    import shutil
+
+    from graphdb_wikidata_spark.ingest import (
+        load_dump,
+        run_stream_to_parquet,
+        stream_dump,
+    )
+
+    base = tmp_path_factory.mktemp("stream_ingest")
+    src = base / "incoming"
+    src.mkdir()
+    shutil.copy(FIXTURE, src / "shard-000.json")
+    out, ckpt = str(base / "statements"), str(base / "ckpt")
+
+    stream = stream_dump(spark, str(src))
+    assert stream.isStreaming
+    run_stream_to_parquet(stream, out, ckpt)
+
+    got = spark.read.parquet(out)
+    want = load_dump(spark, FIXTURE)
+    assert got.count() == want.count() == 3385
+    key = [c for c in want.columns if not c.startswith("obj_")]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, want.select(*key).collect())
+    )
+
+    # restart with the same checkpoint: nothing new -> no duplicate rows
+    run_stream_to_parquet(stream_dump(spark, str(src)), out, ckpt)
+    assert spark.read.parquet(out).count() == 3385
