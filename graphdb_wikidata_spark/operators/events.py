@@ -358,3 +358,41 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", stage.alias("funnel_stage"), "t_view", "t_click", "t_purchase")
     )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH first AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM events GROUP BY user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           datediff('day', cohort_day, date_trunc('day', e.ts))::BIGINT AS offset_days,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, activity
+    counted per (cohort, day-offset) cell — the table behind every
+    retention curve.
+
+    Shape at scale: first-activity is one partial-agg groupBy on
+    user_id; the join back is keyed on the same column, so with AQE
+    the exchange is reused; the final cell rollup aggregates
+    (cohort, offset) — tiny output. No window over the whole event
+    log, no per-user state.
+    """
+    e = table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("offset_days"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("active_users"))
+    )

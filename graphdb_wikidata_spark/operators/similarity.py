@@ -324,3 +324,51 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("vec_id", "neighbor_id", "sim", "rk")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x)))::DOUBLE AS maxabs
+        FROM embeddings),
+    q AS (
+        SELECT vec_id, maxabs,
+               list_transform(embedding,
+                              x -> floor(x::DOUBLE * (127.0 / maxabs))::BIGINT) AS qv
+        FROM m WHERE maxabs > 0)
+    SELECT vec_id,
+           round(127.0 / maxabs, 6)  AS scale,
+           list_sum(qv)::BIGINT      AS q_sum,
+           list_min(qv)::BIGINT      AS q_min,
+           list_max(qv)::BIGINT      AS q_max
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization of the embedding column (the compression step
+    before a memory-bound ANN index): per-vector max-abs scaling to
+    [-127, 127] with floor() as the quantizer — floor on identical
+    doubles is bit-deterministic across engines, unlike .5-tie
+    rounding, so the oracle hash-matches. Output keeps scalar summary
+    columns (scale, sum/min/max of the quantized vector): the driver
+    canonicalizer sorts scalars, not arrays.
+
+    Map-only (one higher-order-function projection, no shuffle, no
+    Python row path) — linear at any corpus size.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double")
+    emb = emb.select("vec_id", "embedding", maxabs.alias("maxabs")).filter(
+        F.col("maxabs") > 0
+    )
+    scale = F.lit(127.0) / F.col("maxabs")
+    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * scale))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+    )
