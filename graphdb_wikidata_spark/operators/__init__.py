@@ -22,8 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 # (VERDICT r02 task 2), so every registry entry has hard-artifact
 # evidence in SOME round.
 PRIORITY_ENTRIES: tuple[str, ...] = (
-    # -- new this round: named graphs + extension functions + SERVICE
+    # -- new this round: named graphs + dataset clauses + extension
+    #    functions + SERVICE
     "sparql_graph_named",
+    "sparql_dataset_from",
     # (sparql_graph_empty rotated out for stream_sliding_avg: the
     # default-graph scoping it proves is exercised by sparql_graph_named
     # and every sibling scan entry, while the sliding aggregate's
@@ -32,8 +34,13 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_custom_func",
     "sparql_custom_agg",
     "sparql_service_federated",
-    # -- new this round: corpus-assembly + dedup-cluster compositions
+    # -- new this round: corpus-assembly + dedup-cluster compositions,
+    #    decontamination, quality gate, cohort retention, quantization
     "dedup_clusters",
+    "decontaminate_ngrams",
+    "quality_gopher_rules",
+    "events_cohort_retention",
+    "embedding_quantize_int8",
     "pack_sequences_budget",
     "sample_stratified_hash",
     "corpus_quality_pack",
@@ -70,14 +77,15 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_minus_optional",
     # (sparql_minus rotated out for corpus_quality_pack: its static-mask
     # rewrite is exercised more deeply by sparql_minus_optional)
-    "sparql_optional",
-    "sparql_values_undef",
+    # (sparql_optional / sparql_values_undef rotated out for the new
+    # round-3 entries: the static-mask compat rewrite they exercise is
+    # proven deeper by the three *_compat entries above)
     # -- property paths (closure loop + graph threading changed)
-    "sparql_path_sequence",
+    # (sequence/negated rotated out: the closure loop + graph/dataset
+    # threading they share is exercised by the three kept path shapes)
     "sparql_path_transitive",
     "sparql_path_alt_inverse",
     "sparql_path_zero_or_one",
-    "sparql_path_negated",
     # -- scan layer grew the default-graph filter: re-prove the core
     #    shapes + Wikidata routing over it
     "sparql_bgp_join",
@@ -91,7 +99,8 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # by the nine sibling entries in this group)
     # -- streaming (checkpoint/tmpfs + source-path logic changed)
     "stream_tumbling_counts",
-    "stream_interval_join",
+    # (stream_interval_join rotated out: r02-green, and the checkpoint/
+    # tmpfs change it shares is windowed via five sibling stream entries)
     # -- PageRank cadence reverted this round
     "graph_pagerank_chain",
 )
