@@ -231,7 +231,9 @@ class Compiler:
 
     # ---------------- helpers
 
-    def _expr_compiler(self, df: DataFrame, markers: dict | None = None) -> ExprCompiler:
+    def _expr_compiler(
+        self, df: DataFrame, markers: dict | None = None, bind: bool = False
+    ) -> ExprCompiler:
         from .expressions import _bool_result
 
         def compile_exists(e: EExists) -> Column:
@@ -240,7 +242,17 @@ class Compiler:
             m = F.col(markers[id(e)])
             return _bool_result(~m if e.negated else m)
 
-        return ExprCompiler(df, compile_exists, colset=self._cols(df))
+        return ExprCompiler(df, compile_exists, colset=self._cols(df), bind=bind)
+
+    @staticmethod
+    def _apply_bindings(df: DataFrame, ec: ExprCompiler) -> DataFrame:
+        """Materialize the compiler's let-bindings as intermediate
+        columns (sequential withColumn: later bindings may reference
+        earlier ones by name). The extra projections collapse in the
+        optimizer; what they buy is small ANALYZER trees per step."""
+        for name, col in ec.bindings:
+            df = df.withColumn(name, col)
+        return df
 
     def _bind_exists_markers(self, df: DataFrame, exprs) -> tuple[DataFrame, dict]:
         """Pre-compute a boolean column per EXISTS subexpression:
@@ -900,8 +912,10 @@ class Compiler:
             return self._keyed_join(df, sub.select(*shared), shared, how)
         keep = self._cols(df)
         df, markers = self._bind_exists_markers(df, [expr])
-        ec = self._expr_compiler(df, markers)
-        return self._remember(df.filter(ec.boolean(expr)).select(*keep), keep)
+        ec = self._expr_compiler(df, markers, bind=True)
+        cond = ec.boolean(expr)
+        df = self._apply_bindings(df, ec)
+        return self._remember(df.filter(cond).select(*keep), keep)
 
     def _c_union(self, op: Union) -> DataFrame:
         left, right = self.compile(op.left), self.compile(op.right)
@@ -922,9 +936,11 @@ class Compiler:
         df = self.compile(op.input)
         keep = self._cols(df)
         df, markers = self._bind_exists_markers(df, [op.expr])
-        ec = self._expr_compiler(df, markers)
+        ec = self._expr_compiler(df, markers, bind=True)
+        val = ec.col(op.expr)
+        df = self._apply_bindings(df, ec)
         return self._remember(
-            df.withColumn(op.var, ec.col(op.expr)).select(*keep, op.var),
+            df.withColumn(op.var, val).select(*keep, op.var),
             keep + [op.var],
         )
 
@@ -1032,11 +1048,12 @@ class Compiler:
     def _c_orderby(self, op: OrderBy) -> DataFrame:
         df = self.compile(op.input)
         df, markers = self._bind_exists_markers(df, [k for k, _ in op.keys])
-        ec = self._expr_compiler(df, markers)
+        ec = self._expr_compiler(df, markers, bind=True)
         keys = []
         for expr, asc in op.keys:
             k = sort_key(ec.col(expr))
             keys.append(k.asc() if asc else k.desc())
+        df = self._apply_bindings(df, ec)
         out_cols = [c for c in self._cols(df) if not c.startswith("__ex")]
         return self._remember(df.orderBy(*keys).select(*out_cols), out_cols)
 

@@ -8,6 +8,7 @@ columns so DuckDB oracles over the base tables can hash-match.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,7 +55,24 @@ def _engine(spark: SparkSession, sf_dir: str) -> GraphEngine:
             "subject_id",
             "subject_stmt",
         )
-        _ENGINES[key] = GraphEngine(spark, flat.persist())
+        # Materialize the flat quads to parquet ONCE and read back —
+        # the deployment model (SCALING.md: statements is a stored
+        # table, not a plan). This is a query-COMPILE optimization as
+        # much as anything: Spark re-analyzes the full logical plan on
+        # every DataFrame transformation, and the 20-branch union
+        # behind tpch_statements is thousands of analyzer nodes that
+        # persist() does NOT hide (the cache substitutes at planning
+        # time, after analysis). A FileScan leaf is ~free to analyze;
+        # measured at sf0.01 this takes multi-second per-operator plan
+        # builds down ~10x. The read-back is then persisted so
+        # execution still runs off the columnar in-memory cache.
+        import tempfile
+
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_statements_"), "statements.parquet"
+        )
+        flat.write.mode("overwrite").parquet(path)
+        _ENGINES[key] = GraphEngine(spark, spark.read.parquet(path).persist())
     return _ENGINES[key]
 
 

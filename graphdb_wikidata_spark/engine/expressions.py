@@ -524,7 +524,9 @@ class ExprCompiler:
     """Compiles Expr trees to Columns. EXISTS subplans need the
     operator compiler, injected via ``compile_op``."""
 
-    def __init__(self, df: DataFrame, compile_exists=None, resolve=None, colset=None):
+    def __init__(
+        self, df: DataFrame, compile_exists=None, resolve=None, colset=None, bind=False
+    ):
         self.df = df
         # df.columns forces plan analysis (a JVM round-trip); callers
         # that track their columns pass colset to avoid it — col()
@@ -532,6 +534,46 @@ class ExprCompiler:
         self._colset = frozenset(colset if colset is not None else df.columns)
         self.compile_exists = compile_exists
         self.resolve = resolve  # optional: var name -> Column
+        # let-binding mode: function results become named intermediate
+        # columns (collected in .bindings, applied by the caller via
+        # withColumn before the op that uses the expression). Column
+        # trees are Catalyst TREES, not DAGs — a comparison/EBV wrapper
+        # references its operand ~15x, so nesting multiplies node
+        # counts combinatorially, and Spark re-ANALYZES the full tree
+        # on every DataFrame transformation. Binding keeps tree sizes
+        # additive (measured multi-second plan builds on FILTERed
+        # var-predicate queries without it). Also fixes evaluate-once
+        # semantics for nondeterministic functions (RAND/UUID) that a
+        # duplicated tree would re-evaluate per reference.
+        self.bindings: list[tuple[str, Column]] = []
+        self._bind_enabled = bind
+        self._bind_n = 0
+
+    def _bound(self, col: Column) -> Column:
+        if not self._bind_enabled:
+            return col
+        name = f"__x{self._bind_n}"
+        self._bind_n += 1
+        self.bindings.append((name, col))
+        return F.col(name)
+
+    def _no_bind(self):
+        """Suspend binding for a lazily-evaluated subtree: IF/COALESCE
+        branches must stay inside the CASE/coalesce expression so an
+        error-able branch (ANSI division, casts) is only evaluated for
+        rows that select it — hoisting it to a column would evaluate
+        it eagerly for every row."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            prev, self._bind_enabled = self._bind_enabled, False
+            try:
+                yield
+            finally:
+                self._bind_enabled = prev
+
+        return ctx()
 
     def col(self, e: Expr) -> Column:
         """Compile to a term-struct Column."""
@@ -540,38 +582,38 @@ class ExprCompiler:
                 return self.resolve(e.name)
             return self.df[e.name] if e.name in self._colset else F.lit(None).cast(TERM_T)
         if isinstance(e, ELit):
-            return lit_term(e.term)
+            return self._bound(lit_term(e.term))
         if isinstance(e, ENot):
-            return _bool_result(~ebv(self.col(e.arg)))
+            return self._bound(_bool_result(~ebv(self.col(e.arg))))
         if isinstance(e, EBool):
             l, r = ebv(self.col(e.left)), ebv(self.col(e.right))
-            return _bool_result(l & r if e.op == "and" else l | r)
+            return self._bound(_bool_result(l & r if e.op == "and" else l | r))
         if isinstance(e, ECmp):
             l, r = self.col(e.left), self.col(e.right)
             if e.op == "=":
-                return _bool_result(eq_terms(l, r))
+                return self._bound(_bool_result(eq_terms(l, r)))
             if e.op == "!=":
-                return _bool_result(~eq_terms(l, r))
+                return self._bound(_bool_result(~eq_terms(l, r)))
             if e.op == "sameTerm":
-                return _bool_result(l == r)
-            return _bool_result(cmp_terms(l, r, e.op))
+                return self._bound(_bool_result(l == r))
+            return self._bound(_bool_result(cmp_terms(l, r, e.op)))
         if isinstance(e, EIn):
             l = self.col(e.arg)
             anyeq = F.lit(False)
             for opt in e.options:
                 anyeq = anyeq | eq_terms(l, self.col(opt))
-            return _bool_result(~anyeq if e.negated else anyeq)
+            return self._bound(_bool_result(~anyeq if e.negated else anyeq))
         if isinstance(e, EArith):
             l, r = num(self.col(e.left)), num(self.col(e.right))
             if e.op == "+":
-                return _num_result(l + r)
+                return self._bound(_num_result(l + r))
             if e.op == "-":
-                return _num_result(l - r)
+                return self._bound(_num_result(l - r))
             if e.op == "*":
-                return _num_result(l * r)
-            return _num_result(l / r)
+                return self._bound(_num_result(l * r))
+            return self._bound(_num_result(l / r))
         if isinstance(e, ENeg):
-            return _num_result(-num(self.col(e.arg)))
+            return self._bound(_num_result(-num(self.col(e.arg))))
         if isinstance(e, EExists):
             if self.compile_exists is None:
                 raise NotImplementedError("EXISTS not supported in this context")
@@ -580,11 +622,15 @@ class ExprCompiler:
             n = e.name.upper()
             if n == "IF":
                 c = ebv(self.col(e.args[0]))
-                return F.when(c, self.col(e.args[1])).otherwise(self.col(e.args[2]))
+                with self._no_bind():
+                    t_br, f_br = self.col(e.args[1]), self.col(e.args[2])
+                return self._bound(F.when(c, t_br).otherwise(f_br))
             if n == "COALESCE":
-                return F.coalesce(*[self.col(x) for x in e.args])
+                with self._no_bind():
+                    args = [self.col(x) for x in e.args]
+                return self._bound(F.coalesce(*args))
             args = [self.col(x) for x in e.args]
-            return build_function(e.name, args, e.args)
+            return self._bound(build_function(e.name, args, e.args))
         raise NotImplementedError(f"expression {e!r}")
 
     def boolean(self, e: Expr) -> Column:

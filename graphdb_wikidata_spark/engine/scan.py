@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..model.schema import make_term
+from ..model.schema import COORD_T, QTY_T, TIME_T, make_term
 from .algebra import TriplePattern, Var
 from .terms import Term
 
@@ -61,42 +61,53 @@ def _predicate_term(as_pstmt: bool = False) -> Column:
 
 
 def _object_term() -> Column:
-    """Stored object -> canonical term struct (all typed branches)."""
-    return (
-        F.when(
-            F.col("obj_type") == "entity",
-            make_term(t="entity", k=F.col("obj_entity_kind"), e=F.col("obj_entity_id")),
-        )
+    """Stored object -> canonical term struct (all typed branches).
+
+    Built FIELD-WISE — one small conditional per struct field — rather
+    than as a 10-way CASE whose every branch is a full 11-field struct.
+    Both forms produce identical values, but the branch-per-struct form
+    is ~400 analyzer nodes and this one is ~70: Spark analyzes the
+    whole plan eagerly on EVERY DataFrame transformation, and these
+    term projections sit under every scan, so expression-tree size is
+    directly query-compile latency (measured: ~1.2s per added operator
+    at the old size on a var-predicate plan, ~4x less after)."""
+    ot = F.col("obj_type")
+
+    def only(cond, col: Column, typ: str, name: str) -> Column:
+        return F.when(cond, col).otherwise(F.lit(None)).cast(typ).alias(name)
+
+    return F.struct(
+        # value-class tag: 'string' stores as 'str'; unknown/absent
+        # obj_type is the NULL node
+        F.when(ot == "string", "str")
         .when(
-            F.col("obj_type") == "string",
-            # kind defaults to the plain-string subtype when the source
-            # didn't record one (test DSL, minimal ingests)
-            make_term(
-                t="str",
-                k=F.coalesce(F.col("obj_entity_kind"), F.lit("string")),
-                s=F.col("obj_string"),
-            ),
+            ot.isin("entity", "mono", "int", "double", "bool", "time", "qty", "coord"),
+            ot,
         )
-        .when(
-            F.col("obj_type") == "mono",
-            make_term(t="mono", s=F.col("obj_string"), lang=F.col("obj_lang")),
-        )
-        .when(
-            F.col("obj_type") == "int",
-            make_term(t="int", i=F.col("obj_string").try_cast("long")),
-        )
-        .when(
-            F.col("obj_type") == "double",
-            make_term(t="double", d=F.col("obj_string").try_cast("double")),
-        )
-        .when(
-            F.col("obj_type") == "bool",
-            make_term(t="bool", b=F.lower(F.col("obj_string")).try_cast("boolean")),
-        )
-        .when(F.col("obj_type") == "time", make_term(t="time", time=F.col("obj_time")))
-        .when(F.col("obj_type") == "qty", make_term(t="qty", qty=F.col("obj_qty")))
-        .when(F.col("obj_type") == "coord", make_term(t="coord", coord=F.col("obj_coord")))
-        .otherwise(make_term(t="null"))
+        .otherwise("null")
+        .cast("string")
+        .alias("t"),
+        # kind defaults to the plain-string subtype when the source
+        # didn't record one (test DSL, minimal ingests)
+        F.when(ot == "entity", F.col("obj_entity_kind"))
+        .when(ot == "string", F.coalesce(F.col("obj_entity_kind"), F.lit("string")))
+        .otherwise(F.lit(None))
+        .cast("string")
+        .alias("k"),
+        only(ot == "entity", F.col("obj_entity_id"), "bigint", "e"),
+        only(ot.isin("string", "mono"), F.col("obj_string"), "string", "s"),
+        only(ot == "mono", F.col("obj_lang"), "string", "lang"),
+        only(ot == "int", F.col("obj_string").try_cast("long"), "bigint", "i"),
+        only(ot == "double", F.col("obj_string").try_cast("double"), "double", "d"),
+        only(
+            ot == "bool",
+            F.lower(F.col("obj_string")).try_cast("boolean"),
+            "boolean",
+            "b",
+        ),
+        only(ot == "time", F.col("obj_time"), TIME_T, "time"),
+        only(ot == "qty", F.col("obj_qty"), QTY_T, "qty"),
+        only(ot == "coord", F.col("obj_coord"), COORD_T, "coord"),
     )
 
 
