@@ -26,64 +26,15 @@ _ENGINES: dict[tuple[int, str], GraphEngine] = {}
 def _engine(spark: SparkSession, sf_dir: str) -> GraphEngine:
     key = (id(spark), sf_dir)
     if key not in _ENGINES:
-        # persist: in a real deployment `statements` is a materialized
-        # parquet/Delta table, not a 10-branch union re-derived per
-        # scan — caching mirrors that (and every triple pattern of
-        # every query hits the same cached relation).
-        #
-        # Cache the FLAT quad columns only; GraphEngine appends the
-        # term-struct columns ON TOP of the cache, so every scan
-        # rebuilds them in whole-stage codegen from flat cached
-        # columns. Caching the structs themselves is a trap measured
-        # at sf0.1/local[32]: the columnar in-memory store handles the
-        # five 11-field nested structs so poorly that materialize went
-        # 15.6s -> 158s, stats 7.7s -> 42s, and the Q1 star pivot
-        # 0.7s -> 1.9-10.8s with GC-driven variance (the BENCH "r03
-        # sparql_tpch_q1 15.6s" incident). Struct construction is a
-        # few CASE WHENs per row — recomputing beats re-reading.
-        #
-        # repartition before caching: the union branches inherit the
-        # source parquet's split granularity, so a 600k-row fact branch
-        # can land in ONE cached partition and serialize every
-        # downstream scan. Hash-partition by subject (the in-memory
-        # analogue of subject-bucketed storage): star aggregates and
-        # subject self-joins then need no exchange, and the fact-scale
-        # branches spread across cores.
-        flat = tpch_statements(spark, sf_dir).repartition(
-            spark.sparkContext.defaultParallelism,
-            "subject_kind",
-            "subject_id",
-            "subject_stmt",
-        )
-        # Materialize the flat quads to parquet ONCE and read back —
-        # the deployment model (SCALING.md: statements is a stored
-        # table, not a plan). This is a query-COMPILE optimization as
-        # much as anything: Spark re-analyzes the full logical plan on
-        # every DataFrame transformation, and the 20-branch union
-        # behind tpch_statements is thousands of analyzer nodes that
-        # persist() does NOT hide (the cache substitutes at planning
-        # time, after analysis). A FileScan leaf is ~free to analyze;
-        # measured at sf0.01 this takes multi-second per-operator plan
-        # builds down ~10x. The read-back is then persisted so
-        # execution still runs off the columnar in-memory cache.
-        import tempfile
+        # the statements graph, materialized the way a deployment
+        # stores it (tpch_graph.materialized_statements: parquet
+        # round-trip for a FileScan analyzer leaf + subject hash
+        # partitioning + persist). NOTE the struct-cache trap recorded
+        # in docs/PLANS.md: only FLAT quad columns are persisted;
+        # GraphEngine rebuilds term structs above the cache per scan.
+        from .tpch_graph import materialized_statements
 
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="spark_graft_statements_"), "statements.parquet"
-        )
-        flat.write.mode("overwrite").parquet(path)
-        # re-apply the subject hash partitioning after the read —
-        # parquet files don't carry outputPartitioning, and without it
-        # the star pivot and subject self-joins pay a full exchange per
-        # query instead of one at warm time (measured: sparql_tpch_q1
-        # 1.0s -> 2.9s when this was dropped)
-        back = spark.read.parquet(path).repartition(
-            spark.sparkContext.defaultParallelism,
-            "subject_kind",
-            "subject_id",
-            "subject_stmt",
-        )
-        _ENGINES[key] = GraphEngine(spark, back.persist())
+        _ENGINES[key] = GraphEngine(spark, materialized_statements(spark, sf_dir))
     return _ENGINES[key]
 
 

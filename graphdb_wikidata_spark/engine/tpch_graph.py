@@ -313,3 +313,41 @@ def geo_service_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_stmt(F.col("r_regionkey") + R, 30, obj_string=F.upper(F.col("r_name")))
     )
     return out.select(*STATEMENT_COLUMNS)
+
+
+_MATERIALIZED: dict[tuple[int, str], DataFrame] = {}
+
+
+def materialized_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statements graph as a deployment stores it: flat quads
+    written to parquet once, read back (a FileScan leaf — the
+    20-branch union lineage would otherwise be re-ANALYZED on every
+    DataFrame transformation of every query; cache substitution
+    happens at planning, after analysis), hash-partitioned on the
+    subject key so star pivots and subject self-joins need no
+    per-query exchange, and persisted for columnar execution. Shared
+    by the SPARQL entry engine and the graph-analytics entries — one
+    build per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    if key not in _MATERIALIZED:
+        import os
+        import tempfile
+
+        flat = tpch_statements(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism,
+            "subject_kind",
+            "subject_id",
+            "subject_stmt",
+        )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_statements_"), "statements.parquet"
+        )
+        flat.write.mode("overwrite").parquet(path)
+        back = spark.read.parquet(path).repartition(
+            spark.sparkContext.defaultParallelism,
+            "subject_kind",
+            "subject_id",
+            "subject_stmt",
+        )
+        _MATERIALIZED[key] = back.persist()
+    return _MATERIALIZED[key]

@@ -208,10 +208,12 @@ def bfs_distances(edges: DataFrame, source: int, max_iters: int = 50) -> DataFra
 
 
 def _entity_edges(spark: SparkSession, sf_dir: str, preds: list[int] | None = None) -> DataFrame:
-    """Entity->entity claim edges of the TPC-H-derived graph."""
-    from ..engine.tpch_graph import tpch_statements
+    """Entity->entity claim edges of the TPC-H-derived graph — read off
+    the shared materialized statements table (one parquet-backed build
+    per session, reused by every graph entry and the SPARQL engine)."""
+    from ..engine.tpch_graph import materialized_statements
 
-    st = tpch_statements(spark, sf_dir).filter(
+    st = materialized_statements(spark, sf_dir).filter(
         (F.col("pred_kind") == "P")
         & (F.col("obj_type") == "entity")
         # default graph only: the named-graph provenance copies of the
