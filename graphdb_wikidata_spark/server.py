@@ -52,7 +52,30 @@ def make_handler(engine: GraphEngine):
                 self._reply(404, json.dumps({"error": "use /query?query=..."}), "application/json")
                 return
             params = parse_qs(u.query)
-            q = params.get("query", [None])[0]
+            self._answer(params, params.get("query", [None])[0])
+
+        def do_POST(self):
+            """W3C SPARQL 1.1 Protocol §2.1.2/.3 (an extension — the
+            reference endpoint is GET-only, server.rs:62-66): either
+            form-encoded ``query=`` or a direct
+            ``application/sparql-query`` body."""
+            u = urlparse(self.path)
+            if u.path != "/query":
+                self._reply(404, json.dumps({"error": "use /query"}), "application/json")
+                return
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n).decode("utf-8") if n else ""
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+            params = parse_qs(urlparse(self.path).query)
+            if ctype == "application/sparql-query":
+                q = body
+            else:  # application/x-www-form-urlencoded (default)
+                form = parse_qs(body)
+                params = {**form, **params}
+                q = params.get("query", [None])[0]
+            self._answer(params, q)
+
+        def _answer(self, params: dict, q: "str | None"):
             if not q:
                 self._reply(400, json.dumps({"error": "missing query parameter"}), "application/json")
                 return

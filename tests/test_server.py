@@ -167,3 +167,39 @@ def test_tsv_results_format_via_accept(srv):
     # IRIs in angle brackets, numerics as bare literals
     assert lines[1].startswith("<http://www.wikidata.org/entity/Q")
     assert lines[1].endswith("\t5")
+
+
+def test_post_form_encoded(srv):
+    """W3C SPARQL Protocol §2.1.2: POST with url-encoded query= body."""
+    data = urllib.parse.urlencode(
+        {"query": "SELECT ?s WHERE { ?s wdt:P2 wdt:Q3 . }"}
+    ).encode()
+    req = urllib.request.Request(f"{srv}/query", data=data)
+    with urllib.request.urlopen(req) as r:
+        status, body = r.status, r.read().decode()
+    assert status == 200
+    assert len(json.loads(body)["results"]["bindings"]) == 2
+
+
+def test_post_direct_sparql_body(srv):
+    """§2.1.3: POST with Content-Type application/sparql-query."""
+    req = urllib.request.Request(
+        f"{srv}/query?format=csv",
+        data=b"SELECT ?s WHERE { ?s wdt:P2 wdt:Q3 . }",
+        headers={"Content-Type": "application/sparql-query"},
+    )
+    with urllib.request.urlopen(req) as r:
+        status, headers, body = r.status, dict(r.headers), r.read().decode()
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/csv")
+    assert body.splitlines()[0] == "s"
+
+
+def test_post_parse_error_400(srv):
+    data = urllib.parse.urlencode({"query": "SELEC bogus"}).encode()
+    req = urllib.request.Request(f"{srv}/query", data=data)
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
