@@ -158,6 +158,12 @@ class GraphEngine:
         """SPARQL -> W3C SPARQL 1.1 TSV results (Turtle-style terms)."""
         return to_sparql_tsv(self.sql(query))
 
+    def sql_xml(self, query: str) -> str:
+        """SPARQL -> W3C SPARQL Query Results XML."""
+        from .json_result import to_sparql_xml
+
+        return to_sparql_xml(self.sql(query))
+
     def scan_pattern(self, s, p, o) -> DataFrame:
         """Single triple-pattern scan; each argument is a Var, a Term,
         an IRI string, or None (auto-variable)."""

@@ -125,3 +125,42 @@ def to_sparql_json(df: DataFrame) -> str:
             b[v] = d
         bindings.append(b)
     return json.dumps({"head": {"vars": vars_}, "results": {"bindings": bindings}})
+
+
+def to_sparql_xml(df: DataFrame) -> str:
+    """W3C SPARQL Query Results XML Format (an extension — the
+    reference serializes JSON only, to_json_result.rs:70-103). Reuses
+    the same per-cell typed rendering as the JSON sink, so a cell is
+    identical across formats."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    vars_ = df.columns
+    cells = df.select(*[_cell(df[v]).alias(v) for v in vars_])
+    out = ['<?xml version="1.0"?>']
+    out.append('<sparql xmlns="http://www.w3.org/2005/sparql-results#">')
+    out.append("<head>")
+    for v in vars_:
+        out.append(f"<variable name={quoteattr(v)}/>")
+    out.append("</head><results>")
+    for row in cells.collect():
+        out.append("<result>")
+        for v in vars_:
+            cell = row[v]
+            if cell is None:
+                continue
+            out.append(f"<binding name={quoteattr(v)}>")
+            val = escape(cell["value"])
+            if cell["type"] == "uri":
+                out.append(f"<uri>{val}</uri>")
+            elif cell["type"] == "bnode":
+                out.append(f"<bnode>{val}</bnode>")
+            elif cell["xml:lang"]:
+                out.append(f'<literal xml:lang={quoteattr(cell["xml:lang"])}>{val}</literal>')
+            elif cell["datatype"]:
+                out.append(f"<literal datatype={quoteattr(cell['datatype'])}>{val}</literal>")
+            else:
+                out.append(f"<literal>{val}</literal>")
+            out.append("</binding>")
+        out.append("</result>")
+    out.append("</results></sparql>")
+    return "".join(out)

@@ -88,6 +88,8 @@ def make_handler(engine: GraphEngine):
                     fmt = "csv"
                 elif "text/tab-separated-values" in accept:
                     fmt = "tsv"
+                elif "application/sparql-results+xml" in accept:
+                    fmt = "xml"
                 else:
                     fmt = "json"
             try:
@@ -95,6 +97,8 @@ def make_handler(engine: GraphEngine):
                     body, ctype = engine.sql_csv(q), "text/csv; charset=utf-8"
                 elif fmt == "tsv":
                     body, ctype = engine.sql_tsv(q), "text/tab-separated-values; charset=utf-8"
+                elif fmt == "xml":
+                    body, ctype = engine.sql_xml(q), "application/sparql-results+xml"
                 else:
                     body, ctype = engine.sql_json(q), "application/sparql-results+json"
             except (SyntaxError, NotImplementedError) as e:

@@ -203,3 +203,28 @@ def test_post_parse_error_400(srv):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_xml_results_format(srv):
+    """W3C SPARQL Results XML: same typed cells as the JSON sink."""
+    q = urllib.parse.quote(
+        'SELECT ?s ?n ?t WHERE { ?s wdt:P2 wdt:Q3 . BIND(5 AS ?n) BIND("x"@en AS ?t) }'
+    )
+    status, headers, body = _get(f"{srv}/query?query={q}&format=xml")
+    assert status == 200
+    assert headers["Content-Type"].startswith("application/sparql-results+xml")
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(body)
+    ns = {"s": "http://www.w3.org/2005/sparql-results#"}
+    names = [v.get("name") for v in root.findall("s:head/s:variable", ns)]
+    assert names == ["s", "n", "t"]
+    results = root.findall("s:results/s:result", ns)
+    assert len(results) == 2
+    b0 = {b.get("name"): b for b in results[0].findall("s:binding", ns)}
+    assert b0["s"].find("s:uri", ns).text.startswith("http://www.wikidata.org/entity/Q")
+    lit_n = b0["n"].find("s:literal", ns)
+    assert lit_n.text == "5"
+    assert lit_n.get("datatype", "").endswith("integer")
+    lit_t = b0["t"].find("s:literal", ns)
+    assert lit_t.get("{http://www.w3.org/XML/1998/namespace}lang") == "en"
