@@ -57,10 +57,14 @@ PACK_BUDGET = 2048
 SHARD_DOCS = 4096
 
 
-def pack_documents(d: DataFrame, shard_docs: int = SHARD_DOCS) -> DataFrame:
+def pack_documents(
+    d: DataFrame, shard_docs: int = SHARD_DOCS, with_cum: bool = False
+) -> DataFrame:
     """Sharded two-pass prefix-sum packing over any (doc_id, source,
-    text) frame — the reusable kernel behind pack_sequences_budget and
-    the quality-filtered pipeline composition."""
+    text) frame — the reusable kernel behind pack_sequences_budget,
+    the quality-filtered pipeline composition, and (``with_cum=True``,
+    which returns the raw exclusive prefix sum instead of pack ids)
+    the token-budget mixer."""
     toks = F.size(F.split(F.col("text"), " "))
     d = d.select("doc_id", "source", toks.alias("n_tokens"), F.floor(F.col("doc_id") / shard_docs).alias("__shard"))
 
@@ -88,6 +92,13 @@ def pack_documents(d: DataFrame, shard_docs: int = SHARD_DOCS) -> DataFrame:
 
     out = d.join(F.broadcast(offsets), ["source", "__shard"])
     cum_before = F.col("__off") + F.col("__cum_in")
+    if with_cum:
+        return out.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            cum_before.cast("long").alias("cum_before"),
+        )
     return out.select(
         "doc_id",
         "source",
@@ -277,3 +288,37 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.when(hit, 1)) > 0).alias("contaminated"),
         )
     )
+
+
+@register(
+    "corpus_mix_budget",
+    """
+    WITH c AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               coalesce(sum(len(string_split(text, ' ')))
+                        OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS cum_before
+        FROM documents)
+    SELECT doc_id, source, n_tokens, cum_before
+    FROM c
+    WHERE cum_before < 200 + (substr(source, 4)::BIGINT * 137) % 1200
+    """,
+)
+def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing by per-source token budget: each source
+    contributes documents in deterministic doc_id order until its
+    token budget is exhausted (the mixing-weights step that turns a
+    raw corpus into a training mixture; here the budget derives from
+    the source's numeric suffix, standing in for a mixture config).
+
+    Reuses the sharded prefix-sum kernel (``pack_documents`` with
+    ``with_cum``): the cut-off is a map-side filter on the exclusive
+    prefix sum, so the whole mixer is the pack's two bounded passes
+    plus one pushed-down comparison — no global sort, no collect.
+    """
+    d = table(spark, sf_dir, "documents")
+    cum = pack_documents(d, with_cum=True)
+    budget = F.lit(200) + (F.substring(F.col("source"), 4, 10).cast("long") * 137) % 1200
+    return cum.filter(F.col("cum_before") < budget)

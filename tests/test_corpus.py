@@ -173,3 +173,30 @@ def test_gopher_rules_match_python_model(spark):
         assert r.top_tok_frac == r4(topf)
         assert r.dup_tok_frac == r4(dupf)
         assert r.keep == keep
+
+
+def test_mix_budget_semantics(spark):
+    """Per-source doc_id-order prefix under the token budget: every
+    kept doc's predecessors are kept too, and the first dropped doc of
+    a source is exactly the budget crosser."""
+    from graphdb_wikidata_spark.operators.corpus import QUERIES
+
+    rows = QUERIES["corpus_mix_budget"](spark, SF_CORRECT).collect()
+    assert rows
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, source, len(string_split(text,' ')) FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    kept = {r.doc_id: r for r in rows}
+    cum: dict[str, int] = {}
+    for did, src, n in docs:
+        budget = 200 + (int(src[3:]) * 137) % 1200
+        want_keep = cum.get(src, 0) < budget
+        assert (did in kept) == want_keep
+        if want_keep:
+            assert kept[did].cum_before == cum.get(src, 0)
+        cum[src] = cum.get(src, 0) + n
+    # the budget actually bites somewhere
+    assert len(kept) < len(docs)
