@@ -53,12 +53,34 @@ def _pairs(compiler, path: PathExpr, s: Var, o: Var) -> DataFrame:
         return inner.select(s.name, o.name)
     if path.kind == "sequence":
         parts = path.parts
+        zo = next((i for i, p in enumerate(parts) if p.kind == "zero_or_one"), None)
+        if zo is not None:
+            # A/B?/C  =  A/C  UNION  A/B'/C, where B' is B's DISTINCT
+            # non-loop pairs. Exact: inside a sequence the ?-step's
+            # zero-length endpoint is bound by its neighbours, so the
+            # spec's all-graph-nodes identity set degenerates to the
+            # bound value — matching it against a materialized node set
+            # (a full-corpus distinct at 100 TB) is a no-op filter.
+            # B' drops self-loop pairs (the zero branch already covers
+            # x=x once) and dedups (ZeroOrOnePath is set-valued, plain
+            # sequence steps are bags). Recursion expands further ?s.
+            without = parts[:zo] + parts[zo + 1 :]
+            zpath = without[0] if len(without) == 1 else PathExpr("sequence", parts=without)
+            zero_branch = _pairs(compiler, zpath, s, o).select(s.name, o.name)
+            strict = PathExpr("strict01", parts=parts[zo].parts)
+            wpath = PathExpr("sequence", parts=parts[:zo] + (strict,) + parts[zo + 1 :])
+            with_branch = _pairs(compiler, wpath, s, o).select(s.name, o.name)
+            return zero_branch.unionByName(with_branch)
         mid_vars = [s] + [_fresh() for _ in range(len(parts) - 1)] + [o]
         df = _pairs(compiler, parts[0], mid_vars[0], mid_vars[1])
         for i, part in enumerate(parts[1:], start=1):
             nxt = _pairs(compiler, part, mid_vars[i], mid_vars[i + 1])
             df = df.join(nxt, on=mid_vars[i].name).drop(mid_vars[i].name)
         return df.select(s.name, o.name)
+    if path.kind == "strict01":
+        # internal: the with-branch step of an in-sequence zero-or-one
+        step = _pairs(compiler, path.parts[0], s, o)
+        return step.filter(~F.col(s.name).eqNullSafe(F.col(o.name))).distinct()
     if path.kind == "alternative":
         dfs = [_pairs(compiler, p, s, o) for p in path.parts]
         out = dfs[0]
