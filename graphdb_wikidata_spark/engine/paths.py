@@ -53,21 +53,26 @@ def _pairs(compiler, path: PathExpr, s: Var, o: Var) -> DataFrame:
         return inner.select(s.name, o.name)
     if path.kind == "sequence":
         parts = path.parts
-        zo = next((i for i, p in enumerate(parts) if p.kind == "zero_or_one"), None)
+        zo = next(
+            (i for i, p in enumerate(parts) if p.kind in ("zero_or_one", "zero_or_more")),
+            None,
+        )
         if zo is not None:
-            # A/B?/C  =  A/C  UNION  A/B'/C, where B' is B's DISTINCT
-            # non-loop pairs. Exact: inside a sequence the ?-step's
-            # zero-length endpoint is bound by its neighbours, so the
-            # spec's all-graph-nodes identity set degenerates to the
-            # bound value — matching it against a materialized node set
-            # (a full-corpus distinct at 100 TB) is a no-op filter.
-            # B' drops self-loop pairs (the zero branch already covers
-            # x=x once) and dedups (ZeroOrOnePath is set-valued, plain
-            # sequence steps are bags). Recursion expands further ?s.
+            # A/B?/C = A/C UNION A/B'/C   (B' = B's distinct non-loop pairs)
+            # A/B*/C = A/C UNION A/B⁺'/C  (B⁺' = closure minus self-loops)
+            # Exact: inside a sequence the zero-length endpoint is bound
+            # by its neighbours, so the spec's all-graph-nodes identity
+            # set degenerates to the bound value — matching it against a
+            # materialized node set (a full-corpus distinct at 100 TB)
+            # is a no-op filter. The strict step drops self-loop pairs
+            # (the zero branch already covers x=x once) and dedups
+            # (?/* are set-valued, plain sequence steps are bags).
+            # Recursion expands further ?/* parts in either branch.
             without = parts[:zo] + parts[zo + 1 :]
             zpath = without[0] if len(without) == 1 else PathExpr("sequence", parts=without)
             zero_branch = _pairs(compiler, zpath, s, o).select(s.name, o.name)
-            strict = PathExpr("strict01", parts=parts[zo].parts)
+            strict_kind = "strict01" if parts[zo].kind == "zero_or_one" else "strictplus"
+            strict = PathExpr(strict_kind, parts=parts[zo].parts)
             wpath = PathExpr("sequence", parts=parts[:zo] + (strict,) + parts[zo + 1 :])
             with_branch = _pairs(compiler, wpath, s, o).select(s.name, o.name)
             return zero_branch.unionByName(with_branch)
@@ -81,6 +86,12 @@ def _pairs(compiler, path: PathExpr, s: Var, o: Var) -> DataFrame:
         # internal: the with-branch step of an in-sequence zero-or-one
         step = _pairs(compiler, path.parts[0], s, o)
         return step.filter(~F.col(s.name).eqNullSafe(F.col(o.name))).distinct()
+    if path.kind == "strictplus":
+        # internal: in-sequence zero-or-more -> one-or-more closure
+        # minus self-loop pairs (cycle nodes), already distinct
+        step = _pairs(compiler, path.parts[0], s, o).distinct()
+        closure = _transitive_closure(step, s.name, o.name)
+        return closure.filter(~F.col(s.name).eqNullSafe(F.col(o.name)))
     if path.kind == "alternative":
         dfs = [_pairs(compiler, p, s, o) for p in path.parts]
         out = dfs[0]

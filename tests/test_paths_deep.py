@@ -119,3 +119,38 @@ def test_sequence_zero_or_one_plan_has_no_node_set_scan(spark):
     # expansion happened by counting Union branches' aggregates
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" in plan
+
+
+def test_sequence_zero_or_more_expansion_on_cycle(spark):
+    """In-sequence B* expands to zero UNION strict-closure; exactness
+    pinned on a cyclic graph (closure contains (x,x) pairs that must
+    not double-count against the zero branch)."""
+    from graphdb_wikidata_spark.engine import GraphEngine
+    from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+    eng = GraphEngine(
+        spark,
+        statements_from_quads(
+            spark,
+            [
+                ("Q1", "P1", "Q2", "s1"),
+                ("Q2", "P1", "Q1", "s2"),  # 2-cycle on the *-step
+                ("Q2", "P2", "Q3", "s3"),
+                ("Q4", "P2", "Q1", "s4"),
+            ],
+        ),
+    )
+
+    def rows(q):
+        return sorted((r["s"]["e"], r["o"]["e"]) for r in eng.sql(q).collect())
+
+    assert rows("SELECT ?s ?o WHERE { ?s wdt:P1*/wdt:P2 ?o . }") == [
+        (1, 3), (2, 3), (4, 1),
+    ]
+    assert rows("SELECT ?s ?o WHERE { ?s wdt:P2/wdt:P1* ?o . }") == [
+        (2, 3), (4, 1), (4, 2),
+    ]
+    # standalone * keeps the identity-node-set semantics
+    assert rows("SELECT ?s ?o WHERE { ?s wdt:P1* ?o . }") == [
+        (1, 1), (1, 2), (2, 1), (2, 2), (3, 3), (4, 4),
+    ]
