@@ -115,6 +115,17 @@ def main() -> None:
             # drop them so the FACTORx caches get the whole heap (both
             # resident at once OOMed a 24g heap at factor 10)
             spark.catalog.clearCache()
+            # warm the FACTORx engine exactly like the 1x loop does:
+            # the statements materialization + stats are one-time
+            # deployment costs, not per-query time (without this the
+            # first probe entry absorbs them and its number wobbles
+            # 2-3x run to run)
+            try:
+                from graphdb_wikidata_spark.engine.entry_queries import _engine
+
+                _engine(spark, big_dir).warm()
+            except Exception:  # noqa: BLE001
+                pass
             for name in (
                 "sparql_tpch_q1",
                 "dedup_minhash_lsh",
