@@ -228,3 +228,20 @@ def test_xml_results_format(srv):
     assert lit_n.get("datatype", "").endswith("integer")
     lit_t = b0["t"].find("s:literal", ns)
     assert lit_t.get("{http://www.w3.org/XML/1998/namespace}lang") == "en"
+
+
+def test_concurrent_queries(srv):
+    """ThreadingHTTPServer + one shared SparkSession: parallel requests
+    must all answer correctly (Spark schedules concurrent jobs from
+    multiple threads; no per-request engine state)."""
+    import concurrent.futures
+
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s wdt:P2 wdt:Q3 . }")
+
+    def one(_):
+        status, _h, body = _get(f"{srv}/query?query={q}")
+        return status, len(json.loads(body)["results"]["bindings"])
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(8)))
+    assert results == [(200, 2)] * 8
