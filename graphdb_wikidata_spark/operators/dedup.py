@@ -444,3 +444,67 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("raw_sim") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("sim"))
     )
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {_SH_CTE},
+    sh2 AS (SELECT doc_id,
+                   ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
+            FROM sh),
+    hs AS (SELECT doc_id, s.seed, min(h1 + s.seed * h2) AS mh
+           FROM sh2, generate_series(0, {N_SEEDS - 1}) s(seed)
+           GROUP BY doc_id, s.seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     string_agg(mh::VARCHAR, '|' ORDER BY seed) AS band_key
+              FROM hs GROUP BY doc_id, seed // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list(sh) AS shs, count(*) AS n FROM sh GROUP BY doc_id),
+    c AS (SELECT doc_a, doc_b,
+                 len(list_intersect(sa.shs, sb.shs)) AS common, sa.n AS na, sb.n AS nb
+          FROM cand
+          JOIN sets sa ON sa.doc_id = doc_a
+          JOIN sets sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b,
+           round(greatest(common::DOUBLE / na, common::DOUBLE / nb), 4)
+               AS containment,
+           CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc
+    FROM c
+    WHERE greatest(common::DOUBLE / na, common::DOUBLE / nb) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: flags documents mostly SUBSUMED by another
+    (|A∩B| / |smaller set| — catches quote-expansions and boilerplate
+    supersets that symmetric Jaccard under-scores, since a small doc
+    inside a big one has low Jaccard but high containment).
+
+    Same 100 TB composition as ``dedup_ngram_jaccard``: LSH candidates
+    bound the pair set, the exact verify touches |candidates| pairs —
+    only the final scoring differs."""
+    sh = _shingled(spark, sf_dir)
+    cand = minhash_candidates(sh)
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs"), F.count(F.lit(1)).alias("n")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("n").alias("nb"))
+    common = F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
+    containment = F.greatest(common / F.col("na"), common / F.col("nb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(containment >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(containment, 4).alias("containment"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+    )

@@ -94,3 +94,27 @@ def test_knn_join_plan_and_subset_of_exact(spark):
     }
     for pair, s in got.items():
         assert exact[pair] == s  # never invents or mis-scores an edge
+
+
+def test_containment_subset_and_asymmetry(spark):
+    """Containment pairs are LSH candidates; score >= the symmetric
+    Jaccard for the same pair (containment divides by the smaller
+    set)."""
+    from graphdb_wikidata_spark.operators.dedup import (
+        QUERIES,
+        _shingled,
+        minhash_candidates,
+    )
+
+    rows = QUERIES["dedup_containment"](spark, SF_SMOKE)
+    got = {(r.doc_a, r.doc_b): r.containment for r in rows.collect()}
+    assert got, "sf0.001 is known to contain near-duplicates"
+    cand = {(r.doc_a, r.doc_b) for r in minhash_candidates(_shingled(spark, SF_SMOKE)).collect()}
+    assert set(got) <= cand
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    for pair, c in got.items():
+        if pair in jac:
+            assert c >= jac[pair] - 1e-9
