@@ -252,3 +252,53 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").between(20, 80) & (top_frac <= 0.2) & (dup_frac <= 0.6)
         ).alias("keep"),
     )
+
+
+@register(
+    "text_bigram_familiarity",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE len(string_split(text, ' ')) >= 2),
+    pos AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t),
+    bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+           FROM pos WHERE i <= len(toks) - 1),
+    freq AS (SELECT bg, count(*) AS f FROM bg GROUP BY bg)
+    SELECT bg.doc_id,
+           count(*)                                   AS n_bigrams,
+           sum(f)::BIGINT                             AS familiarity_sum,
+           round(sum(f)::DOUBLE / count(*), 4)        AS avg_familiarity
+    FROM bg JOIN freq USING (bg)
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-style quality proxy with integer determinism:
+    how familiar a document's bigrams are to the corpus (average
+    corpus-frequency of its bigrams — the poor man's KenLM score; real
+    pipelines threshold the analogous log-probability). Low scores
+    mark gibberish/outlier docs.
+
+    Shape at scale: explode bigrams (linear), one partial-agg groupBy
+    for the corpus frequency table, one frequency join back (AQE
+    decides broadcast — vocabulary² grows slower than the corpus), one
+    per-doc rollup keyed on doc_id.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    grams = F.expr(
+        "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"
+    )
+    bg = d.select("doc_id", F.explode(grams).alias("bg"))
+    freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        bg.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("f").alias("familiarity_sum"),
+            F.round(F.sum("f").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_familiarity"
+            ),
+        )
+    )
