@@ -330,7 +330,9 @@ def materialized_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     build per (session, sf_dir)."""
     key = (id(spark), sf_dir)
     if key not in _MATERIALIZED:
+        import atexit
         import os
+        import shutil
         import tempfile
 
         flat = tpch_statements(spark, sf_dir).repartition(
@@ -339,9 +341,11 @@ def materialized_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subject_id",
             "subject_stmt",
         )
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="spark_graft_statements_"), "statements.parquet"
-        )
+        tmp = tempfile.mkdtemp(prefix="spark_graft_statements_")
+        # the 10x/30x probe twins are hundreds of MB — don't let
+        # repeated runs accumulate them in the temp dir
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = os.path.join(tmp, "statements.parquet")
         flat.write.mode("overwrite").parquet(path)
         back = spark.read.parquet(path).repartition(
             spark.sparkContext.defaultParallelism,
