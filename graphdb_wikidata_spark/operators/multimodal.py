@@ -260,3 +260,38 @@ def media_byte_hist_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "media_id bigint, " + ", ".join(f"bin_{k} bigint" for k in range(8))
     return media_table(spark, sf_dir).mapInPandas(fn, schema=schema)
+
+
+@register(
+    "media_dedup_payload",
+    """
+    WITH c AS (SELECT doc_id AS media_id, md5(text) AS checksum
+               FROM documents),
+    g AS (SELECT checksum, min(media_id) AS canonical_id, count(*) AS n_copies
+          FROM c GROUP BY checksum)
+    SELECT c.media_id, c.checksum, g.canonical_id, g.n_copies,
+           c.media_id = g.canonical_id AS is_canonical
+    FROM c JOIN g USING (checksum)
+    """,
+)
+def media_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multimodal dedup by payload checksum — the standard first
+    pass over an image/audio corpus (checksum the raw BYTES, not any
+    decode). md5 runs JVM-side over the binary column; the rollup is
+    one partial-agg groupBy on the 128-bit digest, so the payloads
+    themselves never shuffle — only (id, digest) pairs do. Canonical
+    representative = min media id per digest.
+    """
+    m = media_table(spark, sf_dir).select(
+        "media_id", F.md5(F.col("payload")).alias("checksum")
+    )
+    g = m.groupBy("checksum").agg(
+        F.min("media_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return m.join(g, "checksum").select(
+        "media_id",
+        "checksum",
+        "canonical_id",
+        "n_copies",
+        (F.col("media_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
