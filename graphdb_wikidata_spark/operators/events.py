@@ -396,3 +396,26 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct(F.col("user_id")).alias("active_users"))
     )
+
+
+@register(
+    "events_value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 50) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type, floor(value / 50)
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type (the data-profiling
+    shape behind drift monitors and feature stores): one partial-agg
+    groupBy on (type, bucket) — bucket assignment is map-side
+    arithmetic, so the histogram costs a single #buckets-sized
+    shuffle regardless of event volume."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
