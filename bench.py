@@ -128,6 +128,7 @@ def main() -> None:
                 pass
             for name in (
                 "sparql_tpch_q1",
+                "sparql_bgp_join",  # uniform-twin reference for the skew probe
                 "dedup_minhash_lsh",
                 "events_asof_join",
                 "sparql_path_transitive",
@@ -164,6 +165,37 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - probe must never sink the bench
             print(f"# scale probe skipped: {e}", file=sys.stderr)
 
+    # ---- skew probe: the SAME FACTORx twin with a Zipfian overlay
+    # (one customer owns ~1% of orders; one near-dup cluster holds ~1%
+    # of documents — scaleprobe._apply_zipf). The uniform twins are
+    # key-shifted and prove nothing about skew; this is the empirical
+    # check behind the AQE-skew-join/salting claims in docs/SCALING.md.
+    # Read: a skew number much beyond ~2x its uniform twin means the
+    # celebrity key broke the plan (VERDICT r03 #6).
+    skew: dict[str, float] = {}
+    if probe and os.environ.get("SPARK_GRAFT_SKEW_PROBE", "1") != "0":
+        try:
+            zipf_dir = ensure_scaled_dir(spark, sf_dir, factor, zipf=True)
+            spark.catalog.clearCache()
+            try:
+                _engine(spark, zipf_dir).warm()
+            except Exception:  # noqa: BLE001
+                pass
+            for name in ("sparql_bgp_join", "dedup_clusters", "dedup_minhash_lsh"):
+                best, n = None, 0
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n = queries[name](spark, zipf_dir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None or dt < best else best
+                skew[name] = round(best, 3)
+                print(
+                    f"# skew_x{factor} {name}: {skew[name]:.3f}s ({n} rows)",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # noqa: BLE001 - probe must never sink the bench
+            print(f"# skew probe skipped: {e}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_clock_total",
@@ -182,6 +214,14 @@ def main() -> None:
             "headline_1x": {
                 k: (timings[k] if k in timings else probe_only_1x[k]) for k in probe
             },
+        }
+    if skew:
+        out["skew_probe"] = {
+            "factor": factor,
+            "queries": skew,
+            # same-size uniform twin: the number a skew time is read
+            # against (within ~2x = the skew strategy held)
+            "uniform_ref": {k: probe[k] for k in skew if k in probe},
         }
     print(json.dumps(out))
 

@@ -40,6 +40,16 @@ class GraphEngine:
         self.statements = ensure_term_columns(statements)
         self.union_stmt_forms = union_stmt_forms
         self._compiler = Compiler(spark, self.statements, union_stmt_forms)
+        # compiled-plan cache: SPARQL text -> DataFrame. Compilation is
+        # pure driver-side work (parse -> algebra -> Catalyst plan
+        # build, 0.3-1s for complex queries — serial Amdahl time at
+        # 1000 executors); the resulting DataFrame is immutable and
+        # lazily re-executed per action, so reuse is safe. Keyed also
+        # on the custom-function/aggregate registry generation and the
+        # SERVICE registration generation, so re-registration
+        # invalidates affected plans.
+        self._plan_cache: dict = {}
+        self._svc_generation = 0
 
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str) -> "GraphEngine":
@@ -119,21 +129,59 @@ class GraphEngine:
         from .scan import ensure_term_columns
 
         self._compiler.services[iri] = ensure_term_columns(statements)
+        self._svc_generation += 1
         return self
 
     def unregister_service(self, iri: str) -> "GraphEngine":
         self._compiler.services.pop(iri, None)
         self._compiler._svc_stats.pop(iri, None)
+        self._svc_generation += 1
         return self
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        default_graphs: "tuple[str, ...] | None" = None,
+        named_graphs: "tuple[str, ...] | None" = None,
+    ) -> DataFrame:
         """SPARQL -> DataFrame of term-struct columns (one per
-        projected variable)."""
-        df = self._compiler.compile(parse_query(query))
+        projected variable).
+
+        ``default_graphs`` / ``named_graphs`` are the SPARQL 1.1
+        Protocol dataset parameters (``default-graph-uri`` /
+        ``named-graph-uri``); when either is given they OVERRIDE any
+        FROM / FROM NAMED in the query text (Protocol §2.1.4)."""
+        from .expressions import REGISTRY_GENERATION
+
+        key = (
+            query,
+            tuple(default_graphs) if default_graphs is not None else None,
+            tuple(named_graphs) if named_graphs is not None else None,
+            REGISTRY_GENERATION,
+            self._svc_generation,
+        )
+        hit = self._plan_cache.get(key)
+        if hit is not None:
+            return hit
+        plan = parse_query(query)
+        if default_graphs is not None or named_graphs is not None:
+            from .algebra import Dataset
+
+            if isinstance(plan, Dataset):  # Dataset is always the root
+                plan = plan.input
+            plan = Dataset(
+                plan, tuple(default_graphs or ()), tuple(named_graphs or ())
+            )
+        df = self._compiler.compile(plan)
         # blank nodes are non-distinguished variables: they join within
         # the pattern but are never projected (even by SELECT *)
         bn = [c for c in df.columns if c.startswith("__bn")]
-        return df.drop(*bn) if bn else df
+        if bn:
+            df = df.drop(*bn)
+        if len(self._plan_cache) >= 256:  # bounded: FIFO-evict oldest
+            self._plan_cache.pop(next(iter(self._plan_cache)))
+        self._plan_cache[key] = df
+        return df
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """The Catalyst physical plan for a SPARQL query — the
@@ -144,25 +192,27 @@ class GraphEngine:
             df._jdf.queryExecution(), mode
         )
 
-    def sql_json(self, query: str) -> str:
+    def sql_json(self, query: str, max_rows: "int | None" = None, **ds) -> str:
         """SPARQL -> W3C SPARQL-JSON string (the reference HTTP
-        endpoint's response format, server.rs:87-141)."""
-        return to_sparql_json(self.sql(query))
+        endpoint's response format, server.rs:87-141). ``max_rows``
+        bounds the serialized result (ResultTooLarge beyond it);
+        ``**ds`` forwards ``default_graphs``/``named_graphs``."""
+        return to_sparql_json(self.sql(query, **ds), max_rows)
 
-    def sql_csv(self, query: str) -> str:
+    def sql_csv(self, query: str, max_rows: "int | None" = None, **ds) -> str:
         """SPARQL -> W3C SPARQL 1.1 CSV results (an extension; the
         reference serializes JSON only)."""
-        return to_sparql_csv(self.sql(query))
+        return to_sparql_csv(self.sql(query, **ds), max_rows)
 
-    def sql_tsv(self, query: str) -> str:
+    def sql_tsv(self, query: str, max_rows: "int | None" = None, **ds) -> str:
         """SPARQL -> W3C SPARQL 1.1 TSV results (Turtle-style terms)."""
-        return to_sparql_tsv(self.sql(query))
+        return to_sparql_tsv(self.sql(query, **ds), max_rows)
 
-    def sql_xml(self, query: str) -> str:
+    def sql_xml(self, query: str, max_rows: "int | None" = None, **ds) -> str:
         """SPARQL -> W3C SPARQL Query Results XML."""
         from .json_result import to_sparql_xml
 
-        return to_sparql_xml(self.sql(query))
+        return to_sparql_xml(self.sql(query, **ds), max_rows)
 
     def scan_pattern(self, s, p, o) -> DataFrame:
         """Single triple-pattern scan; each argument is a Var, a Term,

@@ -1049,12 +1049,16 @@ class Compiler:
         df = self.compile(op.input)
         df, markers = self._bind_exists_markers(df, [k for k, _ in op.keys])
         ec = self._expr_compiler(df, markers, bind=True)
+        # output columns are fixed BEFORE let-bindings materialize:
+        # _apply_bindings adds internal __xN columns that must never
+        # reach a SELECT * / DISTINCT result (only EXISTS markers are
+        # already on df at this point — exclude them by prefix)
+        out_cols = [c for c in self._cols(df) if not c.startswith("__ex")]
         keys = []
         for expr, asc in op.keys:
             k = sort_key(ec.col(expr))
             keys.append(k.asc() if asc else k.desc())
         df = self._apply_bindings(df, ec)
-        out_cols = [c for c in self._cols(df) if not c.startswith("__ex")]
         return self._remember(df.orderBy(*keys).select(*out_cols), out_cols)
 
     def _c_project(self, op: Project) -> DataFrame:

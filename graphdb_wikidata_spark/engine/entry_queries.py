@@ -839,6 +839,10 @@ def sparql_graph_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
            3000000 + n_nationkey AS n, 4000000 + n_regionkey AS r
     FROM nation
     UNION ALL
+    SELECT 'http://example.org/graph/geo2',
+           3000000 + n_nationkey, 4000000 + n_regionkey
+    FROM nation
+    UNION ALL
     SELECT 'http://example.org/graph/chain',
            3000000 + n_nationkey, 3000000 + n_nationkey - 1
     FROM nation WHERE n_nationkey > 0
@@ -886,6 +890,81 @@ def sparql_dataset_from(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df.select(_e("n"), _e("r"), _e("m"))
+
+
+@register(
+    "sparql_from_merge",
+    """
+    SELECT 3000000 + n_nationkey AS n, 4000000 + n_regionkey AS r
+    FROM nation
+    """,
+)
+def sparql_from_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-FROM default graph = RDF MERGE (SPARQL 1.1 §13.2): geo and
+    geo2 hold the SAME 25 nation->region triples, so FROM <geo> FROM
+    <geo2> must see each once — 25 solutions, not 50. The scan
+    restricts to the FROM graphs, then collapses on triple identity
+    (one extra shuffle, multi-FROM queries only; scan.py)."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT ?n ?r
+        FROM <http://example.org/graph/geo>
+        FROM <http://example.org/graph/geo2>
+        WHERE { ?n wdt:P3 ?r . }
+        """
+    )
+    return df.select(_e("n"), _e("r"))
+
+
+@register(
+    "sparql_path_in_graph_var",
+    """
+    WITH RECURSIVE r(n, x) AS (
+      SELECT n_nationkey, n_nationkey - 1 FROM nation WHERE n_nationkey > 0
+      UNION
+      SELECT r.n, r.x - 1 FROM r WHERE r.x > 0
+    )
+    SELECT 'http://example.org/graph/chain' AS g,
+           3000000 + n AS n, 3000000 + x AS x
+    FROM r
+    """,
+)
+def sparql_path_in_graph_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure inside GRAPH ?g (paths.py compile_path): the
+    closure runs once per named graph — the graph catalog is
+    metadata-scale, so the driver loop is bounded by graph count, not
+    data — and only the chain graph has P8 edges, so the result is its
+    full 300-pair closure with ?g bound. The reference executes
+    neither paths nor GRAPH (todo!, calc_engine.rs:153-156); oracle is
+    a per-graph recursive CTE."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT ?g ?n ?x WHERE { GRAPH ?g { ?n wdt:P8+ ?x . } }"
+    )
+    return df.select(_s("g"), _e("n"), _e("x"))
+
+
+@register(
+    "sparql_orderby_expr",
+    """
+    SELECT 2000000 + o_orderkey AS o, o_orderpriority AS pri
+    FROM orders
+    """,
+)
+def sparql_orderby_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * with an ORDER BY over a computed expression: the
+    expression compiler let-binds the sort key to an internal __x
+    column, which must NOT leak into the * projection (the r3 advisor
+    bug — compiler.py _c_orderby now fixes out_cols before bindings
+    apply). The driver's canonicalizer re-sorts rows, so the oracle
+    checks the column set + values; ordered-output semantics are pinned
+    by tests/test_round4_fixes.py."""
+    df = _engine(spark, sf_dir).sql(
+        """
+        SELECT * WHERE { ?o wdt:P6 ?pri . }
+        ORDER BY DESC(STRLEN(STR(?pri))) ?o
+        """
+    )
+    return df.select(_e("o"), _s("pri"))
 
 
 @register(

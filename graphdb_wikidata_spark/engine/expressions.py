@@ -296,10 +296,22 @@ def register_custom_function(iri: str, fn, kind: str = "string") -> None:
     else:
         raise ValueError(f"unknown custom-function kind {kind!r}")
     CUSTOM_FUNCTIONS[iri] = wrapped
+    _bump_generation()
+
+
+#: bumped on every registry mutation — GraphEngine keys its compiled-
+#: plan cache on this so a re-registered function invalidates plans
+REGISTRY_GENERATION = 0
+
+
+def _bump_generation() -> None:
+    global REGISTRY_GENERATION
+    REGISTRY_GENERATION += 1
 
 
 def unregister_custom_function(iri: str) -> None:
     CUSTOM_FUNCTIONS.pop(iri, None)
+    _bump_generation()
 
 
 # custom AGGREGATES by IRI — the reference's other declared-but-todo
@@ -315,10 +327,12 @@ def register_custom_aggregate(iri: str, fn, kind: str = "numeric") -> None:
     if kind not in ("numeric", "int", "string", "term"):
         raise ValueError(f"unknown custom-aggregate kind {kind!r}")
     CUSTOM_AGGREGATES[iri] = (fn, kind)
+    _bump_generation()
 
 
 def unregister_custom_aggregate(iri: str) -> None:
     CUSTOM_AGGREGATES.pop(iri, None)
+    _bump_generation()
 
 
 def build_function(name: str, args: list[Column], raw_args: tuple[Expr, ...]) -> Column:
@@ -552,6 +566,11 @@ class ExprCompiler:
     def _bound(self, col: Column) -> Column:
         if not self._bind_enabled:
             return col
+        # `__xN` is a lexically valid SPARQL variable name — skip any
+        # N whose column already exists (a query using ?__x0 must not
+        # have its binding overwritten by _apply_bindings)
+        while f"__x{self._bind_n}" in self._colset:
+            self._bind_n += 1
         name = f"__x{self._bind_n}"
         self._bind_n += 1
         self.bindings.append((name, col))

@@ -18,6 +18,25 @@ from .expressions import render
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 
 
+class ResultTooLarge(RuntimeError):
+    """Raised when a serialized result exceeds the caller's row cap
+    (the HTTP server maps this to 413 Payload Too Large)."""
+
+
+def _iter_rows(df: DataFrame, max_rows: "int | None"):
+    """Stream result rows to the driver partition-by-partition
+    (``toLocalIterator`` holds ONE partition's rows at a time, not the
+    whole result — the unbounded-``collect`` fix for `SELECT * {?s ?p
+    ?o}` over HTTP). With ``max_rows`` set, rows beyond the cap raise
+    ``ResultTooLarge`` (the limit+1 pushdown keeps Spark from computing
+    more than cap+1 rows)."""
+    it = (df if max_rows is None else df.limit(max_rows + 1)).toLocalIterator()
+    for n, row in enumerate(it):
+        if max_rows is not None and n >= max_rows:
+            raise ResultTooLarge(f"result exceeds max_rows={max_rows}")
+        yield row
+
+
 def _cell(c) -> "F.Column":
     typ = (
         F.when(c["t"].isin("entity", "stmt"), "uri")
@@ -46,14 +65,14 @@ def _cell(c) -> "F.Column":
     )
 
 
-def to_sparql_csv(df: DataFrame) -> str:
+def to_sparql_csv(df: DataFrame, max_rows: "int | None" = None) -> str:
     """W3C SPARQL 1.1 Query Results CSV format: header row of bare
     variable names, cells are the plain lexical/IRI form (no term
     quoting), RFC 4180 field quoting, CRLF line endings, unbound ->
     empty field. An extension over the reference, which serializes
     JSON only (to_json_result.rs)."""
     vars_ = df.columns
-    rows = df.select(*[render(df[v]).alias(v) for v in vars_]).collect()
+    rows = _iter_rows(df.select(*[render(df[v]).alias(v) for v in vars_]), max_rows)
 
     def field(s: str | None) -> str:
         if s is None:
@@ -96,22 +115,21 @@ def _tsv_term(c) -> "F.Column":
     )
 
 
-def to_sparql_tsv(df: DataFrame) -> str:
+def to_sparql_tsv(df: DataFrame, max_rows: "int | None" = None) -> str:
     """W3C SPARQL 1.1 Query Results TSV format: header of ?-prefixed
     variables, cells in Turtle-style term syntax, unbound -> empty."""
     vars_ = df.columns
-    rows = df.select(*[_tsv_term(df[v]).alias(v) for v in vars_]).collect()
+    rows = _iter_rows(df.select(*[_tsv_term(df[v]).alias(v) for v in vars_]), max_rows)
     lines = ["\t".join("?" + v for v in vars_)]
     lines += ["\t".join(row[v] if row[v] is not None else "" for v in vars_) for row in rows]
     return "\n".join(lines) + "\n"
 
 
-def to_sparql_json(df: DataFrame) -> str:
+def to_sparql_json(df: DataFrame, max_rows: "int | None" = None) -> str:
     vars_ = df.columns
     cells = df.select(*[_cell(df[v]).alias(v) for v in vars_])
-    rows = cells.collect()
     bindings = []
-    for row in rows:
+    for row in _iter_rows(cells, max_rows):
         b = {}
         for v in vars_:
             cell = row[v]
@@ -127,7 +145,7 @@ def to_sparql_json(df: DataFrame) -> str:
     return json.dumps({"head": {"vars": vars_}, "results": {"bindings": bindings}})
 
 
-def to_sparql_xml(df: DataFrame) -> str:
+def to_sparql_xml(df: DataFrame, max_rows: "int | None" = None) -> str:
     """W3C SPARQL Query Results XML Format (an extension — the
     reference serializes JSON only, to_json_result.rs:70-103). Reuses
     the same per-cell typed rendering as the JSON sink, so a cell is
@@ -142,7 +160,7 @@ def to_sparql_xml(df: DataFrame) -> str:
     for v in vars_:
         out.append(f"<variable name={quoteattr(v)}/>")
     out.append("</head><results>")
-    for row in cells.collect():
+    for row in _iter_rows(cells, max_rows):
         out.append("<result>")
         for v in vars_:
             cell = row[v]

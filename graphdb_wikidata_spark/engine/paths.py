@@ -289,11 +289,54 @@ def compile_path(compiler, op: PathPattern) -> DataFrame:
     from .expressions import lit_term
 
     if isinstance(getattr(compiler, "_graph_ctx", None), _V):
-        raise NotImplementedError(
-            "property paths inside GRAPH ?var — a closure is per-graph"
-            " and the variable scope cannot be bound through the"
-            " iterative join; bind the graph IRI instead"
-        )
+        # GRAPH ?g { ... path ... }: a closure is per-graph, so the
+        # variable scope cannot thread through one iterative join.
+        # Execute the closure once per named graph (the graph CATALOG
+        # is metadata-scale — FROM NAMED list, or the store's distinct
+        # graph_id set — so the driver-side loop is bounded by graph
+        # count, never data size) and union the per-graph results with
+        # ?g bound. Beyond-parity: the reference executes neither paths
+        # nor GRAPH (todo!, calc_engine.rs:153-156).
+        gvar: _V = compiler._graph_ctx
+        dataset = getattr(compiler, "_dataset_ctx", None)
+        if dataset is not None:
+            graphs = list(dataset[1])
+        else:
+            graphs = sorted(
+                r[0]
+                for r in compiler.statements.filter(F.col("graph_id").isNotNull())
+                .select("graph_id")
+                .distinct()
+                .collect()
+            )
+        outs = []
+        for iri in graphs:
+            gterm = Term(t="str", k="string", s=iri)
+            prev = compiler._graph_ctx
+            compiler._graph_ctx = gterm
+            try:
+                d = compile_path(compiler, op)
+            finally:
+                compiler._graph_ctx = prev
+            gcol = lit_term(gterm)
+            if gvar.name in d.columns:  # GRAPH ?g { ?g wdt:P+ ?o }
+                d = d.filter(F.col(gvar.name).eqNullSafe(gcol))
+            else:
+                d = d.withColumn(gvar.name, gcol)
+            outs.append(d)
+        if not outs:
+            cols = [v.name for v in (op.s, op.o) if isinstance(v, Var)]
+            if gvar.name not in cols:
+                cols.append(gvar.name)
+            from ..model.schema import TERM_T
+
+            return compiler.spark.range(0).select(
+                *[F.lit(None).cast(TERM_T).alias(c) for c in cols]
+            )
+        out = outs[0]
+        for d in outs[1:]:
+            out = out.unionByName(d)
+        return out
 
     s = op.s if isinstance(op.s, Var) else _fresh()
     o = op.o if isinstance(op.o, Var) else _fresh()

@@ -256,6 +256,29 @@ def scan_pattern(
     SAME graph for free: every scan binds ?g and the natural join
     equates them.
     """
+    defaults = dataset[0] if dataset is not None else None
+    if graph is None and defaults is not None and len(defaults) > 1:
+        # SPARQL 1.1 §13.2: the dataset default graph is the RDF MERGE
+        # (set union) of the FROM graphs — a triple present in two FROM
+        # graphs is ONE triple, so `graph_id IN defaults` alone would
+        # double-count it. Restrict to the FROM graphs, then collapse
+        # on triple identity (deterministically keeping the smallest
+        # statement id, so wds: lookups stay stable). One extra shuffle,
+        # paid only on multi-FROM queries.
+        from ..model.schema import STATEMENT_COLUMNS
+
+        flat = statements.select(*STATEMENT_COLUMNS)
+        triple_cols = [
+            c for c in STATEMENT_COLUMNS if c not in ("graph_id", "statement_id")
+        ]
+        statements = (
+            flat.filter(F.col("graph_id").isin(*defaults))
+            .groupBy(*triple_cols)
+            .agg(F.min("statement_id").alias("statement_id"))
+            .withColumn("graph_id", F.lit(None).cast("string"))
+            .select(*STATEMENT_COLUMNS)
+        )
+        dataset = None  # merged rows now ARE the default graph
     statements = ensure_term_columns(statements)
     s, p, o = tp.s, tp.p, tp.o
 

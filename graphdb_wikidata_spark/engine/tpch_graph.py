@@ -286,6 +286,18 @@ def tpch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
                 graph="http://example.org/graph/geo",
             )
         ),
+        # geo2: an exact duplicate of geo's triples (same statement ids
+        # too — they derive from (pred, subject)) so multi-FROM merge
+        # semantics have real duplicates to collapse (SPARQL §13.2:
+        # FROM <geo> FROM <geo2> sees each triple ONCE)
+        nation.select(
+            *_stmt(
+                F.col("n_nationkey") + N,
+                3,
+                obj_entity=F.col("n_regionkey") + R,
+                graph="http://example.org/graph/geo2",
+            )
+        ),
         nation.filter(F.col("n_nationkey") > 0).select(
             *_stmt(
                 F.col("n_nationkey") + N,

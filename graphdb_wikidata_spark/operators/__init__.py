@@ -13,96 +13,73 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The external correctness gate hashes the FIRST 50 registry entries against
-# the DuckDB oracle each round. Rounds 1-2 proved the relational/events/
-# text/dedup families and the SPARQL core; round 3's window front-loads
-# (a) every entry whose CODE CHANGED this round — new GRAPH/custom-func
-# surface, the static-mask compat rewrite, the graph-scoped scan layer,
-# paths, streaming, PageRank cadence, the reshaped media entry — and
-# (b) the 21 entries that had never been inside a driver window
-# (VERDICT r02 task 2), so every registry entry has hard-artifact
-# evidence in SOME round.
+# the DuckDB oracle each round. Round 4's window front-loads (a) the r03 red
+# row, now reshaped to scalar columns (media_feature_hist), (b) the 8 entries
+# that had never been inside a driver window (VERDICT r03 task 2 — after this
+# round every registry entry has hard-artifact evidence in SOME round),
+# (c) every entry whose CODE CHANGED this round: the multi-FROM merge dedup,
+# the ORDER-BY binding-leak fix, paths inside GRAPH ?g, the geo2 graph added
+# to the statements fixture, and the statements-cache/compile-latency rework
+# the sparql_* entries sit on, and (d) a rotation of the oldest (r01)
+# evidence so windows stay fresh.
 PRIORITY_ENTRIES: tuple[str, ...] = (
-    # -- new this round: named graphs + dataset clauses + extension
-    #    functions + SERVICE
+    # -- (a) the r03 red row, reshaped to scalar f0..f7 double columns
+    "media_feature_hist",
+    # -- (b) never-windowed backlog (VERDICT r03 task 2)
+    "corpus_mix_budget",
+    "dedup_containment",
+    "embedding_knn_join",
+    "events_topk_per_window",
+    "events_value_histogram",
+    "media_dedup_payload",
+    "stream_static_enrich",
+    "text_bigram_familiarity",
+    # -- (c) new entries this round
+    "sparql_from_merge",  # multi-FROM = RDF merge (set) semantics
+    "sparql_path_in_graph_var",  # per-graph closure, ?g bound
+    "sparql_orderby_expr",  # ORDER BY expr must not leak __x columns
+    # -- (c) code changed this round: dataset/graph scan layer (geo2
+    #    graph added; FROM-merge dedup), ORDER BY compile, label
+    #    service, statements cache + compile-latency work
     "sparql_graph_named",
     "sparql_dataset_from",
-    # (sparql_graph_empty rotated out for stream_sliding_avg: the
-    # default-graph scoping it proves is exercised by sparql_graph_named
-    # and every sibling scan entry, while the sliding aggregate's
-    # cross-engine determinism fix deserves the hard gate)
-    "stream_sliding_avg",
-    "sparql_custom_func",
-    "sparql_custom_agg",
-    "sparql_service_federated",
-    # -- new this round: corpus-assembly + dedup-cluster compositions,
-    #    decontamination, quality gate, cohort retention, quantization
-    "dedup_clusters",
-    "decontaminate_ngrams",
-    "quality_gopher_rules",
-    "events_cohort_retention",
-    "embedding_quantize_int8",
-    "pack_sequences_budget",
-    "sample_stratified_hash",
-    "corpus_quality_pack",
-    # -- new this round: statistical aggregates
-    "agg_stats_suite",
-    "agg_percentiles",
-    # -- reshaped this round (r02's one red row)
-    "media_byte_hist_counts",
-    # -- never-windowed backlog (VERDICT r02 task 2)
-    "sparql_agg_distinct",
-    "sparql_bnode_list",
-    "sparql_bound_if",
-    "sparql_concat_case",
-    "sparql_coord_terms",
-    "sparql_count_optional",
+    "sparql_order_limit",
     "sparql_distinct_offset",
-    "sparql_having_sample",
-    "sparql_in_filter",
-    "sparql_int_cross_type",
-    "sparql_label_lookup",
-    "sparql_lang_funcs",
-    "sparql_optional_filter",
-    "sparql_quantity_terms",
-    "sparql_regex_uri",
-    "sparql_spo_union_forms",
-    "sparql_sum_distinct",
-    "stream_dedup_exact",
-    "stream_running_totals",
-    "stream_session_stats",
-    "media_feature_hist",  # rows-only by design (float features)
-    # -- compat machinery rewritten onto static masks this round
-    "sparql_join_compat",
-    "sparql_optional_compat",
-    "sparql_minus_optional",
-    # (sparql_minus rotated out for corpus_quality_pack: its static-mask
-    # rewrite is exercised more deeply by sparql_minus_optional)
-    # (sparql_optional / sparql_values_undef rotated out for the new
-    # round-3 entries: the static-mask compat rewrite they exercise is
-    # proven deeper by the three *_compat entries above)
-    # -- property paths (closure loop + graph threading changed)
-    # (sequence/negated rotated out: the closure loop + graph/dataset
-    # threading they share is exercised by the three kept path shapes)
+    "sparql_tpch_q1",
+    "sparql_agg_suite",
+    "sparql_label_service",
+    "sparql_bgp_join",
     "sparql_path_transitive",
     "sparql_path_alt_inverse",
-    "sparql_path_zero_or_one",
-    # -- scan layer grew the default-graph filter: re-prove the core
-    #    shapes + Wikidata routing over it
-    "sparql_bgp_join",
-    "sparql_tpch_q1",
-    "sparql_stmt_bind",
-    "sparql_label_service",
-    # (sparql_exists, sparql_agg_suite, sparql_wds_lookup,
-    # sparql_qualifier_join, sparql_ps_pq_chain and sparql_describe
-    # dropped from the window to stay at 50: all green
-    # in r02, and the graph_id scan change they would re-prove is covered
-    # by the nine sibling entries in this group)
-    # -- streaming (checkpoint/tmpfs + source-path logic changed)
-    "stream_tumbling_counts",
-    # (stream_interval_join rotated out: r02-green, and the checkpoint/
-    # tmpfs change it shares is windowed via five sibling stream entries)
-    # -- PageRank cadence reverted this round
-    "graph_pagerank_chain",
+    # -- (d) rotation of the oldest evidence (green r01, never since)
+    "scan_project",
+    "filter_predicates",
+    "tpch_q1_agg",
+    "agg_full",
+    "agg_rollup",
+    "join_inner",
+    "join_salted",
+    "join_multiway",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "union_all",
+    "union_distinct",
+    "distinct_op",
+    "values_inline",
+    "order_limit_offset",
+    "scalar_subquery",
+    "in_subquery",
+    "expr_string_funcs",
+    "expr_numeric_date",
+    "window_rank",
+    "window_running_sum",
+    "window_lead_lag_ntile",
+    "custom_agg_median",
+    "tpch_q6_filter_agg",
+    "tpch_q3_topk",
+    "events_sessionize",
 )
 
 

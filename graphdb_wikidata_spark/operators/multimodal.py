@@ -208,11 +208,64 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media_table(spark, sf_dir), step=4)
 
 
-@register("media_feature_hist")  # byte-level: no closed-form SQL oracle
+@register(
+    "media_feature_hist",
+    """
+    WITH c AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+             """
+    + ",\n             ".join(
+        "len(list_filter(string_split_regex(text, ''),"
+        f" c -> ascii(c) // 32 = {k})) AS bin_{k}"
+        for k in range(8)
+    )
+    + """
+      FROM documents)
+    SELECT media_id,
+           """
+    + ",\n           ".join(
+        f"CASE WHEN n = 0 THEN 0.0 ELSE floor(bin_{k} * 1000000.0 / n + 0.5)"
+        f" / 1000000.0 END AS f{k}"
+        for k in range(8)
+    )
+    + """
+    FROM c
+    """,
+)
 def media_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction; rows-only driver check (the
-    judge sees the weaker gate) — unit tests pin the math instead."""
-    return byte_histogram_features(media_table(spark, sf_dir))
+    """L1-normalized byte-histogram features via the Arrow-batched
+    mapInPandas pipeline — the oracle-gated form: one scalar ``fk
+    double`` column per bin (NOT ``array<float>`` — the driver
+    canonicalizer sorts rows with pandas, which cannot handle a list
+    column; r02/r03 red rows), rounded as ``floor(x*1e6+0.5)/1e6`` so
+    the value is a deterministic IEEE-double function of the closed
+    form ``bin_k / octet_length`` that DuckDB reproduces bit-exactly
+    (floor avoids round()'s tie-convention divergence between numpy's
+    banker's rounding and DuckDB's half-away-from-zero)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = np.stack(
+                [
+                    np.histogram(
+                        np.frombuffer(b, dtype=np.uint8), bins=8, range=(0, 256)
+                    )[0]
+                    for b in pdf["payload"]
+                ]
+            ).astype(np.float64)
+            totals = counts.sum(axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                feats = np.floor(counts * 1e6 / totals + 0.5) / 1e6
+            feats = np.where(totals > 0, feats, 0.0)
+            out = {"media_id": pdf["media_id"]}
+            for k in range(8):
+                out[f"f{k}"] = feats[:, k]
+            yield pd.DataFrame(out)
+
+    schema = "media_id bigint, " + ", ".join(f"f{k} double" for k in range(8))
+    return media_table(spark, sf_dir).mapInPandas(fn, schema=schema)
 
 
 @register(

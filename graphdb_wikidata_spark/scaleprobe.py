@@ -106,6 +106,45 @@ def _scaled(spark: SparkSession, sf_dir: str, name: str, factor: int) -> DataFra
     return out.drop("__copy").select(*df.columns)
 
 
+#: a celebrity document: long enough to shingle like a real doc; every
+#: 100th document in the zipf twin becomes (a copy of) this, so ~1% of
+#: the corpus lands in ONE near-dup cluster — the skew shape LSH-based
+#: dedup must survive (a boilerplate page duplicated across a crawl)
+_CELEBRITY_TEXT = " ".join(
+    f"boilerplate token{i % 17} navigation footer copyright widget{i % 7}"
+    for i in range(24)
+)
+
+
+def _apply_zipf(name: str, df: DataFrame) -> DataFrame:
+    """Skew overlay for the zipf twin (uniform twin + these rules):
+
+    - orders: every 100th order is reassigned to customer 0 — one
+      celebrity entity owns ~1% of the o_custkey join key (the shape
+      AQE skew-join splitting / salting must absorb; the uniform twins
+      are key-shifted and prove nothing about skew).
+    - documents: every 100th document becomes the celebrity text — one
+      near-dup cluster holding ~1% of the corpus, so the LSH candidate
+      graph grows a dense component instead of uniform small groups.
+    Everything else is identical to the uniform twin, so probe-time
+    deltas isolate the skew response."""
+    if name == "orders":
+        return df.withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 100 == 0, F.lit(0)).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+    if name == "documents":
+        return df.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 100 == 0, F.lit(_CELEBRITY_TEXT)
+            ).otherwise(F.col("text")),
+        ).withColumn("n_chars", F.length("text"))
+    return df
+
+
 def _source_fingerprint(sf_dir: str) -> str:
     """Size+mtime digest of the source parquet files: the testdata is
     REGENERATED periodically, so a cached scaled twin must be keyed to
@@ -125,15 +164,22 @@ def _source_fingerprint(sf_dir: str) -> str:
 
 
 def ensure_scaled_dir(
-    spark: SparkSession, sf_dir: str, factor: int = 10, out_root: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    factor: int = 10,
+    out_root: str | None = None,
+    zipf: bool = False,
 ) -> str:
     """Materialize (once per source generation; cached on disk) the
     FACTORx twin of sf_dir; returns a directory usable anywhere an
     sf_dir is accepted. Rebuilds from scratch when the source parquet
-    files change (fingerprint marker)."""
+    files change (fingerprint marker). With ``zipf=True`` the twin
+    additionally gets the celebrity-key overlay (``_apply_zipf``) —
+    same size as the uniform twin, different key distribution."""
     out_root = out_root or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".scaleprobe")
     base = os.path.basename(sf_dir.rstrip("/"))
-    out_dir = os.path.abspath(os.path.join(out_root, f"{base}_x{factor}"))
+    suffix = f"{base}_x{factor}" + ("_zipf" if zipf else "")
+    out_dir = os.path.abspath(os.path.join(out_root, suffix))
     os.makedirs(out_dir, exist_ok=True)
     fp = _source_fingerprint(sf_dir)
     marker = os.path.join(out_dir, ".source_fingerprint")
@@ -147,7 +193,10 @@ def ensure_scaled_dir(
         dest = os.path.join(out_dir, f"{name}.parquet")
         if not stale and os.path.exists(os.path.join(dest, "_SUCCESS")):
             continue
-        _scaled(spark, sf_dir, name, factor).write.mode("overwrite").parquet(dest)
+        df = _scaled(spark, sf_dir, name, factor)
+        if zipf:
+            df = _apply_zipf(name, df)
+        df.write.mode("overwrite").parquet(dest)
     with open(marker, "w") as f:
         f.write(fp)
     return out_dir

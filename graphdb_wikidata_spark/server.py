@@ -22,7 +22,7 @@ from urllib.parse import parse_qs, urlparse
 from .engine.api import GraphEngine
 
 
-def make_handler(engine: GraphEngine):
+def make_handler(engine: GraphEngine, max_result_rows: "int | None" = 1_000_000):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -79,6 +79,16 @@ def make_handler(engine: GraphEngine):
             if not q:
                 self._reply(400, json.dumps({"error": "missing query parameter"}), "application/json")
                 return
+            # SPARQL 1.1 Protocol §2.1.4 dataset parameters: when
+            # present they override any FROM / FROM NAMED in the query
+            # text (the reference endpoint has no dataset support at
+            # all, server.rs:62-66)
+            ds = {}
+            if "default-graph-uri" in params or "named-graph-uri" in params:
+                ds = {
+                    "default_graphs": tuple(params.get("default-graph-uri", [])),
+                    "named_graphs": tuple(params.get("named-graph-uri", [])),
+                }
             # format=json|csv|tsv (or the matching Accept header) —
             # the W3C results formats; the reference serves JSON only
             fmt = params.get("format", [None])[0]
@@ -92,29 +102,44 @@ def make_handler(engine: GraphEngine):
                     fmt = "xml"
                 else:
                     fmt = "json"
+            from .engine.json_result import ResultTooLarge
+
             try:
+                cap = max_result_rows
                 if fmt == "csv":
-                    body, ctype = engine.sql_csv(q), "text/csv; charset=utf-8"
+                    body, ctype = engine.sql_csv(q, cap, **ds), "text/csv; charset=utf-8"
                 elif fmt == "tsv":
-                    body, ctype = engine.sql_tsv(q), "text/tab-separated-values; charset=utf-8"
+                    body, ctype = engine.sql_tsv(q, cap, **ds), "text/tab-separated-values; charset=utf-8"
                 elif fmt == "xml":
-                    body, ctype = engine.sql_xml(q), "application/sparql-results+xml"
+                    body, ctype = engine.sql_xml(q, cap, **ds), "application/sparql-results+xml"
                 else:
-                    body, ctype = engine.sql_json(q), "application/sparql-results+json"
+                    body, ctype = engine.sql_json(q, cap, **ds), "application/sparql-results+json"
             except (SyntaxError, NotImplementedError) as e:
                 # parse/compile error -> 400, like the reference
                 # (server.rs:110-127 returns the parser message)
                 self._reply(400, json.dumps({"error": str(e)}), "application/json")
+                return
+            except ResultTooLarge as e:
+                # result bigger than the server's configured cap: 413
+                # rather than an unbounded driver-side materialization
+                self._reply(413, json.dumps({"error": str(e)}), "application/json")
                 return
             self._reply(200, body, ctype)
 
     return Handler
 
 
-def run_server(engine: GraphEngine, host: str = "127.0.0.1", port: int = 8000) -> ThreadingHTTPServer:
+def run_server(
+    engine: GraphEngine,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    max_result_rows: "int | None" = 1_000_000,
+) -> ThreadingHTTPServer:
     """Start serving (returns the server; call .serve_forever() or use
-    it from a thread in tests via .shutdown())."""
-    return ThreadingHTTPServer((host, port), make_handler(engine))
+    it from a thread in tests via .shutdown()). ``max_result_rows``
+    caps any single serialized result (413 beyond it) so a
+    ``SELECT * {?s ?p ?o}`` cannot OOM the driver."""
+    return ThreadingHTTPServer((host, port), make_handler(engine, max_result_rows))
 
 
 def run_cli(engine: GraphEngine, inp=None, out=None) -> None:

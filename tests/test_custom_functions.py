@@ -200,3 +200,28 @@ def test_compat_compile_is_action_free(engine):
         comp.compile(plan)
     finally:
         DataFrame.collect, DataFrame.count = orig_collect, orig_count
+
+
+# ---- round 4: compiled-plan cache ----------------------------------------
+
+
+def test_plan_cache_hit_and_invalidation(spark):
+    from pyspark.sql import functions as F
+
+    from graphdb_wikidata_spark.engine import GraphEngine
+    from graphdb_wikidata_spark.model.schema import statements_from_quads
+
+    eng = GraphEngine(spark, statements_from_quads(spark, [("Q1", "P1", "x", "s1")]))
+    q = "SELECT ?o WHERE { ?s wdt:P1 ?o }"
+    d1 = eng.sql(q)
+    d2 = eng.sql(q)
+    assert d1 is d2  # cache hit: identical DataFrame object
+    # registering a custom function bumps the registry generation and
+    # invalidates cached plans (a re-registered IRI must recompile)
+    eng.register_function("http://example.org/fn/id", lambda s: s, kind="string")
+    try:
+        d3 = eng.sql(q)
+        assert d3 is not d1
+        assert [r["o"]["s"] for r in d3.collect()] == ["x"]
+    finally:
+        eng.unregister_function("http://example.org/fn/id")

@@ -90,3 +90,73 @@ def test_sample_frames(media):
     for mid, grp in pdf.groupby("media_id"):
         n = meta[mid]["n_frames"]
         assert sorted(grp["frame_idx"]) == list(range(0, n, 4))
+
+
+# ---- round 4: real-codec branch contract (VERDICT r03 #7) ----------------
+
+
+def _tiny_png(width: int, height: int, value: int = 128) -> bytes:
+    """A minimal valid grayscale PNG, written with stdlib zlib/struct
+    only — no imaging library needed to WRITE one, which is exactly
+    what lets this test pin the real-decode branch contract even in
+    containers without PIL."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + bytes([value]) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_payload_stub_branch_shape_and_determinism():
+    from graphdb_wikidata_spark.operators.multimodal import _decode_payload
+
+    a = _decode_payload(b"hello world", 8, 4)
+    b = _decode_payload(b"hello world", 8, 4)
+    assert a.shape == (4, 8) and a.dtype == np.uint8
+    assert (a == b).all()  # stub is deterministic
+    assert a.flat[0] == ord("h")  # tiled payload bytes, not zeros
+
+
+@pytest.mark.skipif(not _pil_available(), reason="PIL not installed")
+def test_decode_payload_real_codec_branch():
+    # a real PNG must take the decode branch: every pixel equals the
+    # constant gray value, which the byte-tiling stub could never
+    # produce from compressed PNG bytes
+    from graphdb_wikidata_spark.operators.multimodal import _decode_payload
+
+    png = _tiny_png(6, 3, value=77)
+    out = _decode_payload(png, 6, 3)
+    assert out.shape == (3, 6)
+    assert (out == 77).all()
+
+
+def test_decode_payload_invalid_bytes_fall_back():
+    # PIL present or not, non-image bytes must land on the stub
+    from graphdb_wikidata_spark.operators.multimodal import _decode_payload
+
+    out = _decode_payload(b"\x89PNG but actually garbage", 5, 2)
+    assert out.shape == (2, 5)
+    assert out.flat[0] == 0x89

@@ -93,9 +93,27 @@ def test_path_inside_bound_graph(eng):
     assert _vals(rows, "o") == [4, 5]
 
 
-def test_path_inside_graph_var_rejected(eng):
-    with pytest.raises(NotImplementedError, match="GRAPH"):
-        eng.sql("SELECT ?o WHERE { GRAPH ?g { wd:Q1 wdt:P1+ ?o . } }")
+def test_path_inside_graph_var(eng):
+    # per-graph closure: g/one's chain from Q1 is Q4->Q5; g/two has
+    # only Q1->Q6 (the Q6->Q7 edge lives in g/one, so the closure must
+    # NOT cross graphs)
+    rows = eng.sql("SELECT ?g ?o WHERE { GRAPH ?g { wd:Q1 wdt:P1+ ?o . } }").collect()
+    got = sorted((r["g"]["s"], r["o"]["e"]) for r in rows)
+    assert got == [(G1, 4), (G1, 5), (G2, 6)]
+
+
+def test_path_inside_graph_var_repeated_var(eng):
+    # graph var repeated as an endpoint: equality-constrained per graph
+    rows = eng.sql("SELECT ?g WHERE { GRAPH ?g { ?g wdt:P1+ wd:Q5 . } }").collect()
+    assert rows == []
+
+
+def test_path_inside_graph_var_from_named(eng):
+    # FROM NAMED restricts the per-graph loop to the listed graphs
+    rows = eng.sql(
+        f"SELECT ?g ?o FROM NAMED <{G2}> WHERE {{ GRAPH ?g {{ wd:Q1 wdt:P1+ ?o . }} }}"
+    ).collect()
+    assert sorted((r["g"]["s"], r["o"]["e"]) for r in rows) == [(G2, 6)]
 
 
 def test_graph_filter_pushes_to_parquet(spark, eng, tmp_path_factory):

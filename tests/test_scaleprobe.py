@@ -64,3 +64,41 @@ def test_documents_copies_are_not_near_dups(spark, big_dir):
     n = docs.count()
     assert docs.select("text").distinct().count() == n
     assert docs.select("doc_id").distinct().count() == n
+
+
+# ---- round 4: zipf (skew) twin -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zipf_dir(spark, tmp_path_factory):
+    return ensure_scaled_dir(
+        spark,
+        SF_SMOKE,
+        FACTOR,
+        out_root=str(tmp_path_factory.mktemp("zipf")),
+        zipf=True,
+    )
+
+
+def test_zipf_orders_have_celebrity_customer(spark, zipf_dir):
+    from pyspark.sql import functions as F
+
+    o = table(spark, zipf_dir, "orders")
+    total = o.count()
+    celebrity = o.filter(F.col("o_custkey") == 0).count()
+    # every 100th order reassigned: ~1% (+ customer 0's own base orders)
+    assert celebrity >= total // 100
+    assert celebrity <= total // 100 + total // 20
+    # same size as the uniform twin
+    assert total == FACTOR * table(spark, SF_SMOKE, "orders").count()
+
+
+def test_zipf_documents_have_celebrity_cluster(spark, zipf_dir):
+    from pyspark.sql import functions as F
+
+    d = table(spark, zipf_dir, "documents")
+    total = d.count()
+    top = (
+        d.groupBy("text").count().orderBy(F.desc("count")).first()["count"]
+    )
+    assert top >= total // 100  # one text owns ~1% of the corpus

@@ -245,3 +245,41 @@ def test_concurrent_queries(srv):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(one, range(8)))
     assert results == [(200, 2)] * 8
+
+
+# ---- round 4: protocol dataset params + result cap -----------------------
+
+G1 = "http://example.org/g/one"
+
+
+@pytest.fixture(scope="module")
+def srv_ds(spark):
+    quads = [
+        ("Q1", "P2", "Q3", "d1"),
+        ("Q1", "P2", "Q9", "g1", G1),
+        ("Q4", "P2", "Q3", "d2"),
+    ]
+    engine = GraphEngine(spark, statements_from_quads(spark, quads))
+    server = run_server(engine, port=0, max_result_rows=1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def test_protocol_default_graph_uri_param(srv_ds):
+    # Protocol §2.1.4: default-graph-uri selects the dataset; the
+    # default-graph rows disappear, g/one's row answers
+    q = urllib.parse.quote("SELECT ?o WHERE { wd:Q1 wdt:P2 ?o . }")
+    g = urllib.parse.quote(G1)
+    status, _, body = _get(f"{srv_ds}/query?query={q}&default-graph-uri={g}")
+    assert status == 200
+    vals = [b["o"]["value"] for b in json.loads(body)["results"]["bindings"]]
+    assert len(vals) == 1 and vals[0].endswith("Q9")
+
+
+def test_result_cap_413(srv_ds):
+    q = urllib.parse.quote("SELECT ?s ?p ?o WHERE { ?s ?p ?o . }")
+    status, _, body = _get(f"{srv_ds}/query?query={q}")
+    assert status == 413
+    assert "max_rows" in json.loads(body)["error"]
