@@ -347,11 +347,21 @@ def materialized_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
         import tempfile
 
+        # write-side subject clustering is NOT redundant with the
+        # read-side repartition (r04 bisect measured dropping it: 4.5x
+        # slower at 10x): co-locating + sorting a subject's rows in the
+        # files is what makes the parquet dictionary/RLE encoding bite,
+        # so the round-trip files are small and any cache-miss re-read
+        # cheap. The read-side repartition below provides the IN-MEMORY
+        # hash partitioning (plain parquet carries no partitioning
+        # metadata) that star pivots and subject self-joins reuse.
         flat = tpch_statements(spark, sf_dir).repartition(
             spark.sparkContext.defaultParallelism,
             "subject_kind",
             "subject_id",
             "subject_stmt",
+        ).sortWithinPartitions(
+            "subject_kind", "subject_id", "subject_stmt", "pred_kind", "pred_id"
         )
         tmp = tempfile.mkdtemp(prefix="spark_graft_statements_")
         # the 10x/30x probe twins are hundreds of MB — don't let

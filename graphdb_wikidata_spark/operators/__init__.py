@@ -38,6 +38,8 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_from_merge",  # multi-FROM = RDF merge (set) semantics
     "sparql_path_in_graph_var",  # per-graph closure, ?g bound
     "sparql_orderby_expr",  # ORDER BY expr must not leak __x columns
+    "text_chunk_dedup",  # cross-corpus paragraph-level exact dedup
+    "text_intradoc_ngram_dedup",  # within-doc repeated-substring profile
     # -- (c) code changed this round: dataset/graph scan layer (geo2
     #    graph added; FROM-merge dedup), ORDER BY compile, label
     #    service, statements cache + compile-latency work
@@ -65,8 +67,9 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "join_anti",
     "join_cross",
     "union_all",
-    "union_distinct",
-    "distinct_op",
+    # (union_distinct / distinct_op ceded their rotation slots to the
+    # two new round-4 text entries: the distinct shape they prove is
+    # windowed via union_all + the many DISTINCT-bearing sparql rows)
     "values_inline",
     "order_limit_offset",
     "scalar_subquery",

@@ -302,3 +302,123 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_chunk_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c0 AS (SELECT doc_id,
+                  [array_to_string(ws[(i*10+1):(i*10+10)], ' ')
+                   for i in range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))]
+                  AS chunks
+           FROM w),
+    c AS (SELECT doc_id,
+                 generate_subscripts(chunks, 1) AS pos,
+                 unnest(chunks) AS chunk
+          FROM c0),
+    r AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos)
+                   AS rn
+          FROM c)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM r GROUP BY doc_id
+    """,
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-corpus chunk (pseudo-paragraph) dedup — the
+    line/paragraph-level pass of web-corpus pipelines (C4 / RefinedWeb
+    / "Deduplicating Training Data Makes Language Models Better"):
+    split each document into 10-word chunks, keep only the FIRST
+    occurrence of each chunk corpus-wide (min (doc_id, pos)), and
+    report per-document retained counts.
+
+    Shape at scale: chunks explode linearly; only (chunk-hash, doc,
+    pos) triples shuffle — never document payloads. The keeper per
+    chunk is one partial-agg min-struct groupBy on the 256-bit digest,
+    then an (digest)-keyed join back: two shuffles total, both linear.
+    Matching a chunk by sha2 digest instead of the chunk text keeps
+    shuffle rows fixed-width (the reference engine has no corpus
+    operators at all — this family is an extension)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    chunks = F.expr(
+        "transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1),"
+        " i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"
+    )
+    c = d.select("doc_id", F.posexplode(chunks).alias("pos0", "chunk")).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.sha2(F.col("chunk"), 256).alias("h"),
+    )
+    keeper = c.groupBy("h").agg(
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
+            "k"
+        )
+    )
+    kept = (
+        c.join(keeper, "h")
+        .select(
+            "doc_id",
+            (
+                (F.col("doc_id") == F.col("k.d")) & (F.col("pos") == F.col("k.p"))
+            ).cast("long").alias("is_kept"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("is_kept").alias("n_kept"),
+        )
+    )
+    return kept
+
+
+@register(
+    "text_intradoc_ngram_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g0 AS (SELECT doc_id,
+                  CASE WHEN len(ws) >= 5 THEN
+                    [array_to_string(ws[i:(i+4)], ' ')
+                     for i in range(1, len(ws) - 3)]
+                  ELSE [] END AS grams
+           FROM w)
+    SELECT doc_id,
+           len(grams)::BIGINT AS n_grams,
+           len(list_distinct(grams))::BIGINT AS n_unique,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE floor(len(list_distinct(grams)) * 10000.0
+                           / len(grams) + 0.5) / 10000.0
+           END AS uniq_ratio
+    FROM g0
+    """,
+)
+def text_intradoc_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-substring profile: sliding 5-gram count
+    vs distinct 5-gram count per document (the intra-doc half of exact
+    substring dedup — a low unique ratio flags looped/boilerplate text
+    that Gopher-style unigram fractions under-detect). Entirely
+    JVM-side higher-order array functions, map-only: zero shuffles, so
+    it composes into any scan for free at 100 TB. The uniq_ratio is
+    floor-rounded (x*1e4+0.5) so Spark and DuckDB agree bit-exactly."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    grams = F.expr(
+        "CASE WHEN size(ws) >= 5 THEN"
+        " transform(sequence(1, size(ws) - 4),"
+        "           i -> array_join(slice(ws, i, 5), ' '))"
+        " ELSE array() END"
+    )
+    d = d.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_unique"),
+    )
+    ratio = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        F.floor(F.col("n_unique") * 10000.0 / F.col("n_grams") + 0.5) / 10000.0
+    )
+    return d.select("doc_id", "n_grams", "n_unique", ratio.alias("uniq_ratio"))

@@ -200,3 +200,67 @@ def test_mix_budget_semantics(spark):
         cum[src] = cum.get(src, 0) + n
     # the budget actually bites somewhere
     assert len(kept) < len(docs)
+
+
+def test_text_chunk_dedup_semantics(spark):
+    # toy corpus: doc 0 and doc 1 share an identical 10-word chunk; the
+    # keeper is the minimal (doc_id, pos) occurrence
+    import pandas as pd
+
+    from graphdb_wikidata_spark.operators import text as tx
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [shared + " " + other, shared],
+                "lang": ["en", "en"],
+                "source": ["a", "a"],
+                "n_chars": [0, 0],
+            }
+        )
+    )
+    import graphdb_wikidata_spark.tables as tables
+
+    orig = tables.table
+    tables.table = lambda spark_, sf, name: df  # noqa: ARG005
+    # operators/text.py imported `table` by name — patch both
+    tx.table, tx_orig = tables.table, tx.table
+    try:
+        rows = {r["doc_id"]: r for r in tx.QUERIES["text_chunk_dedup"](spark, "x").collect()}
+    finally:
+        tables.table = orig
+        tx.table = tx_orig
+    assert rows[0]["n_chunks"] == 2 and rows[0]["n_kept"] == 2  # first occurrence
+    assert rows[1]["n_chunks"] == 1 and rows[1]["n_kept"] == 0  # duplicate chunk
+
+
+def test_text_intradoc_ngram_dedup_ratio(spark):
+    import pandas as pd
+
+    from graphdb_wikidata_spark.operators import text as tx
+
+    looped = " ".join(["a b c d e"] * 4)  # heavy 5-gram repetition
+    fresh = " ".join(f"t{i}" for i in range(20))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [looped, fresh],
+                "lang": ["en", "en"],
+                "source": ["a", "a"],
+                "n_chars": [0, 0],
+            }
+        )
+    )
+    tx_orig = tx.table
+    tx.table = lambda spark_, sf, name: df  # noqa: ARG005
+    try:
+        rows = {r["doc_id"]: r for r in tx.QUERIES["text_intradoc_ngram_dedup"](spark, "x").collect()}
+    finally:
+        tx.table = tx_orig
+    assert rows[0]["n_grams"] == 16 and rows[0]["n_unique"] == 5
+    assert rows[1]["n_grams"] == 16 and rows[1]["n_unique"] == 16
+    assert rows[1]["uniq_ratio"] == 1.0
