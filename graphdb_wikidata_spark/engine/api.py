@@ -48,7 +48,10 @@ class GraphEngine:
         # on the custom-function/aggregate registry generation and the
         # SERVICE registration generation, so re-registration
         # invalidates affected plans.
+        import threading
+
         self._plan_cache: dict = {}
+        self._plan_cache_lock = threading.Lock()  # ThreadingHTTPServer
         self._svc_generation = 0
 
     @classmethod
@@ -160,7 +163,8 @@ class GraphEngine:
             REGISTRY_GENERATION,
             self._svc_generation,
         )
-        hit = self._plan_cache.get(key)
+        with self._plan_cache_lock:
+            hit = self._plan_cache.get(key)
         if hit is not None:
             return hit
         plan = parse_query(query)
@@ -178,9 +182,10 @@ class GraphEngine:
         bn = [c for c in df.columns if c.startswith("__bn")]
         if bn:
             df = df.drop(*bn)
-        if len(self._plan_cache) >= 256:  # bounded: FIFO-evict oldest
-            self._plan_cache.pop(next(iter(self._plan_cache)))
-        self._plan_cache[key] = df
+        with self._plan_cache_lock:
+            if len(self._plan_cache) >= 256:  # bounded: FIFO-evict oldest
+                self._plan_cache.pop(next(iter(self._plan_cache)), None)
+            self._plan_cache[key] = df
         return df
 
     def explain(self, query: str, mode: str = "formatted") -> str:

@@ -1257,15 +1257,24 @@ class Compiler:
         prio = F.array_position(
             F.array(*[F.lit(x) for x in langs]), F.col("__tl")
         )
-        for new_var, base, kind in op.targets:
-            if "graph_id" in self.statements.columns:
-                from .scan import _graph_clause
+        # the label lookup scans the DEFAULT graph: under a FROM
+        # dataset that is the merged (set-union) graph — same collapse
+        # as scan_pattern, so an alias edge present in two FROM graphs
+        # concatenates once, not twice
+        src = self.statements
+        if "graph_id" in src.columns:
+            if self._dataset_ctx is not None and self._dataset_ctx[0] is not None:
+                from .scan import merged_default_graph
 
-                gdefault, _ = _graph_clause(None, self._dataset_ctx)
-            else:
+                src = merged_default_graph(src, self._dataset_ctx[0])
                 gdefault = F.lit(True)
+            else:
+                gdefault = F.col("graph_id").isNull()
+        else:
+            gdefault = F.lit(True)
+        for new_var, base, kind in op.targets:
             terms = (
-                self.statements.filter(
+                src.filter(
                     (F.col("pred_kind") == kind)
                     & F.col("pred_lang").isin(langs)
                     & gdefault

@@ -302,13 +302,28 @@ def compile_path(compiler, op: PathPattern) -> DataFrame:
         if dataset is not None:
             graphs = list(dataset[1])
         else:
-            graphs = sorted(
-                r[0]
-                for r in compiler.statements.filter(F.col("graph_id").isNotNull())
-                .select("graph_id")
-                .distinct()
-                .collect()
-            )
+            # the store's graph CATALOG: a distinct-scan the first
+            # time, cached on the compiler afterwards (it is static per
+            # statements DataFrame — a deployment maintains this as
+            # table metadata, so later compiles are a dict lookup, not
+            # a data-sized job)
+            cat = getattr(compiler, "_graph_catalog", None)
+            if cat is None:
+                cat = compiler._graph_catalog = {}
+            # keyed by the statements frame: _c_service swaps
+            # compiler.statements for the service dataset's frame
+            graphs = cat.get(id(compiler.statements))
+            if graphs is None:
+                graphs = sorted(
+                    r[0]
+                    for r in compiler.statements.filter(
+                        F.col("graph_id").isNotNull()
+                    )
+                    .select("graph_id")
+                    .distinct()
+                    .collect()
+                )
+                cat[id(compiler.statements)] = graphs
         outs = []
         for iri in graphs:
             gterm = Term(t="str", k="string", s=iri)

@@ -233,6 +233,35 @@ def _graph_clause(
     return F.col("graph_id") == iri, None
 
 
+def merged_default_graph(statements: DataFrame, defaults) -> DataFrame:
+    """The dataset default graph for a FROM clause (SPARQL 1.1 §13.2):
+    the RDF MERGE — a SET union — of the listed graphs. A triple
+    present in two FROM graphs (or stored twice in one) is ONE triple,
+    so the scan collapses on triple identity, deterministically keeping
+    the smallest statement id so wds: lookups stay stable. Applied for
+    ANY dataset clause (single-FROM included — the set semantics must
+    not depend on how many graphs are listed); costs one shuffle, paid
+    only by FROM queries. Non-FROM queries keep the store's own
+    default graph (graph_id IS NULL) untouched. Returns flat
+    STATEMENT_COLUMNS rows retagged as default-graph quads; callers
+    re-run ensure_term_columns."""
+    from ..model.schema import STATEMENT_COLUMNS
+
+    flat = statements.select(*STATEMENT_COLUMNS)
+    if not defaults:  # FROM NAMED only: the default graph is empty
+        return flat.limit(0)
+    triple_cols = [
+        c for c in STATEMENT_COLUMNS if c not in ("graph_id", "statement_id")
+    ]
+    return (
+        flat.filter(F.col("graph_id").isin(*list(dict.fromkeys(defaults))))
+        .groupBy(*triple_cols)
+        .agg(F.min("statement_id").alias("statement_id"))
+        .withColumn("graph_id", F.lit(None).cast("string"))
+        .select(*STATEMENT_COLUMNS)
+    )
+
+
 def scan_pattern(
     statements: DataFrame,
     tp: TriplePattern,
@@ -256,28 +285,8 @@ def scan_pattern(
     SAME graph for free: every scan binds ?g and the natural join
     equates them.
     """
-    defaults = dataset[0] if dataset is not None else None
-    if graph is None and defaults is not None and len(defaults) > 1:
-        # SPARQL 1.1 §13.2: the dataset default graph is the RDF MERGE
-        # (set union) of the FROM graphs — a triple present in two FROM
-        # graphs is ONE triple, so `graph_id IN defaults` alone would
-        # double-count it. Restrict to the FROM graphs, then collapse
-        # on triple identity (deterministically keeping the smallest
-        # statement id, so wds: lookups stay stable). One extra shuffle,
-        # paid only on multi-FROM queries.
-        from ..model.schema import STATEMENT_COLUMNS
-
-        flat = statements.select(*STATEMENT_COLUMNS)
-        triple_cols = [
-            c for c in STATEMENT_COLUMNS if c not in ("graph_id", "statement_id")
-        ]
-        statements = (
-            flat.filter(F.col("graph_id").isin(*defaults))
-            .groupBy(*triple_cols)
-            .agg(F.min("statement_id").alias("statement_id"))
-            .withColumn("graph_id", F.lit(None).cast("string"))
-            .select(*STATEMENT_COLUMNS)
-        )
+    if graph is None and dataset is not None and dataset[0] is not None:
+        statements = merged_default_graph(statements, dataset[0])
         dataset = None  # merged rows now ARE the default graph
     statements = ensure_term_columns(statements)
     s, p, o = tp.s, tp.p, tp.o

@@ -140,6 +140,18 @@ def decode_media(media: DataFrame) -> DataFrame:
 _HIST_SCHEMA = "media_id bigint, feature array<float>"
 
 
+def _byte_hist(payloads, bins: int = 8) -> np.ndarray:
+    """(n, bins) int64 byte-histogram matrix for a batch of payloads —
+    the ONE histogram kernel every byte-feature entry shares (a bin-edge
+    or empty-payload change must not silently diverge between them)."""
+    return np.stack(
+        [
+            np.histogram(np.frombuffer(b, dtype=np.uint8), bins=bins, range=(0, 256))[0]
+            for b in payloads
+        ]
+    ).astype(np.int64)
+
+
 def byte_histogram_features(media: DataFrame, bins: int = 8) -> DataFrame:
     """Feature extraction stub: L1-normalized byte histogram as the
     'embedding' — the real path would run a vision/audio encoder over
@@ -147,13 +159,18 @@ def byte_histogram_features(media: DataFrame, bins: int = 8) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for b in pdf["payload"]:
-                arr = np.frombuffer(b, dtype=np.uint8)
-                h = np.histogram(arr, bins=bins, range=(0, 256))[0].astype(np.float64)
-                s = h.sum()
-                feats.append((h / s if s else h).astype(np.float32))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+            if not len(pdf):
+                continue
+            h = _byte_hist(pdf["payload"], bins).astype(np.float64)
+            s = h.sum(axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                norm = np.where(s > 0, h / s, h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": [row.astype(np.float32) for row in norm],
+                }
+            )
 
     return media.mapInPandas(fn, schema=_HIST_SCHEMA)
 
@@ -241,20 +258,19 @@ def media_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value is a deterministic IEEE-double function of the closed
     form ``bin_k / octet_length`` that DuckDB reproduces bit-exactly
     (floor avoids round()'s tie-convention divergence between numpy's
-    banker's rounding and DuckDB's half-away-from-zero)."""
+    banker's rounding and DuckDB's half-away-from-zero).
+
+    ASSUMES pure-ASCII payloads, like ``media_byte_hist_counts``: the
+    oracle bins per-CHARACTER ``ascii(c)//32`` while the engine bins
+    per-BYTE, which only coincide when every character is one byte —
+    true of the synthetic documents corpus (verified: all 5000 docs);
+    a non-ASCII regeneration would need a byte-level oracle instead."""
 
     def fn(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            counts = np.stack(
-                [
-                    np.histogram(
-                        np.frombuffer(b, dtype=np.uint8), bins=8, range=(0, 256)
-                    )[0]
-                    for b in pdf["payload"]
-                ]
-            ).astype(np.float64)
+            counts = _byte_hist(pdf["payload"]).astype(np.float64)
             totals = counts.sum(axis=1, keepdims=True)
             with np.errstate(divide="ignore", invalid="ignore"):
                 feats = np.floor(counts * 1e6 / totals + 0.5) / 1e6
@@ -298,14 +314,7 @@ def media_byte_hist_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            counts = np.stack(
-                [
-                    np.histogram(
-                        np.frombuffer(b, dtype=np.uint8), bins=8, range=(0, 256)
-                    )[0]
-                    for b in pdf["payload"]
-                ]
-            ).astype(np.int64)
+            counts = _byte_hist(pdf["payload"])
             out = {"media_id": pdf["media_id"]}
             for k in range(8):
                 out[f"bin_{k}"] = counts[:, k]

@@ -349,23 +349,23 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1),"
         " i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"
     )
+    # (doc_id, pos) packed into ONE long so the keeper aggregate is a
+    # HashAggregate (min over a struct falls back to SortAggregate —
+    # sorting every chunk occurrence); lexicographic min is preserved
+    # because pos < 2^20 (docs are bounded at ~1M chunks; doc ids up to
+    # 2^43 fit the remaining bits)
+    key = F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
     c = d.select("doc_id", F.posexplode(chunks).alias("pos0", "chunk")).select(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         F.sha2(F.col("chunk"), 256).alias("h"),
-    )
-    keeper = c.groupBy("h").agg(
-        F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
-            "k"
-        )
-    )
+    ).select("doc_id", key.alias("k"), "h")
+    keeper = c.groupBy("h").agg(F.min("k").alias("kmin"))
     kept = (
         c.join(keeper, "h")
         .select(
             "doc_id",
-            (
-                (F.col("doc_id") == F.col("k.d")) & (F.col("pos") == F.col("k.p"))
-            ).cast("long").alias("is_kept"),
+            (F.col("k") == F.col("kmin")).cast("long").alias("is_kept"),
         )
         .groupBy("doc_id")
         .agg(

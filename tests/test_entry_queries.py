@@ -23,13 +23,11 @@ def test_entry_smoke(spark):
 
 def test_every_query_has_oracle_or_is_flagged():
     missing = [k for k in QUERIES if k not in ORACLES]
-    # non-SQL-expressible ops are allowed to omit the oracle; keep the
-    # list explicit so it never grows by accident
-    allowed = {
-        # byte-level histogram over binary payloads: DuckDB has no
-        # byte-access primitive; the math is pinned by unit tests
-        "media_feature_hist",
-    }
+    # every entry now carries a DuckDB oracle (round 4 closed the last
+    # holdout, media_feature_hist, with scalar floor-rounded columns);
+    # any future oracle-less entry must be added here EXPLICITLY with
+    # its justification, never by default
+    allowed: set[str] = set()
     assert set(missing) <= allowed, f"queries without oracles: {missing}"
 
 

@@ -69,9 +69,27 @@ def test_from_merge_dedups_shared_triple(spark):
         f"SELECT ?o FROM <{G1}> FROM <{G2}> WHERE {{ wd:Q1 wdt:P1 ?o }}"
     ).collect()
     assert sorted(r["o"]["e"] for r in rows) == [2, 3]
-    # single-graph FROM keeps the cheap no-dedup path and one row
     rows1 = e.sql(f"SELECT ?o FROM <{G1}> WHERE {{ wd:Q1 wdt:P1 ?o }}").collect()
     assert [r["o"]["e"] for r in rows1] == [2]
+
+
+def test_from_set_semantics_consistent_within_one_graph(spark):
+    # the same (s,p,o) stored twice in ONE graph (distinct statement
+    # ids): ANY dataset clause yields set semantics — one solution —
+    # regardless of how many FROM graphs are listed, and a repeated
+    # FROM <g> FROM <g> changes nothing
+    quads = [
+        ("Q1", "P1", "Q2", "dupA", G1),
+        ("Q1", "P1", "Q2", "dupB", G1),
+    ]
+    e = GraphEngine(spark, statements_from_quads(spark, quads))
+    for q in (
+        f"SELECT ?o FROM <{G1}> WHERE {{ wd:Q1 wdt:P1 ?o }}",
+        f"SELECT ?o FROM <{G1}> FROM <{G1}> WHERE {{ wd:Q1 wdt:P1 ?o }}",
+        f"SELECT ?o FROM <{G1}> FROM <{G2}> WHERE {{ wd:Q1 wdt:P1 ?o }}",
+    ):
+        rows = e.sql(q).collect()
+        assert [r["o"]["e"] for r in rows] == [2], q
 
 
 # ---- Protocol dataset parameters (SPARQL 1.1 Protocol §2.1.4) ------------
