@@ -875,9 +875,10 @@ def sparql_dataset_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference parses but ignores them): FROM <geo> makes the geo named
     graph the query's default graph — the pattern matches ITS 25
     nation->region edges, not the default-graph copies — while FROM
-    NAMED <chain> admits the chain graph for the GRAPH block. Purely a
-    scan-filter rewrite (graph_id IN (...) pushed to parquet), no new
-    operator."""
+    NAMED <chain> admits the chain graph for the GRAPH block. FROM
+    NAMED is a pure scan-filter rewrite (graph_id pushed to parquet);
+    the FROM default graph additionally pays the set-union collapse on
+    triple identity (SPARQL 1.1 13.2 merge semantics, round 4)."""
     df = _engine(spark, sf_dir).sql(
         """
         SELECT ?n ?r ?m
