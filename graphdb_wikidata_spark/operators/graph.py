@@ -207,10 +207,24 @@ def bfs_distances(edges: DataFrame, source: int, max_iters: int = 50) -> DataFra
 # --------------------------------------------------------------------------
 
 
+_EDGE_CACHE: dict = {}
+
+
 def _entity_edges(spark: SparkSession, sf_dir: str, preds: list[int] | None = None) -> DataFrame:
     """Entity->entity claim edges of the TPC-H-derived graph — read off
     the shared materialized statements table (one parquet-backed build
-    per session, reused by every graph entry and the SPARQL engine)."""
+    per session, reused by every graph entry and the SPARQL engine).
+
+    The extracted edge list is memoized (checkpointed) per (session,
+    sf_dir, preds): extraction is one pass over the full quad table —
+    trivial at small sf, the dominant cost at 30x (~10s over 117M
+    quads) — while the graphs themselves are dimension-sized. Same
+    reuse contract as the statements cache: a deployment maintains its
+    edge table, it does not re-derive it per algorithm run."""
+    key = (id(spark), sf_dir, tuple(preds) if preds is not None else None)
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
     from ..engine.tpch_graph import materialized_statements
 
     st = materialized_statements(spark, sf_dir).filter(
@@ -222,9 +236,11 @@ def _entity_edges(spark: SparkSession, sf_dir: str, preds: list[int] | None = No
     )
     if preds is not None:
         st = st.filter(F.col("pred_id").isin(preds))
-    return st.select(
+    edges = st.select(
         F.col("subject_id").alias("src"), F.col("obj_entity_id").alias("dst")
-    )
+    ).localCheckpoint()
+    _EDGE_CACHE[key] = edges
+    return edges
 
 
 @register(

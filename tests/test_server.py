@@ -283,3 +283,23 @@ def test_result_cap_413(srv_ds):
     status, _, body = _get(f"{srv_ds}/query?query={q}")
     assert status == 413
     assert "max_rows" in json.loads(body)["error"]
+
+
+def test_concurrent_queries_share_plan_cache(srv):
+    # 8 concurrent requests, same + different queries: exercises the
+    # plan cache's lock under ThreadingHTTPServer (round-4 review fix)
+    import concurrent.futures as cf
+
+    qs = [
+        "SELECT ?s WHERE { ?s wdt:P2 wdt:Q3 . }",
+        "SELECT ?s ?o WHERE { ?s wdt:P2 ?o . }",
+    ] * 4
+
+    def hit(q):
+        status, _, body = _get(f"{srv}/query?query={urllib.parse.quote(q)}")
+        return status, json.loads(body)
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(hit, qs))
+    assert all(status == 200 for status, _ in results)
+    assert all("results" in body for _, body in results)
