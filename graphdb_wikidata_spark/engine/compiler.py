@@ -135,27 +135,28 @@ class Compiler:
             base = self.statements
             if "graph_id" in base.columns:
                 base = base.filter(F.col("graph_id").isNull())
+            # two-level EXACT aggregate instead of count_distinct: the
+            # statements cache is hash-partitioned on the subject key,
+            # so the inner (pred, subject) groupBy satisfies its
+            # clustering requirement WITHOUT a shuffle (map-side only);
+            # the outer rollup then shuffles ~#preds rows per
+            # partition. count_distinct would instead shuffle one row
+            # per distinct (pred, subject-hash) — the whole table's
+            # width of rows, the dominant warm cost at 30x (~39M+ rows
+            # exchanged). Bonus: exact, no xxhash64 collision caveat on
+            # the star rewrite's functionality proof (n == ds).
+            per_subj = base.groupBy(
+                "pred_kind",
+                "pred_id",
+                "subject_kind",
+                "subject_id",
+                "subject_stmt",
+            ).agg(F.count(F.lit(1)).alias("c"))
             rows = (
-                base.groupBy("pred_kind", "pred_id")
+                per_subj.groupBy("pred_kind", "pred_id")
                 .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    # count distinct subjects via a 64-bit hash of the
-                    # subject triple (xxhash64 never returns null, so
-                    # null subject_stmt rows are kept — a bare-column
-                    # count_distinct would drop them). Hashing is SOUND
-                    # for the star rewrite's functionality proof
-                    # (n == ds): a collision can only LOWER ds, so it
-                    # can only falsely reject functionality (losing an
-                    # optimization), never falsely accept it (which
-                    # would corrupt results). Exact distinct over the
-                    # string-bearing struct costs ~5x more at sf0.1.
-                    F.count_distinct(
-                        F.xxhash64(
-                            F.col("subject_kind"),
-                            F.col("subject_id"),
-                            F.col("subject_stmt"),
-                        )
-                    ).alias("ds"),
+                    F.sum("c").alias("n"),
+                    F.count(F.lit(1)).alias("ds"),
                 )
                 .collect()
             )
