@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # iterative algorithms localCheckpoint per round; the blocks of
+        # dead checkpoints are only freed when the ContextCleaner sees
+        # the RDD garbage-collected — at the default 30min periodic-GC
+        # interval repeated runs accumulate dead blocks and degrade
+        # nondeterministically (measured 16s -> 71s on back-to-back
+        # identical CC runs). 5min bounds the accumulation window.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
         # per-call call-site capture for error enrichment costs 3 JVM
         # round-trips on EVERY DataFrame API call; the SPARQL compiler
