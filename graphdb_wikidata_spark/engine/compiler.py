@@ -135,22 +135,28 @@ class Compiler:
             base = self.statements
             if "graph_id" in base.columns:
                 base = base.filter(F.col("graph_id").isNull())
-            # two-level EXACT aggregate instead of count_distinct: the
-            # statements cache is hash-partitioned on the subject key,
-            # so the inner (pred, subject) groupBy satisfies its
-            # clustering requirement WITHOUT a shuffle (map-side only);
-            # the outer rollup then shuffles ~#preds rows per
-            # partition. count_distinct would instead shuffle one row
-            # per distinct (pred, subject-hash) — the whole table's
-            # width of rows, the dominant warm cost at 30x (~39M+ rows
-            # exchanged). Bonus: exact, no xxhash64 collision caveat on
-            # the star rewrite's functionality proof (n == ds).
+            # two-level aggregate instead of count_distinct, keyed on a
+            # PACKED 64-bit subject hash: the inner groupBy partial-
+            # aggregates map-side (the subject-partitioned cache puts
+            # each (pred, subject) in one partition, so the exchange
+            # carries ~one skinny long-keyed row per distinct pair, not
+            # the table's width of count_distinct expand rows — the
+            # dominant warm cost at 30x), and the 16-byte map entries
+            # stay small enough for a default-sized driver heap (the
+            # wide-key variant built ~80B entries and GC-deadlocked a
+            # 1g vanilla session after 100+ prior queries). xxhash64
+            # never returns null and a collision can only LOWER ds, so
+            # the star rewrite's functionality proof (n == ds) can only
+            # falsely reject — losing an optimization, never
+            # corrupting results.
             per_subj = base.groupBy(
                 "pred_kind",
                 "pred_id",
-                "subject_kind",
-                "subject_id",
-                "subject_stmt",
+                F.xxhash64(
+                    F.col("subject_kind"),
+                    F.col("subject_id"),
+                    F.col("subject_stmt"),
+                ).alias("__sh"),
             ).agg(F.count(F.lit(1)).alias("c"))
             rows = (
                 per_subj.groupBy("pred_kind", "pred_id")
