@@ -52,6 +52,13 @@ class GraphEngine:
 
         self._plan_cache: dict = {}
         self._plan_cache_lock = threading.Lock()  # ThreadingHTTPServer
+        # compilation mutates shared Compiler context (_dataset_ctx /
+        # _graph_ctx / the SERVICE statements swap), so two concurrent
+        # sql() compiles would bleed scopes into each other's plans —
+        # and the wrong plan would then be CACHED. Compilation is
+        # serialized (driver-side work, well under a second); query
+        # EXECUTION stays fully concurrent.
+        self._compile_lock = threading.Lock()
         self._svc_generation = 0
 
     @classmethod
@@ -176,7 +183,8 @@ class GraphEngine:
             plan = Dataset(
                 plan, tuple(default_graphs or ()), tuple(named_graphs or ())
             )
-        df = self._compiler.compile(plan)
+        with self._compile_lock:
+            df = self._compiler.compile(plan)
         # blank nodes are non-distinguished variables: they join within
         # the pattern but are never projected (even by SELECT *)
         bn = [c for c in df.columns if c.startswith("__bn")]

@@ -307,12 +307,10 @@ def compile_path(compiler, op: PathPattern) -> DataFrame:
             # statements DataFrame — a deployment maintains this as
             # table metadata, so later compiles are a dict lookup, not
             # a data-sized job)
-            cat = getattr(compiler, "_graph_catalog", None)
-            if cat is None:
-                cat = compiler._graph_catalog = {}
-            # keyed by the statements frame: _c_service swaps
-            # compiler.statements for the service dataset's frame
-            graphs = cat.get(id(compiler.statements))
+            # memoized ON the statements frame itself (lifetime-tied,
+            # so a GC'd service frame can never leak a stale catalog
+            # through id() reuse; _c_service swaps compiler.statements)
+            graphs = getattr(compiler.statements, "_graft_graph_catalog", None)
             if graphs is None:
                 graphs = sorted(
                     r[0]
@@ -323,7 +321,7 @@ def compile_path(compiler, op: PathPattern) -> DataFrame:
                     .distinct()
                     .collect()
                 )
-                cat[id(compiler.statements)] = graphs
+                compiler.statements._graft_graph_catalog = graphs
         outs = []
         for iri in graphs:
             gterm = Term(t="str", k="string", s=iri)

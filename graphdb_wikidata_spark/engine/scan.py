@@ -244,22 +244,39 @@ def merged_default_graph(statements: DataFrame, defaults) -> DataFrame:
     only by FROM queries. Non-FROM queries keep the store's own
     default graph (graph_id IS NULL) untouched. Returns flat
     STATEMENT_COLUMNS rows retagged as default-graph quads; callers
-    re-run ensure_term_columns."""
+    re-run ensure_term_columns.
+
+    The merged frame is memoized ON the statements DataFrame object
+    (lifetime-tied — no stale-id hazard), so the N scans of an
+    N-pattern FROM query share ONE DataFrame: their dedup subtrees are
+    then plan-identical and Spark's exchange reuse executes the
+    collapse once per query, not once per pattern."""
     from ..model.schema import STATEMENT_COLUMNS
 
+    key = tuple(dict.fromkeys(defaults))
+    cache = getattr(statements, "_graft_merged_defaults", None)
+    if cache is None:
+        cache = {}
+        statements._graft_merged_defaults = cache
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     flat = statements.select(*STATEMENT_COLUMNS)
-    if not defaults:  # FROM NAMED only: the default graph is empty
-        return flat.limit(0)
-    triple_cols = [
-        c for c in STATEMENT_COLUMNS if c not in ("graph_id", "statement_id")
-    ]
-    return (
-        flat.filter(F.col("graph_id").isin(*list(dict.fromkeys(defaults))))
-        .groupBy(*triple_cols)
-        .agg(F.min("statement_id").alias("statement_id"))
-        .withColumn("graph_id", F.lit(None).cast("string"))
-        .select(*STATEMENT_COLUMNS)
-    )
+    if not key:  # FROM NAMED only: the default graph is empty
+        merged = flat.limit(0)
+    else:
+        triple_cols = [
+            c for c in STATEMENT_COLUMNS if c not in ("graph_id", "statement_id")
+        ]
+        merged = (
+            flat.filter(F.col("graph_id").isin(*key))
+            .groupBy(*triple_cols)
+            .agg(F.min("statement_id").alias("statement_id"))
+            .withColumn("graph_id", F.lit(None).cast("string"))
+            .select(*STATEMENT_COLUMNS)
+        )
+    cache[key] = merged
+    return merged
 
 
 def scan_pattern(

@@ -223,8 +223,11 @@ def _entity_edges(spark: SparkSession, sf_dir: str, preds: list[int] | None = No
     edge table, it does not re-derive it per algorithm run."""
     key = (id(spark), sf_dir, tuple(preds) if preds is not None else None)
     hit = _EDGE_CACHE.get(key)
-    if hit is not None:
-        return hit
+    # the value pins the session object, so a stopped session's id can
+    # never be reused by a NEW session while its entry exists; the
+    # identity check is belt-and-braces
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     from ..engine.tpch_graph import materialized_statements
 
     st = materialized_statements(spark, sf_dir).filter(
@@ -239,7 +242,7 @@ def _entity_edges(spark: SparkSession, sf_dir: str, preds: list[int] | None = No
     edges = st.select(
         F.col("subject_id").alias("src"), F.col("obj_entity_id").alias("dst")
     ).localCheckpoint()
-    _EDGE_CACHE[key] = edges
+    _EDGE_CACHE[key] = (spark, edges)
     return edges
 
 

@@ -110,6 +110,10 @@ def _scaled(spark: SparkSession, sf_dir: str, name: str, factor: int) -> DataFra
 #: 100th document in the zipf twin becomes (a copy of) this, so ~1% of
 #: the corpus lands in ONE near-dup cluster — the skew shape LSH-based
 #: dedup must survive (a boilerplate page duplicated across a crawl)
+#: the zipf overlay's hot join key: an existing base customer, chosen
+#: inside nation 7 (see _apply_zipf docstring)
+_CELEBRITY_CUSTKEY = 87
+
 _CELEBRITY_TEXT = " ".join(
     f"boilerplate token{i % 17} navigation footer copyright widget{i % 7}"
     for i in range(24)
@@ -119,10 +123,16 @@ _CELEBRITY_TEXT = " ".join(
 def _apply_zipf(name: str, df: DataFrame) -> DataFrame:
     """Skew overlay for the zipf twin (uniform twin + these rules):
 
-    - orders: every 100th order is reassigned to customer 0 — one
-      celebrity entity owns ~1% of the o_custkey join key (the shape
-      AQE skew-join splitting / salting must absorb; the uniform twins
-      are key-shifted and prove nothing about skew).
+    - orders: every 100th order is reassigned to ONE existing base
+      customer so a celebrity entity owns ~1% of the o_custkey join
+      key (the shape AQE skew-join splitting / salting must absorb;
+      the uniform twins are key-shifted and prove nothing about skew).
+      The celebrity is customer 87 — the smallest nation-7 customer in
+      the synthetic generator at every sf — so the hot key also
+      SURVIVES the bgp probe's nation filter and flows through join
+      AND result materialization instead of being filtered away
+      (tests/test_scaleprobe.py asserts the nation-7 membership, so a
+      testdata regeneration that moves it fails loudly).
     - documents: every 100th document becomes the celebrity text — one
       near-dup cluster holding ~1% of the corpus, so the LSH candidate
       graph grows a dense component instead of uniform small groups.
@@ -131,9 +141,8 @@ def _apply_zipf(name: str, df: DataFrame) -> DataFrame:
     if name == "orders":
         return df.withColumn(
             "o_custkey",
-            F.when(F.col("o_orderkey") % 100 == 0, F.lit(0)).otherwise(
-                F.col("o_custkey")
-            ),
+            F.when(F.col("o_orderkey") % 100 == 0, F.lit(_CELEBRITY_CUSTKEY))
+            .otherwise(F.col("o_custkey")),
         )
     if name == "documents":
         return df.withColumn(
@@ -145,14 +154,18 @@ def _apply_zipf(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
-def _source_fingerprint(sf_dir: str) -> str:
+def _source_fingerprint(sf_dir: str, zipf: bool = False) -> str:
     """Size+mtime digest of the source parquet files: the testdata is
     REGENERATED periodically, so a cached scaled twin must be keyed to
-    the exact source it was derived from, not just the dir name."""
+    the exact source it was derived from, not just the dir name. Zipf
+    twins carry their own overlay version so an overlay change rebuilds
+    them without invalidating the (expensive) uniform twins."""
     import hashlib
 
     h = hashlib.sha256()
     h.update(f"synthesis-v{_SYNTHESIS_VERSION}".encode())
+    if zipf:
+        h.update(f"zipf-v2-celebrity{_CELEBRITY_CUSTKEY}".encode())
     for name in TABLE_NAMES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         try:
@@ -181,7 +194,7 @@ def ensure_scaled_dir(
     suffix = f"{base}_x{factor}" + ("_zipf" if zipf else "")
     out_dir = os.path.abspath(os.path.join(out_root, suffix))
     os.makedirs(out_dir, exist_ok=True)
-    fp = _source_fingerprint(sf_dir)
+    fp = _source_fingerprint(sf_dir, zipf)
     marker = os.path.join(out_dir, ".source_fingerprint")
     stale = True
     try:

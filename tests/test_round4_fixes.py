@@ -141,10 +141,10 @@ def test_serializers_respect_max_rows(eng):
 
 
 def test_large_result_streams_without_collect(spark):
-    # 100k-row result through the streaming serializer: toLocalIterator
-    # fetches one partition at a time (no full-result collect on the
-    # driver); this pins the path works end-to-end at that size
-    quads = [("Q1", "P1", f"v{i}", f"s{i}") for i in range(2000)]
+    # a real 100k-row result through the streaming serializer:
+    # toLocalIterator fetches one partition at a time (no full-result
+    # collect on the driver), pinning the path end-to-end at that size
+    quads = [("Q1", "P1", f"v{i}", f"s{i}") for i in range(100_000)]
     e = GraphEngine(spark, statements_from_quads(spark, quads))
     out = to_sparql_csv(e.sql("SELECT ?o WHERE { ?s wdt:P1 ?o }"))
-    assert out.count("\r\n") == 2001  # header + 2000 rows
+    assert out.count("\r\n") == 100_001  # header + 100k rows

@@ -83,14 +83,22 @@ def zipf_dir(spark, tmp_path_factory):
 def test_zipf_orders_have_celebrity_customer(spark, zipf_dir):
     from pyspark.sql import functions as F
 
+    from graphdb_wikidata_spark.scaleprobe import _CELEBRITY_CUSTKEY
+
     o = table(spark, zipf_dir, "orders")
     total = o.count()
-    celebrity = o.filter(F.col("o_custkey") == 0).count()
-    # every 100th order reassigned: ~1% (+ customer 0's own base orders)
+    celebrity = o.filter(F.col("o_custkey") == _CELEBRITY_CUSTKEY).count()
+    # every 100th order reassigned: ~1% (+ the celebrity's base orders)
     assert celebrity >= total // 100
     assert celebrity <= total // 100 + total // 20
     # same size as the uniform twin
     assert total == FACTOR * table(spark, SF_SMOKE, "orders").count()
+    # the celebrity must EXIST and sit in nation 7, so the hot key
+    # survives the bgp probe's filter instead of dangling out of the
+    # join — a testdata regeneration that moves it must fail loudly
+    c = table(spark, SF_SMOKE, "customer")
+    row = c.filter(F.col("c_custkey") == _CELEBRITY_CUSTKEY).collect()
+    assert len(row) == 1 and row[0]["c_nationkey"] == 7
 
 
 def test_zipf_documents_have_celebrity_cluster(spark, zipf_dir):
