@@ -52,13 +52,6 @@ class GraphEngine:
 
         self._plan_cache: dict = {}
         self._plan_cache_lock = threading.Lock()  # ThreadingHTTPServer
-        # compilation mutates shared Compiler context (_dataset_ctx /
-        # _graph_ctx / the SERVICE statements swap), so two concurrent
-        # sql() compiles would bleed scopes into each other's plans —
-        # and the wrong plan would then be CACHED. Compilation is
-        # serialized (driver-side work, well under a second); query
-        # EXECUTION stays fully concurrent.
-        self._compile_lock = threading.Lock()
         self._svc_generation = 0
 
     @classmethod
@@ -148,6 +141,25 @@ class GraphEngine:
         self._svc_generation += 1
         return self
 
+    def _fresh_compiler(self) -> Compiler:
+        """A private Compiler per compile: compilation mutates scoping
+        context (_dataset_ctx / _graph_ctx / the SERVICE statements
+        swap), so concurrent sql() calls on a shared instance would
+        bleed scopes into each other's plans — and path queries execute
+        their closure DURING compile, so a lock would serialize
+        data-sized work behind one slow query. A fresh instance gives
+        each compile private context with zero contention; the
+        expensive state — per-predicate stats, the SERVICE registry and
+        its stats memo — is shared by reference (GIL-atomic dict ops;
+        a rare duplicate stats computation is idempotent), and freshly
+        computed stats are published back to the long-lived compiler."""
+        base = self._compiler
+        c = Compiler(self.spark, self.statements, self.union_stmt_forms)
+        c._pred_stats = base._pred_stats
+        c.services = base.services
+        c._svc_stats = base._svc_stats
+        return c
+
     def sql(
         self,
         query: str,
@@ -183,8 +195,12 @@ class GraphEngine:
             plan = Dataset(
                 plan, tuple(default_graphs or ()), tuple(named_graphs or ())
             )
-        with self._compile_lock:
-            df = self._compiler.compile(plan)
+        comp = self._fresh_compiler()
+        df = comp.compile(plan)
+        if self._compiler._pred_stats is None and comp._pred_stats is not None:
+            # publish once-computed stats to the long-lived compiler so
+            # later compiles inherit them instead of re-aggregating
+            self._compiler._pred_stats = comp._pred_stats
         # blank nodes are non-distinguished variables: they join within
         # the pattern but are never projected (even by SELECT *)
         bn = [c for c in df.columns if c.startswith("__bn")]

@@ -253,7 +253,9 @@ def merged_default_graph(statements: DataFrame, defaults) -> DataFrame:
     collapse once per query, not once per pattern."""
     from ..model.schema import STATEMENT_COLUMNS
 
-    key = tuple(dict.fromkeys(defaults))
+    # order-normalized key: FROM <a> FROM <b> and FROM <b> FROM <a> are
+    # the same merge, so they must share one frame (and one exchange)
+    key = tuple(sorted(set(defaults)))
     cache = getattr(statements, "_graft_merged_defaults", None)
     if cache is None:
         cache = {}
@@ -275,6 +277,11 @@ def merged_default_graph(statements: DataFrame, defaults) -> DataFrame:
             .withColumn("graph_id", F.lit(None).cast("string"))
             .select(*STATEMENT_COLUMNS)
         )
+    if len(cache) >= 32:  # bounded: an HTTP client cycling protocol
+        # dataset params must not grow driver memory for the engine's
+        # lifetime (the per-query win only needs the CURRENT query's
+        # tuple cached; 32 covers any realistic working set)
+        cache.pop(next(iter(cache)), None)
     cache[key] = merged
     return merged
 

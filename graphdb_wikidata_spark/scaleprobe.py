@@ -37,6 +37,10 @@ from .tables import TABLE_NAMES, table
 #: keyed to (source files x synthesis code), not the source alone
 _SYNTHESIS_VERSION = 2
 
+#: bump when _apply_zipf's overlay rules change (rate, celebrity key or
+#: text): invalidates cached ZIPF twins only, never the uniform twins
+_ZIPF_OVERLAY_VERSION = 2
+
 COPY_1X = ("region", "nation")
 PK = {
     "customer": "c_custkey",
@@ -165,7 +169,9 @@ def _source_fingerprint(sf_dir: str, zipf: bool = False) -> str:
     h = hashlib.sha256()
     h.update(f"synthesis-v{_SYNTHESIS_VERSION}".encode())
     if zipf:
-        h.update(f"zipf-v2-celebrity{_CELEBRITY_CUSTKEY}".encode())
+        h.update(
+            f"zipf-v{_ZIPF_OVERLAY_VERSION}-celebrity{_CELEBRITY_CUSTKEY}".encode()
+        )
     for name in TABLE_NAMES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         try:
