@@ -13,76 +13,73 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The external correctness gate hashes the FIRST 50 registry entries against
-# the DuckDB oracle each round. Round 4's window front-loads (a) the r03 red
-# row, now reshaped to scalar columns (media_feature_hist), (b) the 8 entries
-# that had never been inside a driver window (VERDICT r03 task 2 — after this
-# round every registry entry has hard-artifact evidence in SOME round),
-# (c) every entry whose CODE CHANGED this round: the multi-FROM merge dedup,
-# the ORDER-BY binding-leak fix, paths inside GRAPH ?g, the geo2 graph added
-# to the statements fixture, and the statements-cache/compile-latency rework
-# the sparql_* entries sit on, and (d) a rotation of the oldest (r01)
-# evidence so windows stay fresh.
+# the DuckDB oracle each round. Round 5's window front-loads (a) the r04 red
+# row (corpus_mix_budget — oracle HUGEINT→float64 dtype artifact, now cast to
+# BIGINT; values were already identical), then (b) the entire cohort whose
+# newest green evidence is r01 (21 entries) and (c) 28 of the 35 whose newest
+# green is r02 — after this round no entry's evidence is older than 2 rounds
+# except the 7 deferred expression-family rows listed at the bottom, which
+# share their code path (engine/expressions.py) with five expression entries
+# that ARE in this window and are front-loaded for round 6.
 PRIORITY_ENTRIES: tuple[str, ...] = (
-    # -- (a) the r03 red row, reshaped to scalar f0..f7 double columns
-    "media_feature_hist",
-    # -- (b) never-windowed backlog (VERDICT r03 task 2)
+    # -- (a) the r04 red row: oracle now casts cum_before to BIGINT
     "corpus_mix_budget",
-    "dedup_containment",
-    "embedding_knn_join",
-    "events_topk_per_window",
-    "events_value_histogram",
-    "media_dedup_payload",
-    "stream_static_enrich",
-    "text_bigram_familiarity",
-    # -- (c) new entries this round
-    "sparql_from_merge",  # multi-FROM = RDF merge (set) semantics
-    "sparql_path_in_graph_var",  # per-graph closure, ?g bound
-    "sparql_orderby_expr",  # ORDER BY expr must not leak __x columns
-    "text_chunk_dedup",  # cross-corpus paragraph-level exact dedup
-    "text_intradoc_ngram_dedup",  # within-doc repeated-substring profile
-    # -- (c) code changed this round: dataset/graph scan layer (geo2
-    #    graph added; FROM-merge dedup), ORDER BY compile, label
-    #    service, statements cache + compile-latency work
-    "sparql_graph_named",
-    "sparql_dataset_from",
-    "sparql_order_limit",
-    "sparql_distinct_offset",
-    "sparql_tpch_q1",
-    "sparql_agg_suite",
-    "sparql_label_service",
-    "sparql_bgp_join",
-    "sparql_path_transitive",
-    "sparql_path_alt_inverse",
-    # -- (d) rotation of the oldest evidence (green r01, never since)
-    "scan_project",
-    "filter_predicates",
-    "tpch_q1_agg",
-    "agg_full",
-    "agg_rollup",
-    "join_inner",
-    "join_salted",
-    "join_multiway",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "union_all",
-    # (union_distinct / distinct_op ceded their rotation slots to the
-    # two new round-4 text entries: the distinct shape they prove is
-    # windowed via union_all + the many DISTINCT-bearing sparql rows)
-    "values_inline",
-    "order_limit_offset",
-    "scalar_subquery",
-    "in_subquery",
-    "expr_string_funcs",
-    "expr_numeric_date",
-    "window_rank",
-    "window_running_sum",
-    "window_lead_lag_ntile",
-    "custom_agg_median",
-    "tpch_q6_filter_agg",
-    "tpch_q3_topk",
-    "events_sessionize",
+    # -- (b) newest-green-in-r01 cohort (21)
+    "union_distinct",
+    "distinct_op",
+    "events_session_window",
+    "events_tumbling",
+    "events_rollup_multires",
+    "events_json_extract",
+    "events_pivot",
+    "events_sliding",
+    "events_funnel_steps",
+    "events_range_join_counts",
+    "events_asof_join",
+    "text_stats",
+    "lang_id_heuristic",
+    "token_count_regex",
+    "tfidf_rarest_term",
+    "doc_fingerprint",
+    "dedup_exact",
+    "simhash_signature",
+    "embedding_knn_topk",
+    "embedding_centroid_norm",
+    "embedding_ivf_topk",
+    # -- (c) newest-green-in-r02 cohort (28 of 35)
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh_verified",
+    "embedding_lsh_buckets",
+    "media_catalog",
+    "media_frame_sample",
+    "graph_connected_components",
+    "graph_bfs_chain",
+    "stream_interval_join",
+    "sparql_filter_agg",
+    "sparql_optional",
+    "sparql_union",
+    "sparql_minus",
+    "sparql_exists",
+    "sparql_not_exists",
+    "sparql_term_funcs",
+    "sparql_path_sequence",
+    "sparql_construct",
+    "sparql_describe",
+    "sparql_ask",
+    "sparql_values_undef",
+    "sparql_lateral",
+    "sparql_group_concat",
+    "sparql_subselect",
+    "sparql_path_negated",
+    "sparql_qualifier_join",
+    "sparql_ps_pq_chain",
+    "sparql_wds_lookup",
+    # Deferred to round 6 (front-load them there): sparql_hash_funcs,
+    # sparql_expr_calc, sparql_string_funcs, sparql_date_funcs,
+    # sparql_numeric_funcs, sparql_reduced, sparql_graph_empty — all
+    # expression/modifier-family shapes whose engine code paths are
+    # exercised by the 28 sparql rows above.
 )
 
 

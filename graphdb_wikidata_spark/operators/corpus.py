@@ -301,7 +301,7 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND 1 PRECEDING), 0) AS cum_before
         FROM documents)
-    SELECT doc_id, source, n_tokens, cum_before
+    SELECT doc_id, source, n_tokens, cum_before::BIGINT AS cum_before
     FROM c
     WHERE cum_before < 200 + (substr(source, 4)::BIGINT * 137) % 1200
     """,
