@@ -52,6 +52,11 @@ class GraphEngine:
 
         self._plan_cache: dict = {}
         self._plan_cache_lock = threading.Lock()  # ThreadingHTTPServer
+        # per-key in-flight compiles: a thundering herd of identical
+        # queries on the HTTP server compiles ONCE and the rest wait on
+        # the winner's Future (compiles can cost 0.3-1s, and path
+        # closures execute data-sized work during compile)
+        self._inflight: dict = {}
         self._svc_generation = 0
 
     @classmethod
@@ -182,10 +187,45 @@ class GraphEngine:
             REGISTRY_GENERATION,
             self._svc_generation,
         )
+        from concurrent.futures import Future
+
         with self._plan_cache_lock:
             hit = self._plan_cache.get(key)
-        if hit is not None:
-            return hit
+            if hit is not None:
+                return hit
+            fut = self._inflight.get(key)
+            if fut is None:
+                fut = Future()
+                self._inflight[key] = fut
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            # identical query already compiling on another thread: wait
+            # for its plan instead of duplicating 0.3-1s of compile (and
+            # any closure materialization) per concurrent duplicate
+            return fut.result()
+        try:
+            df = self._compile_uncached(query, default_graphs, named_graphs)
+        except BaseException as e:  # noqa: BLE001 - propagate to waiters too
+            with self._plan_cache_lock:
+                self._inflight.pop(key, None)
+            fut.set_exception(e)
+            raise
+        with self._plan_cache_lock:
+            if len(self._plan_cache) >= 256:  # bounded: FIFO-evict oldest
+                self._plan_cache.pop(next(iter(self._plan_cache)), None)
+            self._plan_cache[key] = df
+            self._inflight.pop(key, None)
+        fut.set_result(df)
+        return df
+
+    def _compile_uncached(
+        self,
+        query: str,
+        default_graphs: "tuple[str, ...] | None",
+        named_graphs: "tuple[str, ...] | None",
+    ) -> DataFrame:
         plan = parse_query(query)
         if default_graphs is not None or named_graphs is not None:
             from .algebra import Dataset
@@ -206,10 +246,6 @@ class GraphEngine:
         bn = [c for c in df.columns if c.startswith("__bn")]
         if bn:
             df = df.drop(*bn)
-        with self._plan_cache_lock:
-            if len(self._plan_cache) >= 256:  # bounded: FIFO-evict oldest
-                self._plan_cache.pop(next(iter(self._plan_cache)), None)
-            self._plan_cache[key] = df
         return df
 
     def explain(self, query: str, mode: str = "formatted") -> str:

@@ -338,9 +338,15 @@ def compile_path(compiler, op: PathPattern) -> DataFrame:
                 d = d.withColumn(gvar.name, gcol)
             outs.append(d)
         if not outs:
-            cols = [v.name for v in (op.s, op.o) if isinstance(v, Var)]
-            if gvar.name not in cols:
-                cols.append(gvar.name)
+            # ordered-set dedup: GRAPH ?g { ?x wdt:P1+ ?x } names the
+            # same var twice; selecting it twice would raise instead of
+            # returning the empty frame
+            cols = list(
+                dict.fromkeys(
+                    [v.name for v in (op.s, op.o) if isinstance(v, Var)]
+                    + [gvar.name]
+                )
+            )
             from ..model.schema import TERM_T
 
             return compiler.spark.range(0).select(

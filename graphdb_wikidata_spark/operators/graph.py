@@ -208,6 +208,14 @@ def bfs_distances(edges: DataFrame, source: int, max_iters: int = 50) -> DataFra
 
 
 _EDGE_CACHE: dict = {}
+_EDGE_CACHE_MAX = 32
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:  # noqa: BLE001 - any probe failure means unusable
+        return True
 
 
 def _entity_edges(spark: SparkSession, sf_dir: str, preds: list[int] | None = None) -> DataFrame:
@@ -242,6 +250,14 @@ def _entity_edges(spark: SparkSession, sf_dir: str, preds: list[int] | None = No
     edges = st.select(
         F.col("subject_id").alias("src"), F.col("obj_entity_id").alias("dst")
     ).localCheckpoint()
+    # bounded like the merged-defaults cache (scan.py): a long-lived
+    # process cycling sessions or sf_dirs must not pin sessions (and
+    # their checkpointed frames) for process lifetime — drop entries of
+    # stopped sessions first, then FIFO-evict
+    for k in [k for k, (sess, _) in _EDGE_CACHE.items() if _session_stopped(sess)]:
+        _EDGE_CACHE.pop(k, None)
+    if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+        _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)), None)
     _EDGE_CACHE[key] = (spark, edges)
     return edges
 

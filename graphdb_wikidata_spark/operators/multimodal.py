@@ -20,6 +20,7 @@ sampling logic by closed form.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -79,6 +80,22 @@ _DECODE_SCHEMA = (
 )
 
 
+@functools.cache
+def _pil_image_module():
+    """One-time PIL probe per interpreter (driver or executor worker).
+
+    A *failed* import is not cached in ``sys.modules``, so probing
+    inside the per-payload call would pay a full sys.path scan per row
+    on codec-less executors — invisible at sf0.1, real at 100 TB
+    (VERDICT r04 task 4). Returns the module or None."""
+    try:  # pragma: no cover - PIL absent in this container
+        import PIL.Image
+
+        return PIL.Image
+    except ImportError:
+        return None
+
+
 def _decode_payload(b: bytes, width: int, height: int) -> np.ndarray:
     """Decode a media payload into a (height, width) uint8 grid.
 
@@ -89,20 +106,17 @@ def _decode_payload(b: bytes, width: int, height: int) -> np.ndarray:
     deterministic STUB that tiles the payload bytes into the declared
     grid: same shape, same dtype, fully reproducible, so oracles and
     benchmarks never depend on which branch ran."""
-    try:
+    pil_image = _pil_image_module()
+    if pil_image is not None:  # pragma: no cover - PIL absent in this container
         import io
 
-        import PIL.Image
-
-        try:  # pragma: no cover - PIL absent in this container
-            img = PIL.Image.open(io.BytesIO(b)).convert("L")
+        try:
+            img = pil_image.open(io.BytesIO(b)).convert("L")
             return np.asarray(img.resize((width, height)), dtype=np.uint8).reshape(
                 (height, width)
             )
         except Exception:  # noqa: BLE001 - not an image: deterministic path
             pass
-    except ImportError:
-        pass
     arr = np.frombuffer(b, dtype=np.uint8)
     if arr.size == 0:
         arr = np.zeros(1, dtype=np.uint8)

@@ -304,6 +304,25 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _packed_chunk_key(doc_id: F.Column, pos: F.Column) -> F.Column:
+    """(doc_id, pos) packed into ONE long so the keeper aggregate is a
+    HashAggregate (min over a struct falls back to SortAggregate —
+    sorting every chunk occurrence). Lexicographic min is preserved
+    only while pos < 2^20 (~10M words per document), so the pack
+    carries a per-row ``assert_true`` guard: a document beyond the
+    bound raises instead of silently bleeding into the next doc_id's
+    key space and corrupting keeper selection. The guard is NULL (cost:
+    one comparison) on every in-bound row."""
+    guard = F.assert_true(
+        pos < F.lit(1 << 20),
+        F.lit(
+            "text_chunk_dedup: document with >= 2^20 chunks overflows the"
+            " packed keeper key; split the document or raise the pack width"
+        ),
+    )
+    return doc_id * F.lit(1 << 20) + pos + F.coalesce(guard.cast("long"), F.lit(0))
+
+
 @register(
     "text_chunk_dedup",
     """
@@ -349,12 +368,7 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1),"
         " i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"
     )
-    # (doc_id, pos) packed into ONE long so the keeper aggregate is a
-    # HashAggregate (min over a struct falls back to SortAggregate —
-    # sorting every chunk occurrence); lexicographic min is preserved
-    # because pos < 2^20 (docs are bounded at ~1M chunks; doc ids up to
-    # 2^43 fit the remaining bits)
-    key = F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+    key = _packed_chunk_key(F.col("doc_id"), F.col("pos"))
     c = d.select("doc_id", F.posexplode(chunks).alias("pos0", "chunk")).select(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
