@@ -52,21 +52,57 @@ HEADLINE = [
 ]
 
 
-def _min_time(run, attempts: int = 2) -> tuple[float, int]:
-    """min-of-N wall clock; when the first two runs disagree by >1.5x
-    (checkpoint-block cleanup and GC make iterative entries
-    nondeterministically slow on a shared box), one extra run is taken
-    so the recorded number is the steady state, not the hiccup."""
-    times, n = [], 0
-    for _ in range(attempts):
+def _gc_millis(spark) -> int:
+    """Cumulative JVM GC time (driver == executor on local[N])."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        )
+        return sum(b.getCollectionTime() for b in beans)
+    except Exception:  # noqa: BLE001 - GC accounting is best-effort
+        return 0
+
+
+def _interleaved_min(
+    spark, names: list[str], runner, tag: str, passes: int = 2
+) -> tuple[dict[str, float], dict[str, float], dict[str, int]]:
+    """Per-query min across PASSES full passes over the whole list.
+
+    Min-of-N back-to-back cannot survive a sustained disturbance (GC
+    pressure, a neighbor process): it hits all N samples of the query
+    it lands on (the r04 artifact had a contiguous 5-query block
+    regressed 2-7x in unchanged code). Interleaving separates a query's
+    samples by the duration of the entire list, so a multi-minute
+    disturbance cannot contaminate both. A query whose samples still
+    disagree >1.5x gets one extra sample at the end. Per-sample GC time
+    is logged so contamination is visible in the artifact, not just
+    inferable (VERDICT r04 task 2)."""
+    samples: dict[str, list[tuple[float, float]]] = {n: [] for n in names}
+    rows: dict[str, int] = {}
+
+    def one(name: str, label: str) -> None:
+        gc0 = _gc_millis(spark)
         t0 = time.perf_counter()
-        n = run()
-        times.append(time.perf_counter() - t0)
-    if max(times) > 1.5 * min(times):
-        t0 = time.perf_counter()
-        n = run()
-        times.append(time.perf_counter() - t0)
-    return min(times), n
+        n = runner(name)
+        dt = time.perf_counter() - t0
+        gc = (_gc_millis(spark) - gc0) / 1000.0
+        samples[name].append((dt, gc))
+        rows[name] = n
+        print(
+            f"# {tag} {label} {name}: {dt:.3f}s (gc {gc:.2f}s, {n} rows)",
+            file=sys.stderr,
+        )
+
+    for p in range(passes):
+        for name in names:
+            one(name, f"pass{p + 1}")
+    for name in names:
+        ts = [t for t, _ in samples[name]]
+        if max(ts) > 1.5 * min(ts):
+            one(name, "retry")
+    best = {n: round(min(samples[n])[0], 3) for n in names}
+    gc_at_best = {n: round(min(samples[n])[1], 2) for n in names}
+    return best, gc_at_best, rows
 
 
 def main() -> None:
@@ -98,13 +134,10 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
-        best, n = _min_time(lambda: queries[name](spark, sf_dir).count())
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    headline_names = [n for n in HEADLINE if n in queries]
+    timings, gc_sec, _rows = _interleaved_min(
+        spark, headline_names, lambda nm: queries[nm](spark, sf_dir).count(), "headline"
+    )
 
     # ---- scale probe: flagship queries on a key-shifted FACTORx twin
     # of the sf dir (graphdb_wikidata_spark/scaleprobe.py) — verifies
@@ -114,15 +147,43 @@ def main() -> None:
     probe: dict[str, float] = {}
     probe_only_1x: dict[str, float] = {}
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    PROBE_NAMES = [
+        "sparql_tpch_q1",
+        "sparql_bgp_join",  # uniform-twin reference for the skew probe
+        "dedup_minhash_lsh",
+        "events_asof_join",
+        "sparql_path_transitive",
+        # iterative + stateful entries: regressions here (e.g.
+        # checkpoint-cadence changes) must show up in the
+        # artifact, not wait for the judge (VERDICT r02 #8)
+        "graph_pagerank_chain",
+        "stream_tumbling_counts",
+        # corpus-assembly compositions (round 3): CC over the
+        # candidate-pair graph and the sharded prefix-sum pack
+        # must also stay sublinear as the corpus grows
+        "dedup_clusters",
+        "pack_sequences_budget",
+    ]
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         try:
             from graphdb_wikidata_spark.scaleprobe import ensure_scaled_dir
+            from graphdb_wikidata_spark.session import release_session_caches
 
+            # probe-only entries (not in HEADLINE) need a 1x reference
+            # or the FACTORx number is uninterpretable — measure them
+            # BEFORE dropping the 1x caches
+            only = [n for n in PROBE_NAMES if n not in timings]
+            if only:
+                probe_only_1x, _gc1, _r1 = _interleaved_min(
+                    spark, only, lambda nm: queries[nm](spark, sf_dir).count(), "probe_1x"
+                )
+            # retire the ENTIRE 1x working set (persisted statements,
+            # engine memos whose plan caches pin closure checkpoint
+            # blocks, edge cache) before the twin build: 1x + FACTORx
+            # resident together put the 48g heap under enough GC
+            # pressure to contaminate whole measurement blocks
+            release_session_caches(spark)
             big_dir = ensure_scaled_dir(spark, sf_dir, factor)
-            # the 1x statements/engine caches served the headline loop;
-            # drop them so the FACTORx caches get the whole heap (both
-            # resident at once OOMed a 24g heap at factor 10)
-            spark.catalog.clearCache()
             # warm the FACTORx engine exactly like the 1x loop does:
             # the statements materialization + stats are one-time
             # deployment costs, not per-query time (without this the
@@ -134,32 +195,12 @@ def main() -> None:
                 _engine(spark, big_dir).warm()
             except Exception:  # noqa: BLE001
                 pass
-            for name in (
-                "sparql_tpch_q1",
-                "sparql_bgp_join",  # uniform-twin reference for the skew probe
-                "dedup_minhash_lsh",
-                "events_asof_join",
-                "sparql_path_transitive",
-                # iterative + stateful entries: regressions here (e.g.
-                # checkpoint-cadence changes) must show up in the
-                # artifact, not wait for the judge (VERDICT r02 #8)
-                "graph_pagerank_chain",
-                "stream_tumbling_counts",
-                # corpus-assembly compositions (round 3): CC over the
-                # candidate-pair graph and the sharded prefix-sum pack
-                # must also stay sublinear as the corpus grows
-                "dedup_clusters",
-                "pack_sequences_budget",
-            ):
-                # probe-only entries (not in HEADLINE) still need a 1x
-                # reference time or the FACTORx number is uninterpretable
-                if name not in timings:
-                    best1, _n1 = _min_time(lambda: queries[name](spark, sf_dir).count())
-                    probe_only_1x[name] = round(best1, 3)
-                    print(f"# probe_1x {name}: {best1:.3f}s", file=sys.stderr)
-                best, n = _min_time(lambda: queries[name](spark, big_dir).count())
-                probe[name] = round(best, 3)
-                print(f"# scale_x{factor} {name}: {probe[name]:.3f}s ({n} rows)", file=sys.stderr)
+            probe, _gcp, _rp = _interleaved_min(
+                spark,
+                PROBE_NAMES,
+                lambda nm: queries[nm](spark, big_dir).count(),
+                f"scale_x{factor}",
+            )
         except Exception as e:  # noqa: BLE001 - probe must never sink the bench
             print(f"# scale probe skipped: {e}", file=sys.stderr)
 
@@ -173,19 +214,20 @@ def main() -> None:
     skew: dict[str, float] = {}
     if probe and os.environ.get("SPARK_GRAFT_SKEW_PROBE", "1") != "0":
         try:
+            # same discipline as the FACTORx twin: retire the uniform
+            # twin's working set before the Zipf twin takes the heap
+            release_session_caches(spark)
             zipf_dir = ensure_scaled_dir(spark, sf_dir, factor, zipf=True)
-            spark.catalog.clearCache()
             try:
                 _engine(spark, zipf_dir).warm()
             except Exception:  # noqa: BLE001
                 pass
-            for name in ("sparql_bgp_join", "dedup_clusters", "dedup_minhash_lsh"):
-                best, n = _min_time(lambda: queries[name](spark, zipf_dir).count())
-                skew[name] = round(best, 3)
-                print(
-                    f"# skew_x{factor} {name}: {skew[name]:.3f}s ({n} rows)",
-                    file=sys.stderr,
-                )
+            skew, _gcs, _rs = _interleaved_min(
+                spark,
+                ["sparql_bgp_join", "dedup_clusters", "dedup_minhash_lsh"],
+                lambda nm: queries[nm](spark, zipf_dir).count(),
+                f"skew_x{factor}",
+            )
         except Exception as e:  # noqa: BLE001 - probe must never sink the bench
             print(f"# skew probe skipped: {e}", file=sys.stderr)
 
@@ -196,6 +238,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # measurement provenance: per-query min across two interleaved
+        # full passes (+1 targeted retry on >1.5x disagreement); gc_sec
+        # is the JVM GC time inside each winning sample — a large value
+        # here means even the best sample was GC-contaminated
+        "protocol": "interleaved-2pass-min",
+        "gc_sec": gc_sec,
     }
     if probe:
         out["scale_probe"] = {

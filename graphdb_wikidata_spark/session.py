@@ -72,3 +72,44 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_session_caches(spark: SparkSession) -> None:
+    """Drop every per-session memoized engine structure: the persisted
+    statements table, the GraphEngine memos (whose plan caches pin path
+    closures' localCheckpoint blocks), and the graph edge cache — then
+    clear the storage catalog and nudge a JVM GC so the ContextCleaner
+    can actually free the checkpoint blocks.
+
+    Used by bench.py between scale twins: keeping the 1x AND 10x caches
+    resident put the 48g heap under enough GC pressure to contaminate
+    whole measurement blocks (VERDICT r04 task 2). A deployment serving
+    one dataset never needs this; a process cycling datasets calls it
+    when retiring one."""
+    sid = id(spark)
+
+    from .engine import entry_queries, tpch_graph
+    from .operators import graph as graph_ops
+
+    for key in [k for k in tpch_graph._MATERIALIZED if k[0] == sid]:
+        df = tpch_graph._MATERIALIZED.pop(key)
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 - already released
+            pass
+    for memo in (entry_queries._ENGINES, entry_queries._UNION_ENGINES):
+        for key in [k for k in memo if k[0] == sid]:
+            memo.pop(key, None)
+    for key in [k for k in graph_ops._EDGE_CACHE if k[0] == sid]:
+        graph_ops._EDGE_CACHE.pop(key, None)
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        # localCheckpoint blocks free only when the ContextCleaner sees
+        # their RDDs collected; an explicit System.gc() makes that
+        # happen now instead of at the next 5min periodic tick
+        spark._jvm.System.gc()  # type: ignore[union-attr]
+    except Exception:  # noqa: BLE001
+        pass
