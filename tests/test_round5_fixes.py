@@ -49,6 +49,61 @@ def test_path_in_graph_var_same_endpoint_empty_catalog(spark):
     assert sorted(df.columns) == ["g", "x"]
 
 
+# ---- GRAPH ?g closure is ONE grouped loop, not a loop per graph ----------
+
+
+def test_graph_var_closure_single_loop(spark, monkeypatch):
+    from graphdb_wikidata_spark.engine import paths as paths_mod
+
+    # three named graphs, each holding a 3-node chain Q1->Q2->Q3
+    quads = []
+    for gi in range(3):
+        g = f"http://example.org/g/{gi}"
+        quads += [
+            ("Q1", "P1", "Q2", f"s{gi}a", g),
+            ("Q2", "P1", "Q3", f"s{gi}b", g),
+        ]
+    eng = GraphEngine(spark, statements_from_quads(spark, quads))
+
+    calls = []
+    orig = paths_mod._transitive_closure
+
+    def counting(*args, **kwargs):
+        calls.append(kwargs.get("group", ()))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(paths_mod, "_transitive_closure", counting)
+    rows = eng.sql(
+        "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x wdt:P1+ ?y . } }"
+    ).collect()
+    assert len(calls) == 1, f"expected ONE grouped closure, got {len(calls)}"
+    assert calls[0], "closure must carry the graph group key"
+    # 3 graphs x 3 closure pairs (1->2, 2->3, 1->3)
+    assert len(rows) == 9
+    per_graph = {}
+    for r in rows:
+        per_graph.setdefault(r["g"]["s"], []).append(
+            (r["x"]["e"], r["y"]["e"])
+        )
+    for g, pairs in per_graph.items():
+        assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)], (g, pairs)
+
+
+def test_graph_var_closure_does_not_mix_graphs(spark):
+    # chains split ACROSS graphs must not connect: g0 has Q1->Q2,
+    # g1 has Q2->Q3 — Q1->Q3 exists in no single graph
+    quads = [
+        ("Q1", "P1", "Q2", "sa", "http://example.org/g/0"),
+        ("Q2", "P1", "Q3", "sb", "http://example.org/g/1"),
+    ]
+    eng = GraphEngine(spark, statements_from_quads(spark, quads))
+    rows = eng.sql(
+        "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x wdt:P1+ ?y . } }"
+    ).collect()
+    got = sorted((r["g"]["s"][-1], r["x"]["e"], r["y"]["e"]) for r in rows)
+    assert got == [("0", 1, 2), ("1", 2, 3)], got
+
+
 # ---- edge cache is bounded and drops stopped sessions --------------------
 
 
