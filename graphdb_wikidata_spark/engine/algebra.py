@@ -282,6 +282,11 @@ class Service(Op):
     iri: str
     input: Op
     silent: bool = False
+    # For http(s) IRIs not registered in-process: the full SPARQL text
+    # (prefix header + SELECT * over the raw body span, captured by the
+    # parser) to POST to the remote endpoint (federation.py). None when
+    # the algebra was built programmatically rather than parsed.
+    remote_query: str | None = None
 
 
 @dataclass(frozen=True)

@@ -146,6 +146,29 @@ class GraphEngine:
         self._svc_generation += 1
         return self
 
+    def allow_remote_services(self, endpoints=True) -> "GraphEngine":
+        """Opt in to live HTTP federation: an UNregistered
+        ``SERVICE <http(s)://...>`` IRI is then queried over the SPARQL
+        Protocol and its bindings join in-plan as an inline table
+        (engine/federation.py; the reference panics on every non-label
+        SERVICE IRI — interpreter.rs:655-659).
+
+        ``endpoints``: ``True`` allows any http(s) IRI; an iterable of
+        IRIs installs an allowlist (the Jena ``arq:serviceAllowList`` /
+        WDQS federation-whitelist posture — the right default for a
+        shared endpoint, where arbitrary-URL fetch from query text is
+        SSRF); ``False`` disables (the default posture). Registered
+        in-process services always take precedence. Remote results are
+        driver-materialized and capped (federation.MAX_REMOTE_ROWS):
+        at cluster scale the remote endpoint is the bottleneck, so the
+        fetched bindings are broadcast-sized by construction."""
+        if endpoints is True or endpoints is False:
+            self._compiler.remote_allowed = endpoints
+        else:
+            self._compiler.remote_allowed = frozenset(endpoints)
+        self._svc_generation += 1  # invalidate cached plans
+        return self
+
     def _fresh_compiler(self) -> Compiler:
         """A private Compiler per compile: compilation mutates scoping
         context (_dataset_ctx / _graph_ctx / the SERVICE statements
@@ -163,6 +186,7 @@ class GraphEngine:
         c._pred_stats = base._pred_stats
         c.services = base.services
         c._svc_stats = base._svc_stats
+        c.remote_allowed = base.remote_allowed
         return c
 
     def sql(

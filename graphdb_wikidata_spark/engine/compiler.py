@@ -86,6 +86,12 @@ class Compiler:
         # from THAT dataset, computed once per engine
         self.services: dict[str, DataFrame] = {}
         self._svc_stats: dict[str, "tuple[dict, int] | None"] = {}
+        # HTTP federation opt-in (GraphEngine.allow_remote_services):
+        # False = never touch the network (unregistered IRIs stay a
+        # KeyError / SILENT unit solution); True = any http(s) SERVICE
+        # IRI may be fetched; a frozenset = allowlist of endpoints —
+        # the Jena/WDQS-style posture for a shared deployment.
+        self.remote_allowed: "bool | frozenset[str]" = False
         # DataFrame -> column list memo. Spark 4 analyzes lazily, so
         # every .columns read on a freshly built DataFrame re-analyzes
         # its whole (growing) plan — O(ops^2) driver time per compile.
@@ -542,6 +548,28 @@ class Compiler:
         the service join."""
         src = self.services.get(op.iri)
         if src is None:
+            allowed = self.remote_allowed is True or (
+                isinstance(self.remote_allowed, frozenset)
+                and op.iri in self.remote_allowed
+            )
+            if op.remote_query is not None and allowed:
+                # Real HTTP federation (beyond the reference, which
+                # panics here): POST the captured body to the endpoint
+                # and land the bindings as an inline table — same
+                # driver-side shape as VALUES, so Catalyst broadcasts
+                # it into the outer join. Registered IRIs take
+                # precedence (tests / air-gapped deployments).
+                from . import federation
+
+                try:
+                    variables, rows = federation.fetch_service_solutions(
+                        op.iri, op.remote_query
+                    )
+                except federation.FederationError:
+                    if op.silent:
+                        return self._remember(self.spark.range(1).select(), [])
+                    raise
+                return self._c_values(Values(tuple(variables), tuple(rows)))
             if op.silent:
                 # SPARQL 1.1 Federated Query §2.3: failure under SILENT
                 # is the unit solution — one row, nothing bound (the
@@ -549,7 +577,9 @@ class Compiler:
                 return self._remember(self.spark.range(1).select(), [])
             raise KeyError(
                 f"SERVICE {op.iri} is not registered; use "
-                "GraphEngine.register_service(iri, statements_df)"
+                "GraphEngine.register_service(iri, statements_df) or, "
+                "for live HTTP endpoints, "
+                "GraphEngine.allow_remote_services(...)"
             )
         # an outer GRAPH scope does not reach into the service (the
         # remote dataset has its own graphs); body-level GRAPH works
@@ -1038,6 +1068,26 @@ class Compiler:
                     *[F.lit(None).cast(TERM_T).alias(v) for v in op.variables]
                 ),
                 list(op.variables),
+            )
+        if len(op.rows) > 32:
+            # Large inline tables (HTTP SERVICE federation results land
+            # here) would make the per-row literal-union path below
+            # build thousands of plan nodes; ship them as one local
+            # relation instead. Python Terms carry only the 8 scalar
+            # struct fields (never time/qty/coord), so the tuple shape
+            # is fixed.
+            schema = ", ".join(f"`{v}` {TERM_T}" for v in op.variables)
+            data = [
+                tuple(
+                    None
+                    if t is None or t.t == "null"
+                    else (t.t, t.k, t.e, t.s, t.lang, t.i, t.d, t.b, None, None, None)
+                    for t in row
+                )
+                for row in op.rows
+            ]
+            return self._remember(
+                self.spark.createDataFrame(data, schema), list(op.variables)
             )
         rows = []
         for row in op.rows:

@@ -130,6 +130,7 @@ class SelectSpec:
 
 class Parser:
     def __init__(self, text: str):
+        self.text = text  # kept for raw-span capture (SERVICE bodies)
         self.tokens = tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -571,7 +572,21 @@ class Parser:
         else:
             raise SyntaxError(f"SERVICE expects an IRI, got {t.value!r}")
         if iri != PREFIXES["wikibase"] + "label":
-            return Service(iri, self.parse_group_graph_pattern(), silent)
+            # Capture the raw body span so http(s) federation can POST
+            # the inner pattern verbatim (SELECT * keeps every in-scope
+            # var; the remote endpoint computes its own projection).
+            start = self.peek().pos  # the '{' opening the body
+            body = self.parse_group_graph_pattern()
+            end_tok = self.tokens[self.i - 1]  # the matching '}'
+            remote_query = None
+            if iri.startswith(("http://", "https://")):
+                raw = self.text[start : end_tok.pos + len(end_tok.value)]
+                header = "".join(
+                    f"PREFIX {p}: <{ns}>\n"
+                    for p, ns in {**PREFIXES, **self.prefixes}.items()
+                )
+                remote_query = f"{header}SELECT * WHERE {raw}"
+            return Service(iri, body, silent, remote_query)
         self.expect("{")
         depth, langs = 1, None
         while depth:
