@@ -33,6 +33,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p_server = sub.add_parser("server", help="start the HTTP query endpoint")
     p_server.add_argument("-p", "--port", type=int, default=8005)
+    p_server.add_argument(
+        "--federation", nargs="*", metavar="IRI", default=None,
+        help="enable live HTTP SERVICE federation: with IRIs = allowlist "
+        "of remote endpoints; bare flag = allow any http(s) endpoint "
+        "(off by default — remote fetch from query text is SSRF on a "
+        "shared server)",
+    )
 
     sub.add_parser("cli", help="interactive SPARQL REPL")
 
@@ -89,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "server":
         from .server import run_server
 
+        if getattr(args, "federation", None) is not None:
+            # bare --federation = allow any endpoint; with IRIs = allowlist
+            engine.allow_remote_services(args.federation or True)
         srv = run_server(engine, host="0.0.0.0", port=args.port)
         print(f"serving on :{srv.server_port} (GET /query?query=..., frontend at /)")
         try:

@@ -210,3 +210,41 @@ def test_bnode_and_unknown_type():
     assert federation._json_term({"type": "bnode", "value": "b0"}).s == "_:b0"
     with pytest.raises(federation.FederationError, match="unknown"):
         federation._json_term({"type": "frob", "value": "x"})
+
+
+def test_server_federation_flag_wires_allowlist(monkeypatch):
+    """--federation on the server subcommand maps to
+    allow_remote_services: bare flag -> True, IRIs -> frozenset."""
+    import graphdb_wikidata_spark.__main__ as cli
+
+    seen = {}
+
+    class FakeEngine:
+        def allow_remote_services(self, endpoints=True):
+            seen["endpoints"] = endpoints
+            return self
+
+        def warm(self):
+            return self
+
+    class FakeServer:
+        server_port = 0
+
+        def serve_forever(self):
+            raise KeyboardInterrupt  # return immediately
+
+    monkeypatch.setattr(
+        "graphdb_wikidata_spark.engine.GraphEngine.from_parquet",
+        staticmethod(lambda spark, path: FakeEngine()),
+    )
+    monkeypatch.setattr(
+        "graphdb_wikidata_spark.server.run_server",
+        lambda engine, host, port: FakeServer(),
+    )
+    assert cli.main(["server", "--federation", "http://a/sparql"]) == 0
+    assert seen["endpoints"] == ["http://a/sparql"]
+    assert cli.main(["server", "--federation"]) == 0
+    assert seen["endpoints"] is True
+    seen.clear()
+    assert cli.main(["server"]) == 0
+    assert "endpoints" not in seen  # off by default
