@@ -66,7 +66,8 @@ def _gc_millis(spark) -> int:
 def _interleaved_min(
     spark, names: list[str], runner, tag: str, passes: int = 2
 ) -> tuple[dict[str, float], dict[str, float], dict[str, int]]:
-    """Per-query min across PASSES full passes over the whole list.
+    """Per-query min across PASSES full passes over the whole list,
+    after one uncounted warmup pass.
 
     Min-of-N back-to-back cannot survive a sustained disturbance (GC
     pressure, a neighbor process): it hits all N samples of the query
@@ -76,23 +77,36 @@ def _interleaved_min(
     disturbance cannot contaminate both. A query whose samples still
     disagree >1.5x gets one extra sample at the end. Per-sample GC time
     is logged so contamination is visible in the artifact, not just
-    inferable (VERDICT r04 task 2)."""
+    inferable (VERDICT r04 task 2).
+
+    The warmup pass is the JMH discipline: each query's first execution
+    pays one-time costs that are deployment state, not query time —
+    whole-stage-codegen class JIT tier-up, plan-cache/closure
+    materialization, first-touch parquet reads — and under interleaving
+    (unlike r04's back-to-back min-of-2) a counted pass1 would fold
+    those into every headline number (measured 2-4x on the sparql
+    entries: agg_suite 2.9s pass1 vs 0.54s steady-state, the code
+    unchanged). Warmup times still go to stderr so the one-time costs
+    stay visible."""
     samples: dict[str, list[tuple[float, float]]] = {n: [] for n in names}
     rows: dict[str, int] = {}
 
-    def one(name: str, label: str) -> None:
+    def one(name: str, label: str, record: bool = True) -> None:
         gc0 = _gc_millis(spark)
         t0 = time.perf_counter()
         n = runner(name)
         dt = time.perf_counter() - t0
         gc = (_gc_millis(spark) - gc0) / 1000.0
-        samples[name].append((dt, gc))
+        if record:
+            samples[name].append((dt, gc))
         rows[name] = n
         print(
             f"# {tag} {label} {name}: {dt:.3f}s (gc {gc:.2f}s, {n} rows)",
             file=sys.stderr,
         )
 
+    for name in names:
+        one(name, "warmup", record=False)
     for p in range(passes):
         for name in names:
             one(name, f"pass{p + 1}")
@@ -238,11 +252,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # measurement provenance: per-query min across two interleaved
-        # full passes (+1 targeted retry on >1.5x disagreement); gc_sec
+        # measurement provenance: one uncounted warmup pass, then
+        # per-query min across two interleaved full passes (+1 targeted
+        # retry on >1.5x disagreement); gc_sec
         # is the JVM GC time inside each winning sample — a large value
         # here means even the best sample was GC-contaminated
-        "protocol": "interleaved-2pass-min",
+        "protocol": "warmup+interleaved-2pass-min",
         "gc_sec": gc_sec,
     }
     if probe:

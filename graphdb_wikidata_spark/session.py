@@ -64,6 +64,15 @@ def get_spark(
         # makes thousands while building one complex plan (driver-side
         # plan-build latency, measured ~25% of compile time)
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # whole-stage-codegen classes are memoized in a 100-entry cache
+        # (static conf); a workload cycling through more than ~a dozen
+        # complex plans (27 headline queries; any real multi-tenant
+        # endpoint) evicts and re-janino-compiles every stage on every
+        # execution — measured 0.5-1.5s/query extra, plateauing however
+        # many times the query repeats (bench r5: sparql_agg_suite
+        # 1.5-2.0s interleaved vs 0.54s back-to-back on identical code).
+        # Generated classes are small; 4096 entries is megabytes.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     if master is not None:
         builder = builder.master(master)
