@@ -248,3 +248,44 @@ def test_server_federation_flag_wires_allowlist(monkeypatch):
     seen.clear()
     assert cli.main(["server"]) == 0
     assert "endpoints" not in seen  # off by default
+
+
+def test_raw_body_capture_nested_groups():
+    """The parser's raw-span capture must cover NESTED groups (OPTIONAL,
+    FILTER, sub-groups) inside the SERVICE body, verbatim."""
+    from graphdb_wikidata_spark.engine.parser import parse_query
+
+    plan = parse_query(
+        """
+        SELECT ?s WHERE {
+          SERVICE <https://example.org/sparql> {
+            ?s wdt:P31 ?c .
+            OPTIONAL { ?s rdfs:label ?l . FILTER(LANG(?l) = "en") }
+          }
+        }
+        """
+    )
+
+    def find_service(op):
+        if type(op).__name__ == "Service":
+            return op
+        for f in getattr(op, "__dataclass_fields__", {}):
+            v = getattr(op, f)
+            if hasattr(v, "__dataclass_fields__"):
+                r = find_service(v)
+                if r is not None:
+                    return r
+        return None
+
+    svc = find_service(plan)
+    assert svc is not None
+    q = svc.remote_query
+    assert q is not None and q.count("{") == q.count("}")
+    assert "OPTIONAL { ?s rdfs:label ?l . FILTER(LANG(?l) = \"en\") }" in q
+    assert q.rstrip().endswith("}")
+    # non-http IRIs never build a remote query
+    plan2 = parse_query(
+        "SELECT ?s WHERE { SERVICE <urn:my-dataset> { ?s wdt:P31 ?c . } }"
+    )
+    svc2 = find_service(plan2)
+    assert svc2 is not None and svc2.remote_query is None
