@@ -180,29 +180,61 @@ _TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 _TOTALS_STATE = "n bigint, total double"
 
 
-def _totals_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    """Cumulative per-user running totals across micro-batches —
-    arbitrary stateful processing via applyInPandasWithState."""
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-    )
+def _make_totals_fn(ttl_ms: int | None):
+    """Build the per-group state function; with a TTL, idle keys are
+    EVICTED — state size tracks the active key set, not the lifetime
+    key population (the difference between bounded and unbounded state
+    on a 100 TB stream whose key space grows forever)."""
+
+    def _totals_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # no events for TTL: drop the state, emit nothing — the
+            # user's totals were already emitted on their last batch
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if ttl_ms is not None:
+            # activity resets the clock (sliding idle-timeout policy)
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return _totals_fn
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+_totals_fn = _make_totals_fn(None)  # (kept: pytest pickles by module name)
+
+
+def running_user_totals(events: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
     """Custom stateful operator: per-user lifetime event count and
-    value total, updated every micro-batch (unbounded state keyed by
-    user — for real deployments pair with a TTL timeout policy)."""
+    value total, updated every micro-batch. ``ttl_minutes`` installs a
+    processing-time idle timeout: a user with no events for that long
+    has their state evicted (re-appearing users restart from zero), so
+    state is bounded by the ACTIVE key set. Without it state is
+    unbounded by the lifetime key population — fine for bench/test
+    streams, wrong for a production firehose.
+
+    Trigger note: processing-time timeouts need a continuously running
+    query (the engine schedules batches to FIRE pending timeouts); a
+    Trigger.availableNow run of the TTL variant does not self-terminate,
+    so the batch-replay harness (run_available_now) only pairs with the
+    no-TTL build."""
+    ttl_ms = None if ttl_minutes is None else ttl_minutes * 60_000
     return events.groupBy("user_id").applyInPandasWithState(
-        _totals_fn,
+        _make_totals_fn(ttl_ms),
         outputStructType=_TOTALS_SCHEMA,
         stateStructType=_TOTALS_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

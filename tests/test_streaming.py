@@ -91,3 +91,71 @@ def test_running_user_totals(spark, batch_events):
     g = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got.collect()}
     w = {r["user_id"]: (r["n_events"], r["total_value"]) for r in want.collect()}
     assert g == w
+
+
+def test_running_user_totals_ttl_plan_builds(spark):
+    # the TTL variant must analyze as a streaming plan with the same
+    # output schema. It is NOT executed under availableNow here:
+    # ProcessingTimeTimeout keeps the query alive to fire pending
+    # timeouts, so an availableNow run does not self-terminate — TTL
+    # deployments run continuous triggers (documented on the operator);
+    # the eviction/reset logic itself is unit-tested below
+    df = running_user_totals(events_stream(spark, SF), ttl_minutes=30)
+    assert df.isStreaming
+    assert df.columns == ["user_id", "n_events", "total_value"]
+
+
+class _FakeState:
+    """Minimal GroupState double for unit-testing the TTL branches
+    (processing-time timeouts need multi-batch wall-clock runs that a
+    unit test can't afford; the branch logic is plain Python)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_totals_fn_ttl_branches():
+    import pandas as pd
+
+    from graphdb_wikidata_spark.streaming.streams import _make_totals_fn
+
+    fn = _make_totals_fn(60_000)
+
+    # timed-out key: state evicted, nothing emitted
+    st = _FakeState(value=(5, 10.0), timed_out=True)
+    out = list(fn((7,), iter([]), st))
+    assert out == [] and st.removed
+
+    # active key: totals update AND the idle clock resets
+    st = _FakeState(value=(2, 3.0))
+    pdf = pd.DataFrame({"value": [1.5, 0.5]})
+    out = list(fn((7,), iter([pdf]), st))
+    assert st.get == (4, 5.0) and st.timeout_set == 60_000
+    assert out[0]["n_events"][0] == 4 and out[0]["total_value"][0] == 5.0
+
+    # no-TTL build never touches the timeout API
+    fn0 = _make_totals_fn(None)
+    st = _FakeState()
+    list(fn0((7,), iter([pdf]), st))
+    assert st.timeout_set is None and st.get == (2, 2.0)
