@@ -336,10 +336,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives).
 
     Scale shape: candidates come from the banded bucket join (never
-    all-pairs); the component step is min-label propagation with path
-    halving over the CANDIDATE-PAIR graph — O(log d) rounds of joins
-    keyed on doc_id, and the pair graph is orders of magnitude smaller
-    than the corpus (only near-duplicates appear in it). The final
+    all-pairs); the component step is Shiloach-Vishkin-style hooking
+    with path halving over the CANDIDATE-PAIR graph — O(log n) rounds
+    regardless of how long the near-dup chains are, and the pair graph
+    is orders of magnitude smaller than the corpus (only
+    near-duplicates appear in it). The final
     left join back to `documents` is a broadcast when the pair graph
     is small, a shuffle join otherwise — Catalyst/AQE's call. The
     DuckDB oracle states the same semantics as a recursive reachability
