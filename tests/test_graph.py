@@ -39,3 +39,30 @@ def test_connected_components_two_islands(tri_plus_pair):
 def test_bfs_distances_cycle(tri_plus_pair):
     d = {r["node"]: r["dist"] for r in bfs_distances(tri_plus_pair, source=1).collect()}
     assert d == {1: 0, 2: 1, 3: 2}
+
+
+def test_connected_components_deep_chain_log_rounds(spark):
+    """Diameter independence: a 301-node path graph must converge
+    within max_iters=12 — O(log n) hooking rounds. Label propagation
+    (O(diameter)) would need ~100+ rounds and now RAISES instead of
+    silently returning partial labels, so this pins both the round
+    complexity and the loud-failure contract."""
+    from graphdb_wikidata_spark.operators.graph import connected_components
+
+    edges = spark.range(300).select(
+        (F.col("id") + 1000).alias("src"), (F.col("id") + 1001).alias("dst")
+    )
+    comp = connected_components(edges, max_iters=12)
+    rows = comp.collect()
+    assert len(rows) == 301
+    assert {r["comp"] for r in rows} == {1000}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from graphdb_wikidata_spark.operators.graph import connected_components
+
+    edges = spark.range(60).select(
+        (F.col("id") + 1).alias("src"), (F.col("id") + 2).alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=1)
