@@ -306,14 +306,30 @@ def statements_from_lines(
     return out
 
 
-def write_statements(df: DataFrame, path: str, partitions: int | None = None) -> None:
+def write_statements(
+    df: DataFrame,
+    path: str,
+    partitions: int | None = None,
+    partition_by_pred: bool = False,
+) -> None:
     """Persist statements as Parquet. At cluster scale: repartition on
     subject so S-S joins co-locate, sort within partitions on
-    (pred_kind, pred_id) so predicate filters hit row-group min/max."""
+    (pred_kind, pred_id) so predicate filters hit row-group min/max.
+
+    ``partition_by_pred=True`` additionally writes Hive-style
+    ``pred_kind=`` directories: a triple pattern with a bound predicate
+    then prunes whole directories before any file is opened
+    (PartitionFilters in the scan, asserted in tests/test_ingest.py) —
+    the right layout for predicate-heavy workloads, at the cost of one
+    directory per predicate kind (a handful: wdt/p/ps/pq/label/...)."""
     w = df
     if partitions:
         w = df.repartition(partitions, "subject_kind", "subject_id")
-    w.sortWithinPartitions("pred_kind", "pred_id").write.mode("overwrite").parquet(path)
+    w = w.sortWithinPartitions("pred_kind", "pred_id")
+    if partition_by_pred:
+        w.write.mode("overwrite").partitionBy("pred_kind").parquet(path)
+    else:
+        w.write.mode("overwrite").parquet(path)
 
 
 def save_statements_bucketed(

@@ -117,3 +117,29 @@ def test_streaming_ingest_matches_batch(spark, tmp_path_factory):
     # restart with the same checkpoint: nothing new -> no duplicate rows
     run_stream_to_parquet(stream_dump(spark, str(src)), out, ckpt)
     assert spark.read.parquet(out).count() == 3385
+
+
+def test_write_statements_partitioned_by_pred_prunes(spark, tmp_path):
+    """partition_by_pred=True writes Hive-style pred_kind= directories;
+    a bound-predicate scan must then prune partitions (PartitionFilters
+    in the parquet scan), and the round-trip must be lossless."""
+    import os
+
+    from graphdb_wikidata_spark.ingest.wikidata import load_dump, write_statements
+
+    df = load_dump(spark, FIXTURE)
+    path = str(tmp_path / "stmts_by_pred")
+    write_statements(df, path, partition_by_pred=True)
+
+    kinds = {d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("pred_kind=")}
+    assert "P" in kinds and "label" in kinds
+
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+    plan = back.filter(F.col("pred_kind") == "label")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pred_kind" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the pruned read returns exactly the label rows
+    n_label = df.filter(F.col("pred_kind") == "label").count()
+    assert back.filter(F.col("pred_kind") == "label").count() == n_label
