@@ -51,7 +51,14 @@ def main(argv: list[str] | None = None) -> int:
     p_create.add_argument("-m", "--mmaped", action="store_true",
                           help="accepted for parity; Parquet is always the out-of-core path")
 
-    sub.add_parser("create-index", help="rewrite the DB clustered by subject, sorted by predicate")
+    p_index = sub.add_parser(
+        "create-index", help="rewrite the DB clustered by subject, sorted by predicate"
+    )
+    p_index.add_argument(
+        "--by-predicate", action="store_true",
+        help="also partition into pred_kind= directories (bound-predicate "
+        "scans prune whole directories; for predicate-heavy workloads)",
+    )
 
     args = ap.parse_args(argv)
     if args.mode is None:
@@ -82,7 +89,12 @@ def main(argv: list[str] | None = None) -> int:
 
         tmp = args.database_dir.rstrip("/") + ".reindex"
         df = spark.read.parquet(args.database_dir)
-        write_statements(df, tmp, partitions=spark.sparkContext.defaultParallelism)
+        write_statements(
+            df,
+            tmp,
+            partitions=spark.sparkContext.defaultParallelism,
+            partition_by_pred=getattr(args, "by_predicate", False),
+        )
         import shutil
 
         shutil.rmtree(args.database_dir)

@@ -33,3 +33,20 @@ def test_create_db_index_and_query(spark, tmp_path, monkeypatch, capsys):
 def test_no_subcommand_prints_help(capsys):
     assert cli.main([]) == 2
     assert "create-db" in capsys.readouterr().out
+
+
+def test_create_index_by_predicate(spark, tmp_path, capsys):
+    import os
+
+    db = str(tmp_path / "wikidata_bp")
+    assert cli.main(["-d", db, "create-db", "-f", FIXTURE]) == 0
+    assert cli.main(["-d", db, "create-index", "--by-predicate"]) == 0
+    capsys.readouterr()
+    assert any(d.startswith("pred_kind=") for d in os.listdir(db))
+    # the partitioned layout still serves queries (pred_kind becomes a
+    # partition column; the scan path reads it like any other column)
+    eng = GraphEngine.from_parquet(spark, db)
+    n = eng.sql(
+        "SELECT ?p ?b WHERE { <http://www.wikidata.org/entity/Q31> ?p ?b . }"
+    ).count()
+    assert n == 1354
