@@ -65,7 +65,12 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_term_funcs",
     "sparql_path_sequence",
     "sparql_construct",
-    "sparql_describe",
+    # NEW in round 5 (needs first evidence): incremental near-dup
+    # stream against the batch LSH index; same oracle as
+    # dedup_minhash_lsh. Takes the slot of sparql_describe, deferred
+    # to round 6 — DESCRIBE shares the CONSTRUCT template machinery
+    # exercised by sparql_construct two lines up.
+    "stream_neardup_candidates",
     "sparql_ask",
     "sparql_values_undef",
     "sparql_lateral",
@@ -79,7 +84,9 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # sparql_expr_calc, sparql_string_funcs, sparql_date_funcs,
     # sparql_numeric_funcs, sparql_reduced, sparql_graph_empty — all
     # expression/modifier-family shapes whose engine code paths are
-    # exercised by the 28 sparql rows above.
+    # exercised by the 28 sparql rows above — plus sparql_describe
+    # (CONSTRUCT template machinery, covered by sparql_construct,
+    # displaced by the new stream_neardup_candidates entry).
 )
 
 

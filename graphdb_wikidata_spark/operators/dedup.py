@@ -152,9 +152,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(_shingled(spark, sf_dir))
 
 
-def minhash_candidates(sh: DataFrame) -> DataFrame:
-    """(doc_id, sh) -> distinct candidate pairs (doc_a, doc_b) whose
-    minhash signatures collide in at least one LSH band."""
+def _band_key_array() -> F.Column:
+    """mh0..mh15 columns -> the 8 banded 2-row keys."""
+    return F.array(
+        *[
+            F.concat_ws("|", F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}"))
+            for i in range(N_SEEDS // 2)
+        ]
+    )
+
+
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, band, band_key): the LSH band index.
+
+    The batch path: one md5 per distinct (doc, shingle), 16 signatures
+    as map-side-combinable ``min`` aggregates of ONE groupBy — a single
+    shuffle of (doc_id, 16 longs)."""
     md5 = F.md5("sh")
     base = sh.select(
         "doc_id",
@@ -167,15 +180,59 @@ def minhash_candidates(sh: DataFrame) -> DataFrame:
             for s in range(N_SEEDS)
         ]
     )
-    band_keys = F.array(
-        *[
-            F.concat_ws("|", F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}"))
-            for i in range(N_SEEDS // 2)
-        ]
+    return sigs.select("doc_id", F.posexplode(_band_key_array()).alias("band", "band_key"))
+
+
+def rowwise_minhash_bands(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) -> (doc_id, band, band_key), as a
+    pure per-row projection (array higher-order functions, no shuffle,
+    NO aggregation state) — bit-identical band keys to minhash_bands
+    (pinned in tests/test_streaming.py).
+
+    This is the STREAM-side formulation: a streaming groupBy(doc_id)
+    would be a stateful aggregation (doc_id can't be watermarked), but
+    a projection composes into any append-mode stream. On batch data
+    it is ~3x more CPU than the hashAgg path (HOF lambdas don't
+    vectorize like codegen'd aggregates — measured on the 10x twin),
+    so the batch entries keep minhash_bands; per-micro-batch increments
+    are where this shape wins."""
+    toks = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    sh = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"
+        )
     )
-    bands = sigs.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
+    # md5 materialized ONCE per shingle (two-level transform), then the
+    # two 32-bit halves; 16 Kirsch-Mitzenmacher mins over the pair array
+    d = d.select(
+        "doc_id",
+        F.transform(
+            F.transform(sh, lambda x: F.md5(x)),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+            ),
+        ).alias("hp"),
     )
+    def _combo(seed: int):
+        # a closure, NOT a default-arg lambda: transform() reads a
+        # 2-parameter lambda as (element, index) and would bind the
+        # array index over the seed
+        return lambda p: p["h1"] + F.lit(seed) * p["h2"]
+
+    mhs = [
+        F.array_min(F.transform(F.col("hp"), _combo(s))).alias(f"mh{s}")
+        for s in range(N_SEEDS)
+    ]
+    sigs = d.select("doc_id", *mhs)
+    return sigs.select("doc_id", F.posexplode(_band_key_array()).alias("band", "band_key"))
+
+
+def minhash_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> distinct candidate pairs (doc_a, doc_b) whose
+    minhash signatures collide in at least one LSH band."""
+    bands = minhash_bands(sh)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(
         F.col("doc_id").alias("doc_b"),

@@ -187,3 +187,26 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def _minhash_lsh_oracle() -> str:
+    from ..operators.dedup import ORACLES as DEDUP_ORACLES
+
+    return DEDUP_ORACLES["dedup_minhash_lsh"]
+
+
+@register("stream_neardup_candidates", _minhash_lsh_oracle())
+def stream_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: documents ARRIVE as a stream and
+    collide against a batch-built LSH band index of the corpus
+    (streams.neardup_candidates_stream). On the finite replay every doc
+    streams past the full index, so the emitted pair set equals the
+    batch dedup_minhash_lsh candidates — same oracle, bit-for-bit."""
+    from ..operators.dedup import _shingled, minhash_bands
+    from .streams import documents_stream, neardup_candidates_stream
+
+    static_bands = minhash_bands(_shingled(spark, sf_dir))
+    return run_available_now(
+        neardup_candidates_stream(documents_stream(spark, sf_dir), static_bands),
+        output_mode="append",
+    )

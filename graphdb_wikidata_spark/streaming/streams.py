@@ -65,6 +65,51 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file-source stream — the incremental
+    corpus-ingest shape (a crawler dropping parquet files into a
+    directory)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
+
+
+def neardup_candidates_stream(doc_stream: DataFrame, static_bands: DataFrame) -> DataFrame:
+    """Streaming near-dup detection against a static corpus index: each
+    arriving document's LSH band keys (computed PER ROW —
+    dedup.rowwise_minhash_bands — so the stream side carries no
+    aggregation state) join the batch-built band index; a collision in
+    any band flags the pair. Output: distinct (doc_a=indexed doc,
+    doc_b=arriving doc) with doc_a < doc_b.
+
+    Scale shape: stream-static join per micro-batch; the static index
+    is the corpus-sized side and partitions across executors (or
+    broadcasts when small — AQE per batch); per-batch stream state is
+    nothing, dropDuplicates state is bounded by the emitted pair set
+    (watermark it in production by a stream-side arrival time)."""
+    from ..operators.dedup import rowwise_minhash_bands
+
+    sb = rowwise_minhash_bands(doc_stream).withColumnRenamed("doc_id", "doc_b")
+    idx = (
+        static_bands.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("band", "band_i")
+        .withColumnRenamed("band_key", "band_key_i")
+    )
+    return (
+        sb.join(
+            idx,
+            (sb["band"] == idx["band_i"])
+            & (sb["band_key"] == idx["band_key_i"])
+            & (idx["doc_a"] < sb["doc_b"]),
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """1-hour tumbling windows per event_type; late rows beyond the
     watermark are dropped, state for closed windows is evicted."""

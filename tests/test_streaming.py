@@ -159,3 +159,41 @@ def test_totals_fn_ttl_branches():
     st = _FakeState()
     list(fn0((7,), iter([pdf]), st))
     assert st.timeout_set is None and st.get == (2, 2.0)
+
+
+def test_rowwise_bands_match_batch_bands(spark):
+    """The stream-side per-row LSH band computation must be
+    bit-identical to the batch hashAgg path (same md5 halves, same
+    Kirsch-Mitzenmacher combos, same banding)."""
+    from graphdb_wikidata_spark.operators.dedup import (
+        _shingled,
+        minhash_bands,
+        rowwise_minhash_bands,
+    )
+    from graphdb_wikidata_spark.tables import table
+
+    a = {tuple(r) for r in minhash_bands(_shingled(spark, SF)).collect()}
+    b = {tuple(r) for r in rowwise_minhash_bands(table(spark, SF, "documents")).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stream_neardup_equals_batch_candidates(spark):
+    """Finite replay of the incremental near-dup stream = the batch
+    LSH candidate pair set."""
+    from graphdb_wikidata_spark.operators.dedup import (
+        _shingled,
+        minhash_bands,
+        minhash_candidates,
+    )
+    from graphdb_wikidata_spark.streaming.streams import (
+        documents_stream,
+        neardup_candidates_stream,
+    )
+
+    static_bands = minhash_bands(_shingled(spark, SF))
+    got = run_available_now(
+        neardup_candidates_stream(documents_stream(spark, SF), static_bands),
+        output_mode="append",
+    )
+    want = minhash_candidates(_shingled(spark, SF))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
