@@ -24,6 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 PRIORITY_ENTRIES: tuple[str, ...] = (
     # -- (a) the r04 red row: oracle now casts cum_before to BIGINT
     "corpus_mix_budget",
+    # -- NEW in round 5 (need first evidence): SemDeDup semantic dedup,
+    # PII/pattern scrub, sharded per-domain cap. Each displaces one
+    # r02-cohort row to round 6.
+    "dedup_semantic",
+    "text_pii_scrub",
+    "corpus_domain_cap",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "distinct_op",

@@ -322,3 +322,68 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = pack_documents(d, with_cum=True)
     budget = F.lit(200) + (F.substring(F.col("source"), 4, 10).cast("long") * 137) % 1200
     return cum.filter(F.col("cum_before") < budget)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document cap
+# ---------------------------------------------------------------------------
+
+#: max documents kept per source ("domain cap" — common-crawl pipelines
+#: cap any one domain's contribution to the training mix)
+DOMAIN_CAP = 40
+#: shards per source for the two-stage top-N. Stage 1 ranks inside
+#: (source, shard) — widest window partition is docs_per_source /
+#: CAP_SHARDS; stage 2 ranks the <= CAP_SHARDS * DOMAIN_CAP survivors.
+CAP_SHARDS = 16
+
+
+@register(
+    "corpus_domain_cap",
+    f"""
+    SELECT doc_id, source, n_chars, rnk FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM documents) x
+    WHERE rnk <= {DOMAIN_CAP}
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain cap: keep at most DOMAIN_CAP documents per source,
+    preferring longer documents (n_chars DESC, doc_id tiebreak).
+
+    The oracle is the naive plan — ONE row_number window per source —
+    which at 100 TB funnels an entire celebrity domain through a
+    single window partition. The implementation is a two-stage
+    sharded top-N (same trick as pack_sequences_budget's sharded
+    prefix sum): stage 1 ranks inside (source, hash-shard) and keeps
+    each shard's top DOMAIN_CAP — widest partition is 1/CAP_SHARDS of
+    the worst domain — and stage 2 re-ranks only the <= CAP_SHARDS *
+    DOMAIN_CAP survivors per source. Output is row-identical to the
+    single window because every global top-N row is necessarily in
+    its own shard's top-N.
+
+    Reference scope is SPARQL (no corpus assembly); beyond-parity
+    training-pipeline operator."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return domain_cap(d)
+
+
+def domain_cap(d: DataFrame, cap: int = DOMAIN_CAP, shards: int = CAP_SHARDS) -> DataFrame:
+    """Two-stage sharded top-N per source kernel (see corpus_domain_cap).
+    Input: (doc_id, source, n_chars)."""
+    shard = F.pmod(F.xxhash64("doc_id"), F.lit(shards))
+    w1 = Window.partitionBy("source", "shard").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    stage1 = (
+        d.withColumn("shard", shard)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= cap)
+    )
+    w2 = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        stage1.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= cap)
+        .select("doc_id", "source", "n_chars", "rnk")
+    )

@@ -436,3 +436,83 @@ def text_intradoc_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_unique") * 10000.0 / F.col("n_grams") + 0.5) / 10000.0
     )
     return d.select("doc_id", "n_grams", "n_unique", ratio.alias("uniq_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# PII / pattern scrubbing
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement) — Java regex and RE2 agree on this
+#: subset (\b, \d, character classes, bounded repetition; no
+#: backreferences or lookaround, which RE2 rejects). EMAIL/IPV4 are the
+#: real PII patterns; LONGWORD stands in for a custom denylist so the
+#: synthetic corpus (plain lowercase words) exercises the machinery
+#: with non-zero counts — the PII patterns are additionally covered by
+#: a pytest fixture containing actual emails/IPs.
+REDACT_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("longword", r"\b[a-z]{8,}\b", "[W]"),
+)
+
+
+def redact_text(col):
+    """Apply every REDACT_PATTERNS replacement in order to a string
+    Column. Pure JVM regexp_replace chain — codegen'd, no Python."""
+    out = col
+    for _, pat, repl in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH counted AS (
+        SELECT source,
+               length(text) AS n0,
+               len(regexp_extract_all(text, '{REDACT_PATTERNS[0][1]}')) AS n_email,
+               len(regexp_extract_all(text, '{REDACT_PATTERNS[1][1]}')) AS n_ipv4,
+               len(regexp_extract_all(text, '{REDACT_PATTERNS[2][1]}')) AS n_longword,
+               length(regexp_replace(regexp_replace(regexp_replace(text,
+                      '{REDACT_PATTERNS[0][1]}', '[EMAIL]', 'g'),
+                      '{REDACT_PATTERNS[1][1]}', '[IP]', 'g'),
+                      '{REDACT_PATTERNS[2][1]}', '[W]', 'g')) AS n1
+        FROM documents
+    )
+    SELECT source,
+           count(*)                         AS n_docs,
+           sum(n_email)::BIGINT             AS emails,
+           sum(n_ipv4)::BIGINT              AS ipv4s,
+           sum(n_longword)::BIGINT          AS longwords,
+           sum(n0 - n1)::BIGINT             AS chars_redacted
+    FROM counted GROUP BY source
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / pattern scrubbing report: per source, how many matches of
+    each redaction pattern and how many characters redaction removes.
+    The redaction itself (``redact_text``) is the map-only kernel a
+    100 TB scrub job runs before writing cleaned shards — a chained
+    JVM ``regexp_replace``, fully fused into the parquet scan, no
+    shuffle except the #sources-row final rollup.
+
+    Reference scope is SPARQL over Wikidata (no document scrubbing);
+    beyond-parity training-pipeline operator."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.select(
+        "source",
+        F.length("text").alias("n0"),
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in REDACT_PATTERNS
+        ],
+        F.length(redact_text(F.col("text"))).alias("n1"),
+    )
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ipv4").alias("ipv4s"),
+        F.sum("n_longword").alias("longwords"),
+        F.sum(F.col("n0") - F.col("n1")).alias("chars_redacted"),
+    )

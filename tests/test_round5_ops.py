@@ -1,0 +1,75 @@
+"""Round-5 additions: SemDeDup semantic dedup, PII/pattern scrub,
+sharded per-domain cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from graphdb_wikidata_spark.operators import corpus, dedup, text
+
+from tests.conftest import SF_SMOKE
+
+
+def test_dedup_semantic_invariants(spark):
+    stats = dedup.QUERIES["dedup_semantic"](spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert sum(r.n_members for r in stats) == n_vecs
+    assert len(stats) <= dedup.SEMDEDUP_K
+    for r in stats:
+        # a dup vector needs at least one dup pair; a pair involves two members
+        assert r.n_dup_vectors <= r.n_dup_pairs or r.n_dup_pairs == 0
+        assert r.n_dup_vectors < r.n_members or r.n_members == 0
+        if r.n_dup_pairs:
+            assert r.max_pair_sim >= dedup.SEMDEDUP_TAU
+
+    # SemDeDup only ever flags pairs that the exact all-pairs kernel also
+    # finds at the same threshold (clustering can MISS cross-cluster dups,
+    # never invent new ones).
+    all_pairs = dedup.embedding_cosine_allpairs(
+        spark, SF_SMOKE, threshold=dedup.SEMDEDUP_TAU
+    ).count()
+    assert sum(r.n_dup_pairs for r in stats) <= all_pairs
+
+
+def test_redact_text_fixture(spark):
+    rows = [
+        ("mail me at bob.smith+x@example.co.uk now", "mail me at [EMAIL] now"),
+        ("server 10.0.255.3 is down", "server [IP] is down"),
+        ("short words only here", "short words only here"),
+        ("absolutely tremendous", "[W] [W]"),
+        ("x@y.io from 1.2.3.4 responding", "[EMAIL] from [IP] [W]"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in rows], ["text"])
+    got = [r[0] for r in df.select(text.redact_text(F.col("text"))).collect()]
+    assert got == [b for _, b in rows]
+
+
+def test_pii_scrub_nondegenerate(spark):
+    out = text.QUERIES["text_pii_scrub"](spark, SF_SMOKE).collect()
+    assert out
+    # the synthetic corpus has no emails/IPs but plenty of 8+-char words,
+    # so the scrub must actually remove characters
+    assert sum(r.longwords for r in out) > 0
+    assert sum(r.chars_redacted for r in out) > 0
+    assert all(r.emails == 0 and r.ipv4s == 0 for r in out)
+
+
+def test_domain_cap_matches_naive_window(spark):
+    # skewed fixture: one celebrity source with 300 docs, two small ones;
+    # heavy n_chars ties to exercise the doc_id tiebreak across shards
+    rows = [(i, "big", (i * 7) % 13 + 100) for i in range(300)]
+    rows += [(1000 + i, "mid", 50 + i) for i in range(60)]
+    rows += [(2000 + i, "tiny", 10) for i in range(5)]
+    d = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"]).repartition(8)
+
+    got = corpus.domain_cap(d, cap=40, shards=4)
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    naive = (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 40)
+        .select("doc_id", "source", "n_chars", "rnk")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    counts = {r.source: r.n for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 40, "mid": 40, "tiny": 5}
