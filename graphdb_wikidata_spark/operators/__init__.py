@@ -30,6 +30,8 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "dedup_semantic",
     "text_pii_scrub",
     "corpus_domain_cap",
+    "events_approx_distinct_kmv",
+    "sample_weighted_es",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "distinct_op",

@@ -387,3 +387,56 @@ def domain_cap(d: DataFrame, cap: int = DOMAIN_CAP, shards: int = CAP_SHARDS) ->
         .filter(F.col("rnk") <= cap)
         .select("doc_id", "source", "n_chars", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+#: global weighted-sample size
+WSAMPLE_N = 50
+_W_DENOM = float(1 << 60)
+
+
+@register(
+    "sample_weighted_es",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((1 + ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)
+                  / {_W_DENOM!r}) / n_chars AS k
+        FROM documents)
+    SELECT doc_id, source, n_chars, round(k, 6) AS w_key,
+           row_number() OVER (ORDER BY k DESC, doc_id) AS rnk
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {WSAMPLE_N}
+    """,
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): every doc gets key ln(u)/w for a uniform u and weight w
+    (n_chars — longer docs proportionally likelier); the global top-N
+    keys ARE a weighted sample. u is md5-derived, so the "random"
+    sample is deterministic and reproducible across engines, runs,
+    and repartitioning — the property RNG-state sampling loses.
+
+    Scale: map-only key computation fused into the scan, then one
+    TakeOrderedAndProject (per-partition top-N, merge on the driver) —
+    no global sort, no full shuffle, exactly how a 100 TB weighted
+    draw should run. Extension operator."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.lit(1)
+        + F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    ) / F.lit(_W_DENOM)
+    keyed = d.select("doc_id", "source", "n_chars", (F.log(u) / F.col("n_chars")).alias("k"))
+    top = keyed.orderBy(F.col("k").desc(), "doc_id").limit(WSAMPLE_N)
+    w = Window.orderBy(F.col("k").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("k", 6).alias("w_key"),
+        F.row_number().over(w).alias("rnk"),
+    )

@@ -419,3 +419,79 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(
         "event_type", F.floor(F.col("value") / 50).cast("long").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+#: K-minimum-values sketch size. Standard error ~ 1/sqrt(K-2) (~13% at
+#: K=64); production uses K=1024+. Small here so the estimator branch
+#: (not the exact-fallback branch) is exercised at sf0.01's 150
+#: distinct users per type.
+KMV_K = 64
+#: 15 md5 hex digits = 60 bits — fits a BIGINT exactly, and the
+#: fraction hv = h / 2^60 converts to the same IEEE double in both
+#: engines.
+_KMV_DENOM = float(1 << 60)
+
+
+@register(
+    "events_approx_distinct_kmv",
+    f"""
+    WITH h AS (SELECT DISTINCT event_type,
+                      (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                       / {_KMV_DENOM!r}) AS hv
+               FROM events),
+    rk AS (SELECT event_type, hv,
+                  row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r,
+                  count(*) OVER (PARTITION BY event_type) AS nd
+           FROM h)
+    SELECT event_type,
+           CASE WHEN any_value(nd) < {KMV_K}
+                THEN any_value(nd)::DOUBLE
+                ELSE round({KMV_K - 1}.0 / max(CASE WHEN r = {KMV_K} THEN hv END), 1)
+           END AS est_distinct
+    FROM rk GROUP BY event_type
+    """,
+)
+def events_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT DISTINCT via a K-minimum-values sketch:
+    hash every user to a uniform fraction, keep each group's K
+    smallest distinct hashes, estimate distinct = (K-1) / (K-th
+    smallest hash). Deterministic (md5) — bit-identical across
+    engines and runs, unlike RNG-seeded sketches, and KMV sketches
+    of shards merge by "union then keep K smallest", so the
+    estimator distributes.
+
+    Scale note: this formulation materializes distinct (type, hv)
+    pairs and ranks them — one shuffle on the group key, state
+    bounded by #distinct. A production run replaces the rank window
+    with a partial-aggregating top-K accumulator (per-partition keep
+    K smallest, merge-sort on combine) so executor state is K rows
+    per group per partition; the estimate is identical because the
+    K smallest of a union is the K smallest of per-shard K-smallest.
+    Extension operator (reference has no aggregate sketches)."""
+    e = table(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            / F.lit(_KMV_DENOM)
+        ).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    rk = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nd"),
+    )
+    kth = F.max(F.when(F.col("r") == KMV_K, F.col("hv")))
+    return rk.groupBy("event_type").agg(
+        F.when(F.first("nd") < KMV_K, F.first("nd").cast("double"))
+        .otherwise(F.round(F.lit(float(KMV_K - 1)) / kth, 1))
+        .alias("est_distinct")
+    )

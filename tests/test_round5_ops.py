@@ -73,3 +73,38 @@ def test_domain_cap_matches_naive_window(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
     counts = {r.source: r.n for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert counts == {"big": 40, "mid": 40, "tiny": 5}
+
+
+def test_kmv_estimate_accuracy(spark):
+    from graphdb_wikidata_spark.operators import events as ev
+
+    est = {
+        r.event_type: r.est_distinct
+        for r in ev.QUERIES["events_approx_distinct_kmv"](spark, "/root/testdata/sf0.01").collect()
+    }
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        # KMV standard error ~ 1/sqrt(K-2) ≈ 13% at K=64; allow 4 sigma
+        assert abs(est[t] - n) <= max(2, 0.5 * n), (t, est[t], n)
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    from graphdb_wikidata_spark.operators import corpus as cp
+
+    sample = cp.QUERIES["sample_weighted_es"](spark, "/root/testdata/sf0.01")
+    rows = sample.collect()
+    assert len(rows) == cp.WSAMPLE_N
+    assert len({r.doc_id for r in rows}) == cp.WSAMPLE_N  # without replacement
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pop_mean = d.agg(F.avg("n_chars")).first()[0]
+    samp_mean = sum(r.n_chars for r in rows) / len(rows)
+    # n_chars-weighted draw must skew the sample toward longer docs
+    assert samp_mean > pop_mean
+    # the plan is a top-N, not a global sort: TakeOrderedAndProject
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
