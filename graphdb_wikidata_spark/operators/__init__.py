@@ -32,6 +32,7 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "corpus_domain_cap",
     "events_approx_distinct_kmv",
     "sample_weighted_es",
+    "embedding_kmeans",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "distinct_op",

@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import table
@@ -372,3 +372,121 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(qv).alias("q_min"),
         F.array_max(qv).alias("q_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) over the embedding corpus
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+#: centroid dims are rounded to this many decimals after every update,
+#: ON BOTH ENGINES — the averages are accumulation-order-sensitive at
+#: ~1e-15, and rounding pins them to identical values so the next
+#: iteration's argmin sees bit-identical centroids. Assignment argmin
+#: gaps measured >= 6.7e-6 at sf<=0.1, four orders above the 5e-8
+#: rounding perturbation (which both engines share anyway).
+KMEANS_ROUND = 7
+
+_KM_D2 = "list_aggregate(list_transform(list_zip(e.v, c.cv), s -> (s[1]-s[2])**2), 'sum')"
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    ctes = []
+    for n in range(1, iters + 1):
+        ctes.append(
+            f"""
+    a{n} AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rk
+        FROM e CROSS JOIN c{n - 1} c) x WHERE rk = 1),
+    c{n} AS (SELECT cid, list(av ORDER BY i) AS cv FROM (
+        SELECT cid, i, round(avg(x), {KMEANS_ROUND}) AS av FROM (
+            SELECT cid, generate_subscripts(v, 1) AS i, unnest(v) AS x
+            FROM a{n}) u
+        GROUP BY cid, i) g GROUP BY cid)"""
+        )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}) q),
+    {','.join(ctes)}
+    SELECT a.cid AS cluster_id, count(*) AS n_members,
+           any_value(round(sqrt(list_aggregate(
+               list_transform(c.cv, x -> x*x), 'sum')), 6)) AS centroid_norm
+    FROM a{iters} a JOIN c{iters} c USING (cid) GROUP BY a.cid
+    """
+
+
+def kmeans_fit(e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Lloyd's k-means over (vec_id, v double[]): deterministic init
+    (the k lowest-vec_id vectors), `iters` assign/update rounds, empty
+    clusters dropped. Returns final assignments joined with centroids:
+    (vec_id, v, cid, cv).
+
+    Each round is broadcast(centroids) crossJoin -> argmin (one
+    partial-agg groupBy over N*k rows) -> centroid update (posexplode
+    + (cid, dim)-grouped avg over N*D values — partial-aggregated
+    map-side, so the shuffle carries k*D rows per partition, not
+    vectors). Per-iteration cost is linear in corpus size; the loop
+    unrolls into one DAG with nothing materialized until the caller
+    acts. At 100 TB you'd localCheckpoint each centroid table (k*D
+    doubles — tiny) to cut lineage, exactly like graph.py's cadence-3
+    checkpointing."""
+    cent = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            F.col("v").alias("cv"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "cid", d2.alias("d2")
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.v").alias("v"))
+        )
+        dims = assigned.select("cid", F.posexplode("v").alias("i", "x"))
+        cent = (
+            dims.groupBy("cid", "i")
+            .agg(F.round(F.avg("x"), KMEANS_ROUND).alias("av"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "av"))),
+                    lambda s: s.getField("av"),
+                ).alias("cv")
+            )
+        )
+    return assigned.join(cent, "cid")
+
+
+@register("embedding_kmeans", _kmeans_oracle())
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus — the trained-
+    centroid step that SemDeDup (`dedup_semantic`) and IVF
+    (`embedding_ivf_topk`) assume: 3 Lloyd iterations from a
+    deterministic seed, reporting per-cluster size and centroid norm.
+    The oracle is the same algorithm unrolled in SQL; both engines
+    round centroid dims identically each round, so the iteration
+    trajectories are bit-identical (see KMEANS_ROUND).
+
+    Reference has no clustering (SPARQL store); beyond-parity
+    training-pipeline operator."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    fitted = kmeans_fit(e)
+    return fitted.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.first(norm(F.col("cv"))), 6).alias("centroid_norm"),
+    ).select(F.col("cid").alias("cluster_id"), "n_members", "centroid_norm")

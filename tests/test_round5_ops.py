@@ -108,3 +108,31 @@ def test_weighted_sample_favors_heavy_docs(spark):
     # the plan is a top-N, not a global sort: TakeOrderedAndProject
     plan = sample._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_inertia_monotone(spark):
+    from graphdb_wikidata_spark.operators import similarity as sim
+    from graphdb_wikidata_spark.operators.similarity import _as_double, kmeans_fit
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def inertia(iters):
+        fitted = kmeans_fit(e, iters=iters)
+        return fitted.agg(F.sum(d2)).first()[0]
+
+    i1, i2, i3 = inertia(1), inertia(2), inertia(3)
+    # Lloyd's algorithm never increases inertia
+    assert i1 >= i2 - 1e-6 >= i3 - 2e-6
+    total = sum(
+        r.n_members
+        for r in sim.QUERIES["embedding_kmeans"](spark, "/root/testdata/sf0.001").collect()
+    )
+    assert total == e.count()
