@@ -177,6 +177,13 @@ def main() -> None:
         # must also stay sublinear as the corpus grows
         "dedup_clusters",
         "pack_sequences_budget",
+        # round 5: iterative k-means must stay linear-per-round as the
+        # corpus grows (broadcast centroids, partial-agg updates).
+        # dedup_semantic is deliberately NOT probed: at the fixed test
+        # K=8 its in-cluster pairwise is O(N^2/K) by construction — the
+        # scale path is K ~ N/1000 (see its docstring), which the twin
+        # can't exercise without changing the oracle.
+        "embedding_kmeans",
     ]
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         try:

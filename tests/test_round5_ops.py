@@ -136,3 +136,69 @@ def test_kmeans_inertia_monotone(spark):
         for r in sim.QUERIES["embedding_kmeans"](spark, "/root/testdata/sf0.001").collect()
     )
     assert total == e.count()
+
+
+# --------------------------- property tests ---------------------------
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_cap_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc_id (deduped below)
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=1, max_value=30),  # n_chars — narrow range forces ties
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_cap_rows)
+def test_domain_cap_property(spark, rows):
+    from graphdb_wikidata_spark.operators import corpus as cp
+
+    rows = list({r[0]: r for r in rows}.values())  # unique doc_id
+    d = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = cp.domain_cap(d, cap=5, shards=3)
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    naive = (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "source", "n_chars", "rnk")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+_texts = st.lists(
+    st.text(
+        alphabet="abcdefghijklm @.0123456789+_%-",
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts)
+def test_redaction_leaves_no_matches(spark, texts):
+    """After redact_text, none of the redaction patterns match anymore
+    (replacements cannot recombine with surrounding text into a new
+    match), and redaction is idempotent."""
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    once = [r[0] for r in df.select(text.redact_text(F.col("text")).alias("t")).collect()]
+    for t in once:
+        for _, pat, _repl in text.REDACT_PATTERNS:
+            assert not re.search(pat, t), (t, pat)
+    twice = [
+        r[0]
+        for r in spark.createDataFrame([(t,) for t in once], ["text"])
+        .select(text.redact_text(F.col("text")))
+        .collect()
+    ]
+    assert twice == once
