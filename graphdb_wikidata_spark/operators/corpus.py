@@ -440,3 +440,68 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("k", 6).alias("w_key"),
         F.row_number().over(w).alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end preprocessing pipeline: dedup -> quality -> pack
+# ---------------------------------------------------------------------------
+
+
+def _full_pipeline_oracle() -> str:
+    from .dedup import _CAND_CTE
+
+    return f"""
+    WITH RECURSIVE
+    {_CAND_CTE},
+    ed AS (SELECT doc_a AS u, doc_b AS v FROM cand
+           UNION SELECT doc_b, doc_a FROM cand),
+    reach AS (SELECT u, v FROM ed
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u
+              WHERE e.v <> r.u),
+    comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+    keepers AS (SELECT d.doc_id, d.source, d.text
+                FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+                WHERE coalesce(least(c.mn, d.doc_id), d.doc_id) = d.doc_id),
+    scored AS (SELECT doc_id, source, text,
+                      len(string_split(text, ' ')) AS n,
+                      len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('the','a','of','and','in'))) AS ns
+               FROM keepers),
+    kept AS (SELECT * FROM scored WHERE n BETWEEN 20 AND 80 AND ns * 50 >= n)
+    SELECT doc_id, source, n AS n_tokens,
+           CAST(floor(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND 1 PRECEDING),
+                               0) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM kept
+    """
+
+
+@register("corpus_dedup_quality_pack", _full_pipeline_oracle())
+def corpus_dedup_quality_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE preprocessing pipeline, one plan: MinHash-LSH
+    near-dup clustering (keep the cluster minimum) -> Gopher-style
+    quality gate -> concat-then-chunk sequence packing. This is
+    the "a reference user switches their whole pipeline over"
+    entry — every stage is the already-oracle-checked kernel
+    (`dedup_clusters`, the `corpus_quality_pack` filter,
+    `pack_documents`), composed.
+
+    Scale: the stages compose without materialization barriers
+    beyond their own shuffles — LSH banding (linear), components
+    on the candidate-pair graph only (O(log n) hooking rounds),
+    map-only quality filter fused into the survivors, sharded
+    prefix-sum pack. Nothing in the composition adds a new
+    corpus-wide shuffle."""
+    from .dedup import dedup_clusters
+
+    keep = dedup_clusters(spark, sf_dir).filter(F.col("is_kept")).select("doc_id")
+    d = table(spark, sf_dir, "documents").join(keep, "doc_id")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_list = ", ".join(f"'{s}'" for s in ("the", "a", "of", "and", "in"))
+    ns = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    kept = d.filter(n.between(20, 80) & (ns * 50 >= n)).select("doc_id", "source", "text")
+    return pack_documents(kept)
+

@@ -495,3 +495,39 @@ def events_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit(float(KMV_K - 1)) / kth, 1))
         .alias("est_distinct")
     )
+
+
+@register(
+    "events_exact_quantiles",
+    """
+    SELECT event_type,
+           count(*)                              AS n,
+           round(quantile_cont(value, 0.5), 4)   AS p50,
+           round(quantile_cont(value, 0.95), 4)  AS p95,
+           round(quantile_cont(value, 0.99), 4)  AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group p50/p95/p99 via Spark's `percentile` (sort-based,
+    linear interpolation — the same type-7 definition as DuckDB's
+    quantile_cont, so the results hash-match at 4dp).
+
+    Scale note: exact percentile buffers each group's values — fine
+    for #event-type-sized groups; at 100 TB with huge groups you'd
+    swap in `percentile_approx` (GK sketch, bounded state, mergeable)
+    and accept the epsilon — same query shape, one config decision.
+    The KMV entry (`events_approx_distinct_kmv`) shows the
+    deterministic-sketch alternative when cross-engine
+    reproducibility matters."""
+    e = table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), pct.alias("__p")
+    ).select(
+        "event_type",
+        "n",
+        F.round(F.col("__p")[0], 4).alias("p50"),
+        F.round(F.col("__p")[1], 4).alias("p95"),
+        F.round(F.col("__p")[2], 4).alias("p99"),
+    )

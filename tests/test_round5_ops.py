@@ -202,3 +202,40 @@ def test_redaction_leaves_no_matches(spark, texts):
         .collect()
     ]
     assert twice == once
+
+
+def test_exact_quantiles_ordered(spark):
+    from graphdb_wikidata_spark.operators import events as ev
+
+    rows = ev.QUERIES["events_exact_quantiles"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.p50 <= r.p95 <= r.p99
+        assert r.n > 0
+
+
+def test_full_pipeline_composition(spark):
+    from graphdb_wikidata_spark.operators import corpus as cp
+    from graphdb_wikidata_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    out = cp.QUERIES["corpus_dedup_quality_pack"](spark, sf)
+    got_ids = {r.doc_id for r in out.select("doc_id").collect()}
+
+    kept_dedup = {
+        r.doc_id
+        for r in dd.QUERIES["dedup_clusters"](spark, sf).filter(F.col("is_kept")).collect()
+    }
+    quality_ids = {
+        r.doc_id for r in cp.QUERIES["corpus_quality_pack"](spark, sf).select("doc_id").collect()
+    }
+    # the composition keeps exactly: quality-passing docs that survived dedup
+    assert got_ids == kept_dedup & quality_ids
+
+    # packs are consecutive from 0 per source
+    packs = out.groupBy("source").agg(
+        F.min("pack_id").alias("lo"), F.max("pack_id").alias("hi"),
+        F.countDistinct("pack_id").alias("nd")
+    ).collect()
+    for r in packs:
+        assert r.lo == 0 and r.nd == r.hi + 1
