@@ -102,6 +102,23 @@ def make_handler(engine: GraphEngine, max_result_rows: "int | None" = 1_000_000)
                     fmt = "xml"
                 else:
                     fmt = "json"
+            # explain=1|formatted|simple|extended|cost|codegen: return
+            # the Catalyst physical plan (text/plain) WITHOUT executing
+            # — the ops surface for "which index would this hit" that
+            # the reference answers by reading interpreter debug logs
+            explain = params.get("explain", [None])[0]
+            if explain:
+                mode = "formatted" if explain in ("1", "true") else explain
+                try:
+                    plan = engine.explain(q, mode=mode)
+                except (SyntaxError, NotImplementedError) as e:
+                    self._reply(400, json.dumps({"error": str(e)}), "application/json")
+                    return
+                except Exception as e:  # unknown explain mode -> 400, not 500
+                    self._reply(400, json.dumps({"error": f"explain failed: {e}"}), "application/json")
+                    return
+                self._reply(200, plan, "text/plain; charset=utf-8")
+                return
             from .engine.json_result import ResultTooLarge
 
             try:

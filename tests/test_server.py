@@ -303,3 +303,27 @@ def test_concurrent_queries_share_plan_cache(srv):
         results = list(ex.map(hit, qs))
     assert all(status == 200 for status, _ in results)
     assert all("results" in body for _, body in results)
+
+
+def test_explain_param_returns_plan(srv):
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s wdt:P2 wd:Q3 }")
+    code, hdrs, body = _get(f"{srv}/query?query={q}&explain=1")
+    assert code == 200
+    assert hdrs["Content-Type"].startswith("text/plain")
+    assert "Physical Plan" in body or "AdaptiveSparkPlan" in body or "Scan" in body
+    # no execution side effects: a normal run still works afterwards
+    code2, _, body2 = _get(f"{srv}/query?query={q}")
+    assert code2 == 200 and "results" in json.loads(body2)
+
+
+def test_explain_bad_mode_400(srv):
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s wdt:P2 wd:Q3 }")
+    code, _, body = _get(f"{srv}/query?query={q}&explain=nonsense")
+    assert code == 400
+    assert "explain" in json.loads(body)["error"]
+
+
+def test_explain_parse_error_400(srv):
+    q = urllib.parse.quote("SELECT ?s WHERE { broken")
+    code, _, _ = _get(f"{srv}/query?query={q}&explain=1")
+    assert code == 400
