@@ -3,6 +3,10 @@ sharded per-domain cap."""
 
 from __future__ import annotations
 
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -139,11 +143,6 @@ def test_kmeans_inertia_monotone(spark):
 
 
 # --------------------------- property tests ---------------------------
-
-import re
-
-from hypothesis import HealthCheck, given, settings
-from hypothesis import strategies as st
 
 _cap_rows = st.lists(
     st.tuples(
