@@ -35,6 +35,7 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "embedding_kmeans",
     "events_exact_quantiles",
     "corpus_dedup_quality_pack",
+    "dedup_incremental",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "distinct_op",
@@ -82,7 +83,6 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # to round 6 — DESCRIBE shares the CONSTRUCT template machinery
     # exercised by sparql_construct two lines up.
     "stream_neardup_candidates",
-    "sparql_ask",
     # Deferred to round 6 (front-load them there): sparql_hash_funcs,
     # sparql_expr_calc, sparql_string_funcs, sparql_date_funcs,
     # sparql_numeric_funcs, sparql_reduced, sparql_graph_empty — all
@@ -90,14 +90,14 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # exercised by the sparql rows above — plus sparql_describe
     # (CONSTRUCT template machinery, covered by sparql_construct,
     # displaced by the new stream_neardup_candidates entry) and, to
-    # make room for the eight new round-5 operators (dedup_semantic,
+    # make room for the nine new round-5 operators (dedup_semantic,
     # text_pii_scrub, corpus_domain_cap, events_approx_distinct_kmv,
     # sample_weighted_es, embedding_kmeans, events_exact_quantiles,
-    # corpus_dedup_quality_pack): sparql_group_concat,
+    # corpus_dedup_quality_pack, dedup_incremental): sparql_group_concat,
     # sparql_subselect, sparql_path_negated, sparql_qualifier_join,
     # sparql_ps_pq_chain, sparql_wds_lookup, sparql_values_undef,
-    # sparql_lateral (all r02-green; their compiler/scan code paths
-    # stay exercised by the windowed rows).
+    # sparql_lateral, sparql_ask (all r02-green; their compiler/scan
+    # code paths stay exercised by the windowed rows).
 )
 
 

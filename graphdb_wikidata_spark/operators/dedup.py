@@ -698,3 +698,67 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("max_pair_sim", F.lit(0.0)).alias("max_pair_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new crawl batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+#: fraction of the doc_id range treated as "already-ingested corpus";
+#: the rest is the arriving increment. Deterministic split so the
+#: DuckDB oracle can reproduce it.
+INCREMENT_FRACTION = 0.8
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH {_CAND_CTE},
+    thr AS (SELECT CAST(floor(max(doc_id) * {INCREMENT_FRACTION}) AS BIGINT) AS t
+            FROM documents),
+    new_docs AS (SELECT d.doc_id FROM documents d, thr WHERE d.doc_id >= thr.t)
+    SELECT nd.doc_id,
+           count(c.doc_a)                                        AS n_cand,
+           coalesce(max(CASE WHEN c.doc_a < t.t THEN 1 ELSE 0 END), 0) = 1
+                                                                 AS matched_corpus,
+           count(c.doc_a) = 0                                    AS keep
+    FROM new_docs nd
+    CROSS JOIN thr t
+    LEFT JOIN cand c ON c.doc_b = nd.doc_id
+    GROUP BY nd.doc_id, t.t
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission — the daily-crawl shape: docs
+    with ids in the top (1 - INCREMENT_FRACTION) of the id range are
+    the arriving batch; every other doc is the already-deduped corpus.
+    A new doc is kept iff no LSH candidate pair points at it from a
+    lower id (corpus doc OR earlier doc in the same batch — the same
+    min-id-wins rule as `dedup_clusters`); `matched_corpus`
+    distinguishes "duplicate of the existing corpus" from
+    "duplicate within the batch".
+
+    Scale: in production the corpus side's band keys are a STORED
+    index (written once, appended per batch — the streaming twin
+    `stream_neardup_candidates` demonstrates exactly that reuse);
+    only the increment is shingled and hashed per run, so per-batch
+    cost is O(batch) + one bucket join against the index, never a
+    recompute of the corpus. Here both sides derive from the same
+    table because the testdata is static."""
+    d = table(spark, sf_dir, "documents")
+    thr = d.agg(
+        F.floor(F.max("doc_id") * INCREMENT_FRACTION).cast("long").alias("t")
+    )
+    cand = minhash_candidates(_shingled(spark, sf_dir))
+    new_docs = d.select("doc_id").crossJoin(F.broadcast(thr)).filter(
+        F.col("doc_id") >= F.col("t")
+    )
+    j = new_docs.join(cand, new_docs.doc_id == cand.doc_b, "left")
+    return j.groupBy("doc_id", "t").agg(
+        F.count("doc_a").alias("n_cand"),
+        (
+            F.coalesce(F.max(F.when(F.col("doc_a") < F.col("t"), 1).otherwise(0)), F.lit(0))
+            == 1
+        ).alias("matched_corpus"),
+        (F.count("doc_a") == 0).alias("keep"),
+    ).drop("t")

@@ -238,3 +238,20 @@ def test_full_pipeline_composition(spark):
     ).collect()
     for r in packs:
         assert r.lo == 0 and r.nd == r.hi + 1
+
+
+def test_incremental_dedup_consistent_with_full_rebuild(spark):
+    from graphdb_wikidata_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    inc = {r.doc_id: r for r in dd.QUERIES["dedup_incremental"](spark, sf).collect()}
+    full = {r.doc_id: r.is_kept for r in dd.QUERIES["dedup_clusters"](spark, sf).collect()}
+    assert inc  # the increment is non-empty
+    for doc_id, r in inc.items():
+        # a doc rejected by incremental admission (direct lower-id LSH
+        # candidate) is necessarily non-minimal in its full-rebuild
+        # cluster too; the converse need not hold (transitive chains)
+        if not r.keep:
+            assert full[doc_id] is False, doc_id
+        if r.matched_corpus:
+            assert r.n_cand > 0 and not r.keep
