@@ -13,6 +13,12 @@ from .scan import scan_pattern as _scan
 from .algebra import TriplePattern, Var
 from .terms import Term, parse_iri
 
+#: how long a thread waits on another thread's in-flight compile of the
+#: same query. Compiles that materialize a path closure can run minutes
+#: at warehouse scale; beyond this something is wedged and failing the
+#: waiter beats blocking an HTTP handler forever.
+COMPILE_WAIT_TIMEOUT_S = 600
+
 
 class GraphEngine:
     """A SPARQL engine over a statements DataFrame.
@@ -227,29 +233,44 @@ class GraphEngine:
         if not owner:
             # identical query already compiling on another thread: wait
             # for its plan instead of duplicating 0.3-1s of compile (and
-            # any closure materialization) per concurrent duplicate
-            return fut.result()
+            # any closure materialization) per concurrent duplicate. The
+            # timeout bounds the damage if an owner thread dies without
+            # resolving (a wedged key would otherwise block every later
+            # identical query forever).
+            return fut.result(timeout=COMPILE_WAIT_TIMEOUT_S)
         try:
-            df = self._compile_uncached(query, default_graphs, named_graphs)
+            df, cacheable = self._compile_uncached(query, default_graphs, named_graphs)
+            with self._plan_cache_lock:
+                # plans that fetched a remote SERVICE embed a network
+                # snapshot: serve them to CURRENT waiters but never
+                # cache them (stale-federation fix)
+                if cacheable:
+                    if len(self._plan_cache) >= 256:  # bounded: FIFO-evict oldest
+                        self._plan_cache.pop(next(iter(self._plan_cache)), None)
+                    self._plan_cache[key] = df
+            fut.set_result(df)
+            return df
         except BaseException as e:  # noqa: BLE001 - propagate to waiters too
+            if not fut.done():
+                fut.set_exception(e)
+            raise
+        finally:
             with self._plan_cache_lock:
                 self._inflight.pop(key, None)
-            fut.set_exception(e)
-            raise
-        with self._plan_cache_lock:
-            if len(self._plan_cache) >= 256:  # bounded: FIFO-evict oldest
-                self._plan_cache.pop(next(iter(self._plan_cache)), None)
-            self._plan_cache[key] = df
-            self._inflight.pop(key, None)
-        fut.set_result(df)
-        return df
+            if not fut.done():  # async exception between steps: never
+                fut.set_exception(  # leave waiters wedged
+                    RuntimeError("compile aborted before resolving")
+                )
 
     def _compile_uncached(
         self,
         query: str,
         default_graphs: "tuple[str, ...] | None",
         named_graphs: "tuple[str, ...] | None",
-    ) -> DataFrame:
+    ) -> "tuple[DataFrame, bool]":
+        """Compile and return (df, cacheable). cacheable is False when
+        the compile fetched a remote SERVICE endpoint — that plan is a
+        network snapshot and must be rebuilt per query."""
         plan = parse_query(query)
         if default_graphs is not None or named_graphs is not None:
             from .algebra import Dataset
@@ -270,7 +291,7 @@ class GraphEngine:
         bn = [c for c in df.columns if c.startswith("__bn")]
         if bn:
             df = df.drop(*bn)
-        return df
+        return df, not comp.used_remote_service
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """The Catalyst physical plan for a SPARQL query — the

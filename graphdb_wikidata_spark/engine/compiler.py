@@ -92,6 +92,12 @@ class Compiler:
         # IRI may be fetched; a frozenset = allowlist of endpoints —
         # the Jena/WDQS-style posture for a shared deployment.
         self.remote_allowed: "bool | frozenset[str]" = False
+        # set when this compile fetched a remote SERVICE endpoint (or
+        # swallowed its failure under SILENT): the resulting plan
+        # embeds a network snapshot and must NOT enter the plan cache
+        # — a cached fetch would serve stale (or permanently-degraded)
+        # federation results for the process lifetime
+        self.used_remote_service = False
         # DataFrame -> column list memo. Spark 4 analyzes lazily, so
         # every .columns read on a freshly built DataFrame re-analyzes
         # its whole (growing) plan — O(ops^2) driver time per compile.
@@ -561,6 +567,7 @@ class Compiler:
                 # precedence (tests / air-gapped deployments).
                 from . import federation
 
+                self.used_remote_service = True
                 try:
                     variables, rows = federation.fetch_service_solutions(
                         op.iri, op.remote_query

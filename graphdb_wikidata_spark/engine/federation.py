@@ -118,8 +118,13 @@ def fetch_service_solutions(
             f"{max_rows} (MAX_REMOTE_ROWS)"
         )
     rows = []
-    for b in bindings:
-        rows.append(
-            tuple(None if v not in b else _json_term(b[v]) for v in variables)
-        )
+    try:
+        for b in bindings:
+            rows.append(
+                tuple(None if v not in b else _json_term(b[v]) for v in variables)
+            )
+    except Exception as exc:  # null cells, missing "value"/"type", non-dict rows
+        raise FederationError(
+            f"SERVICE <{iri}> returned malformed binding cell: {exc}"
+        ) from exc
     return variables, rows

@@ -636,7 +636,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of scope for a SPARQL store) — this is a beyond-parity
     training-pipeline operator.
     """
-    from .similarity import _as_double, dot, norm
+    from .similarity import _as_double, assign_nearest, dot, norm
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
@@ -644,25 +644,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.orderBy("vec_id").limit(SEMDEDUP_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    sims = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        "v",
-        (dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv")))).alias("sim"),
-    )
-    # argmax centroid per vector: max over (sim, -cid) prefers higher
-    # sim, then the LOWER centroid id — same tie-break as the oracle's
-    # ORDER BY sim DESC, cid.
-    best = (
-        sims.groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"), F.col("v"))).alias("m"))
-        .select(
-            "vec_id",
-            (-F.col("m.ncid")).alias("cid"),
-            F.col("m.v").alias("v"),
-            norm(F.col("m.v")).alias("nv"),  # precompute: pair rows reuse it
-        )
-    )
+    # shared argmax-cosine kernel (ties -> lower cid, same rule as the
+    # oracle's ORDER BY sim DESC, cid); precompute the norm so the
+    # pair rows below reuse it
+    best = assign_nearest(e, cent, metric="cosine").withColumn("nv", norm(F.col("v")))
 
     a = best.select("cid", F.col("vec_id").alias("va"), F.col("v").alias("xa"), F.col("nv").alias("na"))
     b = best.select("cid", F.col("vec_id").alias("vb"), F.col("v").alias("xb"), F.col("nv").alias("nb"))

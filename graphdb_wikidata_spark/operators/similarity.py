@@ -419,6 +419,40 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     """
 
 
+def assign_nearest(e: DataFrame, cent: DataFrame, metric: str = "l2") -> DataFrame:
+    """(vec_id, v) x broadcast (cid, cv) -> (vec_id, cid, v): each
+    vector assigned to its nearest centroid, ties broken toward the
+    LOWER cid on both metrics — the one tie-break rule shared by
+    `kmeans_fit` and `dedup.dedup_semantic`, kept in one place so the
+    cross-engine bit-identical contract can't drift between copies.
+
+    One map-side broadcast cross join + one partial-agg struct-extremum
+    groupBy; linear, no vector shuffle beyond the groupBy."""
+    if metric == "cosine":
+        score = dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv")))
+        scored = e.crossJoin(F.broadcast(cent)).select("vec_id", "v", "cid", score.alias("s"))
+        # max over (sim, -cid): higher similarity first, then lower cid
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("s"), (-F.col("cid")).alias("ncid"), F.col("v"))).alias("m"))
+            .select("vec_id", (-F.col("m.ncid")).alias("cid"), F.col("m.v").alias("v"))
+        )
+    if metric != "l2":
+        raise ValueError(f"unknown metric {metric!r}")
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select("vec_id", "v", "cid", d2.alias("d2"))
+    # min over (d2, cid): smaller distance first, then lower cid
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.v").alias("v"))
+    )
+
+
 def kmeans_fit(e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
     """Lloyd's k-means over (vec_id, v double[]): deterministic init
     (the k lowest-vec_id vectors), `iters` assign/update rounds, empty
@@ -444,19 +478,7 @@ def kmeans_fit(e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> Da
     )
     assigned = None
     for _ in range(iters):
-        d2 = F.aggregate(
-            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = e.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "v", "cid", d2.alias("d2")
-        )
-        assigned = (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.v").alias("v"))
-        )
+        assigned = assign_nearest(e, cent, metric="l2")
         dims = assigned.select("cid", F.posexplode("v").alias("i", "x"))
         cent = (
             dims.groupBy("cid", "i")

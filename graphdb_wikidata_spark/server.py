@@ -107,15 +107,23 @@ def make_handler(engine: GraphEngine, max_result_rows: "int | None" = 1_000_000)
             # — the ops surface for "which index would this hit" that
             # the reference answers by reading interpreter debug logs
             explain = params.get("explain", [None])[0]
-            if explain:
-                mode = "formatted" if explain in ("1", "true") else explain
+            if explain and explain.lower() not in ("0", "false", "no", "off"):
+                mode = "formatted" if explain.lower() in ("1", "true", "yes", "on") else explain
+                if mode not in ("formatted", "simple", "extended", "cost", "codegen"):
+                    self._reply(
+                        400,
+                        json.dumps({"error": f"unknown explain mode {mode!r}; "
+                                    "use formatted|simple|extended|cost|codegen"}),
+                        "application/json",
+                    )
+                    return
                 try:
                     plan = engine.explain(q, mode=mode)
                 except (SyntaxError, NotImplementedError) as e:
                     self._reply(400, json.dumps({"error": str(e)}), "application/json")
                     return
-                except Exception as e:  # unknown explain mode -> 400, not 500
-                    self._reply(400, json.dumps({"error": f"explain failed: {e}"}), "application/json")
+                except Exception as e:  # engine-side failure: server error
+                    self._reply(500, json.dumps({"error": f"explain failed: {e}"}), "application/json")
                     return
                 self._reply(200, plan, "text/plain; charset=utf-8")
                 return

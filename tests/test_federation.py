@@ -289,3 +289,54 @@ def test_raw_body_capture_nested_groups():
     )
     svc2 = find_service(plan2)
     assert svc2 is not None and svc2.remote_query is None
+
+
+def test_remote_service_not_plan_cached(eng, endpoint):
+    """A plan embedding a remote fetch is a network snapshot: each
+    identical query must re-fetch (stale-federation fix), while a
+    purely local query still hits the plan cache."""
+    eng.allow_remote_services(True)
+    q = f"""
+        SELECT ?s ?o ?name WHERE {{
+          ?s wdt:P1 ?o .
+          SERVICE <{endpoint}> {{ ?o rdfs:label ?name }}
+        }}"""
+    before = len(_Handler.seen)
+    eng.sql(q)
+    eng.sql(q)
+    assert len(_Handler.seen) == before + 2, "remote SERVICE plan was cached"
+    # local queries still cache (one compile, one object)
+    lq = "SELECT ?s WHERE { ?s wdt:P1 ?o }"
+    assert eng.sql(lq) is eng.sql(lq)
+
+
+def test_malformed_binding_cell_silent_unit_solution(eng, monkeypatch):
+    """Null / value-less cells must surface as FederationError, so
+    SILENT yields the unit solution instead of a raw AttributeError."""
+    bad = {
+        "head": {"vars": ["name"]},
+        "results": {"bindings": [{"name": None}, {"name": {"type": "literal"}}]},
+    }
+
+    def fake_post(iri, query, timeout):
+        return json.dumps(bad).encode()
+
+    monkeypatch.setattr(federation, "_http_post", fake_post)
+    eng.allow_remote_services(True)
+    rows = eng.sql(
+        """
+        SELECT ?s ?name WHERE {
+          ?s wdt:P1 ?o .
+          SERVICE SILENT <http://bad.example/sparql> { ?o rdfs:label ?name }
+        }"""
+    ).collect()
+    assert rows  # unit solution joined: local rows survive, name unbound
+    assert all(r.name is None for r in rows)
+    with pytest.raises(federation.FederationError, match="malformed binding cell"):
+        eng.sql(
+            """
+            SELECT ?name WHERE {
+              ?s wdt:P1 ?o .
+              SERVICE <http://bad.example/sparql> { ?o rdfs:label ?name }
+            }"""
+        )

@@ -327,3 +327,10 @@ def test_explain_parse_error_400(srv):
     q = urllib.parse.quote("SELECT ?s WHERE { broken")
     code, _, _ = _get(f"{srv}/query?query={q}&explain=1")
     assert code == 400
+
+
+def test_explain_zero_executes_normally(srv):
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s wdt:P2 wd:Q3 }")
+    code, hdrs, body = _get(f"{srv}/query?query={q}&explain=0")
+    assert code == 200
+    assert "results" in json.loads(body)  # executed, not explained
