@@ -255,3 +255,25 @@ def test_incremental_dedup_consistent_with_full_rebuild(spark):
             assert full[doc_id] is False, doc_id
         if r.matched_corpus:
             assert r.n_cand > 0 and not r.keep
+
+
+def test_semantic_dedup_pairwork_shrinks_with_k(spark):
+    """The scale lever dedup_semantic documents: in-cluster pairwise
+    work is O(sum cluster^2), so growing K must shrink the pair count
+    (at 100 TB, K ~ N/1000 keeps clusters ~1k vectors)."""
+    from graphdb_wikidata_spark.operators.similarity import _as_double, assign_nearest
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+
+    def n_pairs(k):
+        cent = e.orderBy("vec_id").limit(k).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+        sizes = assign_nearest(e, cent, metric="cosine").groupBy("cid").count()
+        return sizes.agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)).first()[0]
+
+    p8, p32 = n_pairs(8), n_pairs(32)
+    assert p32 < p8 / 2, (p8, p32)  # ~4x fewer pairs at 4x the clusters
