@@ -463,11 +463,14 @@ def kmeans_fit(e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> Da
     partial-agg groupBy over N*k rows) -> centroid update (posexplode
     + (cid, dim)-grouped avg over N*D values — partial-aggregated
     map-side, so the shuffle carries k*D rows per partition, not
-    vectors). Per-iteration cost is linear in corpus size; the loop
-    unrolls into one DAG with nothing materialized until the caller
-    acts. At 100 TB you'd localCheckpoint each centroid table (k*D
-    doubles — tiny) to cut lineage, exactly like graph.py's cadence-3
-    checkpointing."""
+    vectors). Per-iteration cost is linear in corpus size. Each
+    round's centroid table (k*D doubles — tiny) is localCheckpoint'ed,
+    like graph.py's iteration loops: the unrolled DAG otherwise
+    references round r's assign subtree from every later round (AQE's
+    ReuseExchange dedups the re-execution locally — measured parity at
+    the 100x probe — but the checkpoint also bounds plan depth for
+    higher iteration counts and is the fault-recovery posture a real
+    cluster run wants)."""
     cent = (
         e.orderBy("vec_id")
         .limit(k)
@@ -477,7 +480,7 @@ def kmeans_fit(e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> Da
         )
     )
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         assigned = assign_nearest(e, cent, metric="l2")
         dims = assigned.select("cid", F.posexplode("v").alias("i", "x"))
         cent = (
@@ -491,6 +494,10 @@ def kmeans_fit(e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> Da
                 ).alias("cv")
             )
         )
+        # k rows: materialize the round so later rounds (and the final
+        # join, which references this round's assign twice) never
+        # re-run the N*k assign that produced these centroids
+        cent = cent.localCheckpoint(eager=True)
     return assigned.join(cent, "cid")
 
 
