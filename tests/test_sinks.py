@@ -74,3 +74,18 @@ def test_webdataset_payloads_match_source(spark, tmp_path):
                 if n.endswith(".bin"):
                     got[n[:-4]] = tar.extractfile(n).read()
     assert got == want
+
+
+def test_full_pipeline_to_disk(spark, tmp_path):
+    """The complete user story in one flow: dedup -> quality -> pack
+    (corpus_dedup_quality_pack) -> sharded parquet on disk, read back
+    intact."""
+    from graphdb_wikidata_spark.operators.corpus import QUERIES as CQ
+
+    packed = CQ["corpus_dedup_quality_pack"](spark, SF_SMOKE)
+    out = str(tmp_path / "pipeline")
+    sinks.write_training_shards(packed, out, max_records_per_file=64)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.select(*packed.columns).collect())) == sorted(
+        map(tuple, packed.collect())
+    )
