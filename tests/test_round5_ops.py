@@ -277,3 +277,21 @@ def test_semantic_dedup_pairwork_shrinks_with_k(spark):
 
     p8, p32 = n_pairs(8), n_pairs(32)
     assert p32 < p8 / 2, (p8, p32)  # ~4x fewer pairs at 4x the clusters
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    shards=st.lists(
+        st.lists(st.floats(min_value=0, max_value=1, allow_nan=False), max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=1, max_value=16),
+)
+def test_kmv_merge_law(shards, k):
+    """The distributivity that makes the KMV sketch shard-mergeable at
+    scale: K-smallest of a union == K-smallest of the per-shard
+    K-smallest. Pure math, no Spark."""
+    union = sorted(h for s in shards for h in s)[:k]
+    merged = sorted(h for s in shards for h in sorted(s)[:k])[:k]
+    assert union == merged
