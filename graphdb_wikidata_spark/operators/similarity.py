@@ -468,9 +468,13 @@ def kmeans_fit(e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> Da
     like graph.py's iteration loops: the unrolled DAG otherwise
     references round r's assign subtree from every later round (AQE's
     ReuseExchange dedups the re-execution locally — measured parity at
-    the 100x probe — but the checkpoint also bounds plan depth for
-    higher iteration counts and is the fault-recovery posture a real
-    cluster run wants)."""
+    the 100x probe — so the win is bounded plan depth / driver plan-
+    build time at higher iteration counts). NOTE localCheckpoint is
+    NOT fault tolerant: blocks live on executor storage and executor
+    loss aborts the job instead of recomputing. That is the right
+    trade on local[N] and for short interactive fits; a long cluster
+    run should swap in reliable ``checkpoint()`` (HDFS-backed) — one
+    line — or drop the cut and accept lineage recompute."""
     cent = (
         e.orderBy("vec_id")
         .limit(k)

@@ -26,7 +26,6 @@ size is bounded per task, and the manifest relation is #shards rows.
 from __future__ import annotations
 
 import io
-import json
 import os
 import tarfile
 
@@ -71,17 +70,27 @@ def write_webdataset_shards(
 
     Samples are hash-distributed over ``shards`` partitions
     (deterministic by key); each writer task streams its Arrow batches
-    into one tar via stdlib ``tarfile`` and emits a single manifest
-    row. Returns the manifest DataFrame (shard, n_samples, n_bytes) —
-    call an action on it to run the write.
+    into one tar via stdlib ``tarfile``. The write runs EXACTLY ONCE
+    inside this call (the manifest is collected, not returned lazily —
+    a lazy manifest would silently re-truncate and rewrite every shard
+    on each downstream action); the returned manifest DataFrame
+    (shard, n_samples, n_bytes) is a small local relation.
 
     ``out_dir`` must be storage every writer can reach: a shared
     mount / fuse-mounted object store on a real cluster (local paths
-    only work on local[N]). Shard names are a pure function of the
-    partition id and ``tarfile.open("w")`` truncates, so a retried
-    task rewrites its own shard — idempotent, no partial-duplicate
-    shards."""
+    only work on local[N]). Concurrency safety: each attempt writes to
+    an attempt-unique temp path and atomically renames into the final
+    ``shard-NNNNN.tar`` — a speculative or zombie duplicate attempt
+    can race the rename, but never interleave bytes into the shard a
+    reader sees. Stale ``shard-*.tar`` from a previous run are removed
+    first (parquet-mode("overwrite") semantics), so a re-run with
+    fewer shards cannot leave orphans for a ``*.tar`` glob to pick up.
+    NULL payloads/metadata and duplicate keys raise instead of
+    silently writing corrupt samples."""
     os.makedirs(out_dir, exist_ok=True)
+    for stale in os.listdir(out_dir):
+        if stale.startswith("shard-") and stale.endswith(".tar"):
+            os.remove(os.path.join(out_dir, stale))
     dist = samples.repartition(shards, F.col(key_col)).select(
         F.col(key_col).cast("string").alias("key"),
         F.col(payload_col).alias("payload"),
@@ -92,14 +101,30 @@ def write_webdataset_shards(
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         shard_path = os.path.join(out_dir, f"shard-{pid:05d}.tar")
+        tmp_path = f"{shard_path}.attempt-{ctx.taskAttemptId()}.tmp"
         n = 0
-        with tarfile.open(shard_path, "w") as tar:
+        seen: set[str] = set()
+        with tarfile.open(tmp_path, "w") as tar:
             for batch in iterator:
                 for key, payload, meta in zip(
                     batch["key"], batch["payload"], batch["meta_json"]
                 ):
+                    if payload is None or meta is None or (
+                        not isinstance(meta, str) and pd.isna(meta)
+                    ):
+                        raise ValueError(
+                            f"webdataset sample {key!r}: NULL payload/meta_json "
+                            "(drop or fill upstream; refusing to write a corrupt sample)"
+                        )
+                    if key in seen:
+                        raise ValueError(
+                            f"duplicate webdataset key {key!r}: adjacency-grouping "
+                            "readers would mis-pair its members"
+                        )
+                    seen.add(key)
                     blob = bytes(payload)
                     info = tarfile.TarInfo(name=f"{key}.bin")
                     info.size = len(blob)
@@ -109,14 +134,22 @@ def write_webdataset_shards(
                     minfo.size = len(mblob)
                     tar.addfile(minfo, io.BytesIO(mblob))
                     n += 1
-        size = os.path.getsize(shard_path) if n else 0
         if n == 0:
-            os.remove(shard_path)  # no empty shards in the dataset dir
+            os.remove(tmp_path)  # no empty shards in the dataset dir
+            size = 0
+        else:
+            os.replace(tmp_path, shard_path)  # atomic: readers never see partial tars
+            size = os.path.getsize(shard_path)
         yield pd.DataFrame(
             {"shard": [os.path.basename(shard_path)], "n_samples": [n], "n_bytes": [size]}
         )
 
-    return dist.mapInPandas(_write, schema=_MANIFEST_SCHEMA).filter(F.col("n_samples") > 0)
+    manifest_rows = (
+        dist.mapInPandas(_write, schema=_MANIFEST_SCHEMA)
+        .filter(F.col("n_samples") > 0)
+        .collect()
+    )
+    return samples.sparkSession.createDataFrame(manifest_rows, _MANIFEST_SCHEMA)
 
 
 def media_webdataset(spark, sf_dir: str, out_dir: str, shards: int = 4) -> DataFrame:

@@ -89,3 +89,40 @@ def test_full_pipeline_to_disk(spark, tmp_path):
     assert sorted(map(tuple, back.select(*packed.columns).collect())) == sorted(
         map(tuple, packed.collect())
     )
+
+
+def test_webdataset_overwrite_removes_stale_shards(spark, tmp_path):
+    out = str(tmp_path / "wds3")
+    m1 = sinks.media_webdataset(spark, SF_SMOKE, out, shards=6).collect()
+    mdf = sinks.media_webdataset(spark, SF_SMOKE, out, shards=2)
+    m2 = mdf.collect()
+    tars = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    # no orphans from the 6-shard run survive the 2-shard rerun
+    assert tars == sorted(r.shard for r in m2)
+    assert len(tars) <= 2 < len(m1) + 1
+    # the write ran exactly once inside the call: further actions on
+    # the returned manifest must NOT rewrite the shards
+    before = {f: os.path.getmtime(os.path.join(out, f)) for f in tars}
+    assert mdf.count() == len(m2)
+    after = {f: os.path.getmtime(os.path.join(out, f)) for f in tars}
+    assert before == after
+
+
+def test_webdataset_null_and_duplicate_rejected(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    out = str(tmp_path / "wds4")
+    null_df = spark.createDataFrame(
+        [("a", bytearray(b"x"), '{"k":1}'), ("b", None, '{"k":2}')],
+        "key string, payload binary, meta_json string",
+    )
+    with pytest.raises(Exception, match="NULL payload|PythonException|ValueError"):
+        sinks.write_webdataset_shards(null_df, out, shards=1)
+
+    dup_df = spark.createDataFrame(
+        [("a", bytearray(b"x"), "{}"), ("a", bytearray(b"y"), "{}")],
+        "key string, payload binary, meta_json string",
+    )
+    with pytest.raises(Exception, match="duplicate webdataset key|PythonException|ValueError"):
+        sinks.write_webdataset_shards(dup_df, out, shards=1)
