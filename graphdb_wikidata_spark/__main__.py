@@ -60,6 +60,16 @@ def main(argv: list[str] | None = None) -> int:
         "scans prune whole directories; for predicate-heavy workloads)",
     )
 
+    p_pipe = sub.add_parser(
+        "pipeline",
+        help="run the training-data pipeline (LSH dedup -> quality gate -> "
+        "sequence packing) over an sf-dir and write sharded parquet",
+    )
+    p_pipe.add_argument("--sf-dir", required=True, help="directory with documents.parquet")
+    p_pipe.add_argument("-o", "--out", required=True, help="output shard directory")
+    p_pipe.add_argument("--max-records", type=int, default=None,
+                        help="rows per parquet shard (default sinks.DEFAULT_SHARD_RECORDS)")
+
     args = ap.parse_args(argv)
     if args.mode is None:
         ap.print_help()
@@ -82,6 +92,17 @@ def main(argv: list[str] | None = None) -> int:
         write_statements(stmts, args.database_dir)
         n = spark.read.parquet(args.database_dir).count()
         print(f"created {args.database_dir}: {n} statements")
+        return 0
+
+    if args.mode == "pipeline":
+        from . import sinks
+        from .operators.corpus import QUERIES as CORPUS_QUERIES
+
+        packed = CORPUS_QUERIES["corpus_dedup_quality_pack"](spark, args.sf_dir)
+        kw = {} if args.max_records is None else {"max_records_per_file": args.max_records}
+        sinks.write_training_shards(packed, args.out, **kw)
+        n = spark.read.parquet(args.out).count()
+        print(f"wrote {args.out}: {n} packed documents")
         return 0
 
     if args.mode == "create-index":

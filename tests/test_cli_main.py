@@ -50,3 +50,16 @@ def test_create_index_by_predicate(spark, tmp_path, capsys):
         "SELECT ?p ?b WHERE { <http://www.wikidata.org/entity/Q31> ?p ?b . }"
     ).count()
     assert n == 1354
+
+
+def test_cli_pipeline(spark, tmp_path, capsys):
+    from graphdb_wikidata_spark.__main__ import main
+
+    out = str(tmp_path / "shards")
+    rc = main(["pipeline", "--sf-dir", "/root/testdata/sf0.001", "-o", out,
+               "--max-records", "64"])
+    assert rc == 0
+    assert "packed documents" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert set(back.columns) >= {"doc_id", "n_tokens", "pack_id"}
