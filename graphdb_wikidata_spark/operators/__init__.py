@@ -36,6 +36,7 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "events_exact_quantiles",
     "corpus_dedup_quality_pack",
     "dedup_incremental",
+    "graph_triangle_count",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "distinct_op",
@@ -66,7 +67,6 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "media_catalog",
     "media_frame_sample",
     "graph_connected_components",
-    "graph_bfs_chain",
     "stream_interval_join",
     "sparql_filter_agg",
     "sparql_optional",
@@ -97,7 +97,10 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # sparql_subselect, sparql_path_negated, sparql_qualifier_join,
     # sparql_ps_pq_chain, sparql_wds_lookup, sparql_values_undef,
     # sparql_lateral, sparql_ask (all r02-green; their compiler/scan
-    # code paths stay exercised by the windowed rows).
+    # code paths stay exercised by the windowed rows) and
+    # graph_bfs_chain (r02-green; shares graph.py iteration machinery
+    # with the windowed graph_connected_components — displaced by the
+    # new graph_triangle_count).
 )
 
 

@@ -351,3 +351,44 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_bfs_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distances from the chain head (nation 24) along P8."""
     return bfs_distances(_entity_edges(spark, sf_dir, preds=[8]), source=3000024)
+
+
+def _triangle_oracle() -> str:
+    from .dedup import _CAND_CTE
+
+    return f"""
+    WITH {_CAND_CTE},
+    tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+            FROM cand ab
+            JOIN cand bc ON ab.doc_b = bc.doc_a
+            JOIN cand ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+    nodes AS (SELECT a AS doc_id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+    SELECT doc_id, count(*) AS n_triangles FROM nodes GROUP BY doc_id
+    """
+
+
+@register("graph_triangle_count", _triangle_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the MinHash-LSH candidate graph —
+    the density signal of near-dup communities (a boilerplate cluster
+    whose candidates form many triangles is one template, not chance
+    collisions).
+
+    The ordered-triplet join (a<b<c): edges meet edges sharing their
+    middle node, then the closing edge confirms — the textbook
+    distributed node-iterator algorithm. Cost is O(sum deg^2) over the
+    CANDIDATE graph only (LSH keeps it orders of magnitude smaller
+    than the corpus); at real scale you order by degree first so the
+    join fans out from low-degree endpoints. Each triangle contributes
+    once per member node."""
+    from .dedup import _shingled, minhash_candidates
+
+    cand = minhash_candidates(_shingled(spark, sf_dir))
+    ab = cand.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = cand.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = cand.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+    return nodes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
