@@ -66,3 +66,19 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=1)
+
+
+def test_triangle_count_invariants(spark):
+    from graphdb_wikidata_spark.operators.dedup import _shingled, minhash_candidates
+    from graphdb_wikidata_spark.operators.graph import QUERIES as GQ
+
+    sf = "/root/testdata/sf0.001"
+    rows = GQ["graph_triangle_count"](spark, sf).collect()
+    assert rows
+    total = sum(r.n_triangles for r in rows)
+    # every triangle contributes exactly 3 node participations
+    assert total % 3 == 0 and total > 0
+    # triangle members are candidate-graph nodes
+    cand = minhash_candidates(_shingled(spark, sf)).collect()
+    nodes = {r.doc_a for r in cand} | {r.doc_b for r in cand}
+    assert {r.doc_id for r in rows} <= nodes
