@@ -37,6 +37,7 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "corpus_dedup_quality_pack",
     "dedup_incremental",
     "graph_triangle_count",
+    "lr_quality_classifier",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "distinct_op",
@@ -65,7 +66,6 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "dedup_embedding_lsh_verified",
     "embedding_lsh_buckets",
     "media_catalog",
-    "media_frame_sample",
     "graph_connected_components",
     "stream_interval_join",
     "sparql_filter_agg",
@@ -100,7 +100,9 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # code paths stay exercised by the windowed rows) and
     # graph_bfs_chain (r02-green; shares graph.py iteration machinery
     # with the windowed graph_connected_components — displaced by the
-    # new graph_triangle_count).
+    # new graph_triangle_count) and media_frame_sample (r02-green;
+    # shares the mapInPandas pipeline with the windowed media_catalog
+    # — displaced by the new lr_quality_classifier).
 )
 
 

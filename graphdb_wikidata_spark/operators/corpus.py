@@ -505,3 +505,110 @@ def corpus_dedup_quality_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = d.filter(n.between(20, 80) & (ns * 50 >= n)).select("doc_id", "source", "text")
     return pack_documents(kept)
 
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic regression (batch GD) — quality/language classifier
+# ---------------------------------------------------------------------------
+
+LR_STEPS = 3
+LR_RATE = 1.0
+#: gradients are rounded to this many decimals each step ON BOTH
+#: ENGINES (same trick as similarity.KMEANS_ROUND): avg() is
+#: accumulation-order-sensitive at ~1e-15 and libm exp differs by
+#: ~1 ulp between DuckDB and the JVM; rounding pins every weight
+#: trajectory to identical doubles.
+LR_GRAD_ROUND = 9
+
+_LR_FEATURES_SQL = """
+    SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           1.0 AS x0,
+           len(string_split(text, ' ')) / 100.0 AS x1,
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','of','and','in')))::DOUBLE
+               / len(string_split(text, ' ')) AS x2
+    FROM documents
+"""
+
+
+def _lr_oracle(steps: int = LR_STEPS, rate: float = LR_RATE) -> str:
+    def sig(w):
+        return f"1/(1+exp(-({w}0*x0+{w}1*x1+{w}2*x2)))"
+
+    ctes = [f"f AS ({_LR_FEATURES_SQL})", "w0s AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    for s in range(1, steps + 1):
+        p = sig("w.w")
+        ctes.append(
+            f"""g{s} AS (SELECT round(avg(({p} - y)*x0), {LR_GRAD_ROUND}) AS g0,
+                      round(avg(({p} - y)*x1), {LR_GRAD_ROUND}) AS g1,
+                      round(avg(({p} - y)*x2), {LR_GRAD_ROUND}) AS g2
+               FROM f, w{s - 1}s w)"""
+        )
+        ctes.append(
+            f"""w{s}s AS (SELECT w.w0 - {rate!r}*g.g0 AS w0, w.w1 - {rate!r}*g.g1 AS w1,
+                      w.w2 - {rate!r}*g.g2 AS w2 FROM w{s - 1}s w, g{s} g)"""
+        )
+    p = sig("w.w")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT (SELECT count(*) FROM f) AS n_docs,
+           round(w.w0, 6) AS w_bias,
+           round(w.w1, 6) AS w_tokens,
+           round(w.w2, 6) AS w_stopword,
+           (SELECT round(avg(-(y*ln({p}) + (1-y)*ln(1-{p}))), 4)
+            FROM f, w{steps}s w) AS train_loss
+    FROM w{steps}s w
+    """
+
+
+@register("lr_quality_classifier", _lr_oracle())
+def lr_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training, the canonical Spark
+    aggregated-gradient pattern: each GD step is ONE partial-agg
+    aggregate over the corpus producing a #features-row gradient that
+    the driver folds into the weights (a metadata-sized collect, like
+    IVF's probed-cell ids — never a data collect). Features here are
+    the quality signals (token count, stopword ratio) predicting the
+    lang=='en' stratum; 3 batch steps, lr=1. Per-step gradients are
+    rounded identically on both engines so the weight trajectory is
+    bit-identical (see LR_GRAD_ROUND); the oracle unrolls the same
+    three steps in SQL. Returns (n_docs, weights, train_loss).
+
+    Scale: each step is a single map+combine pass (sigmoid and the
+    per-feature products are codegen'd JVM expressions); #steps
+    passes total, no shuffle wider than #features partial sums.
+    Reference has no ML surface; beyond-parity training-pipeline
+    operator."""
+    d = table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in ("the", "a", "of", "and", "in"))
+    n = F.size(F.split(F.col("text"), " "))
+    ns = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    f = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (n / F.lit(100.0)).alias("x1"),
+        (ns.cast("double") / n).alias("x2"),
+    )
+    w = [0.0, 0.0, 0.0]
+    for _ in range(LR_STEPS):
+        z = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grad = f.agg(
+            *[
+                F.round(F.avg((p - F.col("y")) * F.col(f"x{i}")), LR_GRAD_ROUND).alias(f"g{i}")
+                for i in range(3)
+            ]
+        ).first()
+        w = [w[i] - LR_RATE * grad[i] for i in range(3)]
+    z = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    loss = -(F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # F.round (HALF_UP, away-from-zero like DuckDB) — not Python's
+        # banker-rounding round() — so the 6dp weight report matches
+        F.round(F.lit(w[0]), 6).alias("w_bias"),
+        F.round(F.lit(w[1]), 6).alias("w_tokens"),
+        F.round(F.lit(w[2]), 6).alias("w_stopword"),
+        F.round(F.avg(loss), 4).alias("train_loss"),
+    )

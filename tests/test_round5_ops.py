@@ -295,3 +295,14 @@ def test_kmv_merge_law(shards, k):
     union = sorted(h for s in shards for h in s)[:k]
     merged = sorted(h for s in shards for h in sorted(s)[:k])[:k]
     assert union == merged
+
+
+def test_lr_training_reduces_loss(spark):
+    from graphdb_wikidata_spark.operators import corpus as cp
+
+    row = cp.QUERIES["lr_quality_classifier"](spark, "/root/testdata/sf0.01").first()
+    # at w = 0 the log-loss is exactly ln 2; three GD steps must improve it
+    assert row.train_loss < 0.6931
+    assert row.n_docs == 500
+    for w in (row.w_bias, row.w_tokens, row.w_stopword):
+        assert abs(w) < 10  # finite, lr didn't diverge
