@@ -38,6 +38,7 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "dedup_incremental",
     "graph_triangle_count",
     "lr_quality_classifier",
+    "lr_quality_score",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "distinct_op",
@@ -74,7 +75,6 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_minus",
     "sparql_exists",
     "sparql_not_exists",
-    "sparql_term_funcs",
     "sparql_path_sequence",
     "sparql_construct",
     # NEW in round 5 (needs first evidence): incremental near-dup
@@ -100,9 +100,11 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # code paths stay exercised by the windowed rows) and
     # graph_bfs_chain (r02-green; shares graph.py iteration machinery
     # with the windowed graph_connected_components — displaced by the
-    # new graph_triangle_count) and media_frame_sample (r02-green;
+    # new graph_triangle_count), media_frame_sample (r02-green;
     # shares the mapInPandas pipeline with the windowed media_catalog
-    # — displaced by the new lr_quality_classifier).
+    # — displaced by the new lr_quality_classifier) and
+    # sparql_term_funcs (r02-green, expressions family like the seven
+    # above — displaced by the new lr_quality_score).
 )
 
 

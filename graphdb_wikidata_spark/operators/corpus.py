@@ -531,7 +531,10 @@ _LR_FEATURES_SQL = """
 """
 
 
-def _lr_oracle(steps: int = LR_STEPS, rate: float = LR_RATE) -> str:
+def _lr_ctes(steps: int = LR_STEPS, rate: float = LR_RATE) -> list[str]:
+    """The shared unrolled-GD CTE chain: f (features), w0s (zero
+    weights), then g{s}/w{s}s per step."""
+
     def sig(w):
         return f"1/(1+exp(-({w}0*x0+{w}1*x1+{w}2*x2)))"
 
@@ -548,9 +551,17 @@ def _lr_oracle(steps: int = LR_STEPS, rate: float = LR_RATE) -> str:
             f"""w{s}s AS (SELECT w.w0 - {rate!r}*g.g0 AS w0, w.w1 - {rate!r}*g.g1 AS w1,
                       w.w2 - {rate!r}*g.g2 AS w2 FROM w{s - 1}s w, g{s} g)"""
         )
-    p = sig("w.w")
+    return ctes
+
+
+def _lr_sig(w: str) -> str:
+    return f"1/(1+exp(-({w}0*x0+{w}1*x1+{w}2*x2)))"
+
+
+def _lr_oracle(steps: int = LR_STEPS, rate: float = LR_RATE) -> str:
+    p = _lr_sig("w.w")
     return f"""
-    WITH {','.join(ctes)}
+    WITH {','.join(_lr_ctes(steps, rate))}
     SELECT (SELECT count(*) FROM f) AS n_docs,
            round(w.w0, 6) AS w_bias,
            round(w.w1, 6) AS w_tokens,
@@ -611,4 +622,66 @@ def lr_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(w[1]), 6).alias("w_tokens"),
         F.round(F.lit(w[2]), 6).alias("w_stopword"),
         F.round(F.avg(loss), 4).alias("train_loss"),
+    )
+
+
+def _lr_score_oracle() -> str:
+    p = _lr_sig("w.w")
+    ctes = _lr_ctes() + [
+        f"""fs AS (SELECT source,
+                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                  1.0 AS x0,
+                  len(string_split(text, ' ')) / 100.0 AS x1,
+                  len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('the','a','of','and','in')))::DOUBLE
+                      / len(string_split(text, ' ')) AS x2
+           FROM documents)"""
+    ]
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT fs.source,
+           count(*) AS n_docs,
+           round(avg({p}), 4) AS mean_score,
+           round(avg(y), 4) AS en_fraction
+    FROM fs, w{LR_STEPS}s w
+    GROUP BY fs.source
+    """
+
+
+@register("lr_quality_score", _lr_score_oracle())
+def lr_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference half of `lr_quality_classifier`: train (same 3 GD
+    steps — the weight trajectory is deterministic, see LR_GRAD_ROUND)
+    then score every document map-only and report mean predicted
+    quality per source next to the true en-fraction. At 100 TB the
+    weights are a broadcast of #features doubles and scoring fuses
+    into the scan — the shuffle is only the #sources-row rollup."""
+    d = table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in ("the", "a", "of", "and", "in"))
+    n = F.size(F.split(F.col("text"), " "))
+    ns = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    f = d.select(
+        "source",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (n / F.lit(100.0)).alias("x1"),
+        (ns.cast("double") / n).alias("x2"),
+    )
+    w = [0.0, 0.0, 0.0]
+    for _ in range(LR_STEPS):
+        z = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grad = f.agg(
+            *[
+                F.round(F.avg((p - F.col("y")) * F.col(f"x{i}")), LR_GRAD_ROUND).alias(f"g{i}")
+                for i in range(3)
+            ]
+        ).first()
+        w = [w[i] - LR_RATE * grad[i] for i in range(3)]
+    z = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(score), 4).alias("mean_score"),
+        F.round(F.avg("y"), 4).alias("en_fraction"),
     )

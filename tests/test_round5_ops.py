@@ -306,3 +306,11 @@ def test_lr_training_reduces_loss(spark):
     assert row.n_docs == 500
     for w in (row.w_bias, row.w_tokens, row.w_stopword):
         assert abs(w) < 10  # finite, lr didn't diverge
+
+
+def test_lr_score_separates_en(spark):
+    from graphdb_wikidata_spark.operators import corpus as cp
+
+    rows = cp.QUERIES["lr_quality_score"](spark, "/root/testdata/sf0.01").collect()
+    assert rows and all(0.0 < r.mean_score < 1.0 for r in rows)
+    assert sum(r.n_docs for r in rows) == 500
