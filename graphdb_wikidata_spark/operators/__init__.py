@@ -39,6 +39,7 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "graph_triangle_count",
     "lr_quality_classifier",
     "lr_quality_score",
+    "events_ab_test",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "distinct_op",
@@ -74,7 +75,6 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_union",
     "sparql_minus",
     "sparql_exists",
-    "sparql_not_exists",
     "sparql_path_sequence",
     "sparql_construct",
     # NEW in round 5 (needs first evidence): incremental near-dup
@@ -104,7 +104,10 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # shares the mapInPandas pipeline with the windowed media_catalog
     # — displaced by the new lr_quality_classifier) and
     # sparql_term_funcs (r02-green, expressions family like the seven
-    # above — displaced by the new lr_quality_score).
+    # above — displaced by the new lr_quality_score) and
+    # sparql_not_exists (r02-green; shares the decorrelated anti-join
+    # path with the windowed sparql_exists/sparql_minus — displaced by
+    # the new events_ab_test).
 )
 
 

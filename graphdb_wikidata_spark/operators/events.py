@@ -531,3 +531,63 @@ def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__p")[1], 4).alias("p95"),
         F.round(F.col("__p")[2], 4).alias("p99"),
     )
+
+
+@register(
+    "events_ab_test",
+    """
+    WITH assigned AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events),
+    v AS (SELECT variant, count(*) AS n, sum(conv) AS k
+          FROM assigned GROUP BY variant),
+    w AS (SELECT
+            max(CASE WHEN variant = 0 THEN n END) AS n0,
+            max(CASE WHEN variant = 1 THEN n END) AS n1,
+            max(CASE WHEN variant = 0 THEN k END) AS k0,
+            max(CASE WHEN variant = 1 THEN k END) AS k1
+          FROM v)
+    SELECT n0, n1,
+           round(k0 / n0::DOUBLE, 6) AS p0,
+           round(k1 / n1::DOUBLE, 6) AS p1,
+           round((k1 / n1::DOUBLE - k0 / n0::DOUBLE)
+                 / sqrt(((k0 + k1) / (n0 + n1)::DOUBLE)
+                        * (1 - (k0 + k1) / (n0 + n1)::DOUBLE)
+                        * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+    FROM w
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between experiment arms (variant =
+    user_id parity — the deterministic hash-bucketing real assignment
+    uses): conversion = purchase events. One partial-agg pass to
+    (variant, n, k), then closed-form pooled-variance z on a 2-row
+    relation — experimentation analytics at any scale is this one
+    aggregate. Extension operator (no stats surface in the
+    reference)."""
+    e = table(spark, sf_dir, "events")
+    assigned = e.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    v = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("variant") == 1, F.col("k"))).alias("k1"),
+    )
+    p0 = F.col("k0") / F.col("n0").cast("double")
+    p1 = F.col("k1") / F.col("n1").cast("double")
+    pp = (F.col("k0") + F.col("k1")) / (F.col("n0") + F.col("n1")).cast("double")
+    se = F.sqrt(pp * (1 - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1")))
+    return w.select(
+        "n0",
+        "n1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round((p1 - p0) / se, 4).alias("z_score"),
+    )
