@@ -40,6 +40,7 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "lr_quality_classifier",
     "lr_quality_score",
     "events_ab_test",
+    "embedding_power_iteration",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "distinct_op",
@@ -64,7 +65,6 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "embedding_ivf_topk",
     # -- (c) newest-green-in-r02 cohort (28 of 35)
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_embedding_lsh_verified",
     "embedding_lsh_buckets",
     "media_catalog",
@@ -107,7 +107,9 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # above — displaced by the new lr_quality_score) and
     # sparql_not_exists (r02-green; shares the decorrelated anti-join
     # path with the windowed sparql_exists/sparql_minus — displaced by
-    # the new events_ab_test).
+    # the new events_ab_test) and dedup_ngram_jaccard (r02-green;
+    # shares the LSH-candidate kernel with the windowed
+    # dedup_minhash_lsh — displaced by embedding_power_iteration).
 )
 
 

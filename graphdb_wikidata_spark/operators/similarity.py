@@ -523,3 +523,132 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.first(norm(F.col("cv"))), 6).alias("centroid_norm"),
     ).select(F.col("cid").alias("cluster_id"), "n_members", "centroid_norm")
+
+
+# ---------------------------------------------------------------------------
+# Power iteration: top principal component of the embedding corpus
+# ---------------------------------------------------------------------------
+
+PI_STEPS = 3
+#: per-step aggregates (mean vector, covariance-product vector, and the
+#: normalized direction) round to this many decimals on both engines —
+#: same determinism contract as KMEANS_ROUND / LR_GRAD_ROUND.
+PI_ROUND = 9
+
+
+def _power_iteration_oracle(steps: int = PI_STEPS) -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        """dims AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+               FROM e)""",
+        f"m AS (SELECT i, round(avg(x), {PI_ROUND}) AS mi FROM dims GROUP BY i)",
+        "c AS (SELECT d.vec_id, d.i, d.x - m.mi AS xc FROM dims d JOIN m USING (i))",
+        # v0 = e_1 (deterministic start)
+        "v0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS vi FROM m)",
+    ]
+    for s in range(1, steps + 1):
+        ctes.append(
+            f"""s{s} AS (SELECT c.vec_id, sum(c.xc * v.vi) AS sc
+               FROM c JOIN v{s - 1} v USING (i) GROUP BY c.vec_id)"""
+        )
+        ctes.append(
+            f"""u{s} AS (SELECT c.i, round(avg(c.xc * s.sc), {PI_ROUND}) AS ui
+               FROM c JOIN s{s} s USING (vec_id) GROUP BY c.i)"""
+        )
+        ctes.append(
+            f"""v{s} AS (SELECT i, round(ui / (SELECT sqrt(sum(ui * ui)) FROM u{s}),
+                               {PI_ROUND}) AS vi FROM u{s})"""
+        )
+    ctes.append(
+        f"""sf AS (SELECT c.vec_id, sum(c.xc * v.vi) AS sc
+           FROM c JOIN v{steps} v USING (i) GROUP BY c.vec_id)"""
+    )
+    ctes.append(
+        "tv AS (SELECT vec_id, sum(xc * xc) AS ssq FROM c GROUP BY vec_id)"
+    )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT (SELECT count(*) FROM e) AS n_vectors,
+           round((SELECT avg(sc * sc) FROM sf), 4) AS lambda1,
+           round((SELECT avg(ssq) FROM tv), 4) AS total_var,
+           round((SELECT avg(sc * sc) FROM sf)
+                 / (SELECT avg(ssq) FROM tv), 6) AS explained_ratio,
+           (SELECT round(vi, 6) FROM v{steps} WHERE i = 1) AS pc_0,
+           (SELECT round(vi, 6) FROM v{steps} WHERE i = 2) AS pc_1,
+           (SELECT round(vi, 6) FROM v{steps} WHERE i = 3) AS pc_2,
+           (SELECT round(vi, 6) FROM v{steps} WHERE i = 4) AS pc_3
+    """
+
+
+@register("embedding_power_iteration", _power_iteration_oracle())
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by distributed power iteration: v <-
+    normalize(Cov . v), 3 steps from the deterministic start e_1.
+    Each step is ONE pass — the per-row projection (x-m).v is a
+    codegen'd fold against the broadcast direction, and the
+    covariance-product vector avg((x-m).v * (x-m)) is a D-row
+    partial-agg the driver normalizes (metadata-sized collect, like
+    the LR gradients). Mean/product/direction vectors round
+    identically on both engines each step, so the iteration
+    trajectory matches the unrolled-SQL oracle bit-for-bit. Reports
+    the dominant eigenvalue, total variance, explained ratio, and the
+    first four component loadings.
+
+    Scale: #steps passes of map+combine work; nothing shuffles wider
+    than D rows. The D x D covariance matrix is never materialized —
+    that is the point of power iteration at 100 TB (D^2 doubles may
+    fit anywhere, but N x D
+    . D^2 matmuls as a shuffle do not).
+    Reference has no linear-algebra surface; beyond-parity operator."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    n_dim = len(e.select("v").first()[0])
+
+    # mean vector (rounded, both engines)
+    dims = e.select(F.posexplode("v").alias("i", "x"))
+    m_rows = dims.groupBy("i").agg(F.round(F.avg("x"), PI_ROUND).alias("mi")).collect()
+    m = [0.0] * n_dim
+    for r in m_rows:
+        m[r.i] = r.mi
+    m_arr = F.array(*[F.lit(x) for x in m])
+    xc = F.zip_with(F.col("v"), m_arr, lambda x, y: x - y)
+    cen = e.select("vec_id", xc.alias("xc"))
+
+    vcur = [1.0] + [0.0] * (n_dim - 1)
+    for _ in range(PI_STEPS):
+        v_arr = F.array(*[F.lit(x) for x in vcur])
+        sc = F.aggregate(
+            F.zip_with(F.col("xc"), v_arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        u_rows = (
+            cen.select(sc.alias("sc"), F.posexplode("xc").alias("i", "x"))
+            .groupBy("i")
+            .agg(F.round(F.avg(F.col("x") * F.col("sc")), PI_ROUND).alias("ui"))
+            .collect()
+        )
+        u = [0.0] * n_dim
+        for r in u_rows:
+            u[r.i] = r.ui
+        nn = math.sqrt(sum(x * x for x in u))
+        vcur = [round(x / nn, PI_ROUND) for x in u]
+
+    v_arr = F.array(*[F.lit(x) for x in vcur])
+    sc = F.aggregate(
+        F.zip_with(F.col("xc"), v_arr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ssq = F.aggregate(
+        F.transform(F.col("xc"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return cen.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(sc * sc), 4).alias("lambda1"),
+        F.round(F.avg(ssq), 4).alias("total_var"),
+        F.round(F.avg(sc * sc) / F.avg(ssq), 6).alias("explained_ratio"),
+        F.round(F.lit(vcur[0]), 6).alias("pc_0"),
+        F.round(F.lit(vcur[1]), 6).alias("pc_1"),
+        F.round(F.lit(vcur[2]), 6).alias("pc_2"),
+        F.round(F.lit(vcur[3]), 6).alias("pc_3"),
+    )

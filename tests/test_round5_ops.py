@@ -314,3 +314,16 @@ def test_lr_score_separates_en(spark):
     rows = cp.QUERIES["lr_quality_score"](spark, "/root/testdata/sf0.01").collect()
     assert rows and all(0.0 < r.mean_score < 1.0 for r in rows)
     assert sum(r.n_docs for r in rows) == 500
+
+
+def test_power_iteration_invariants(spark):
+    from graphdb_wikidata_spark.operators import similarity as sim
+
+    row = sim.QUERIES["embedding_power_iteration"](spark, "/root/testdata/sf0.001").first()
+    assert row.n_vectors == 500
+    # dominant eigenvalue is positive and bounded by total variance
+    assert 0 < row.lambda1 <= row.total_var
+    assert 0 < row.explained_ratio <= 1
+    # reported loadings are components of a unit vector
+    for pc in (row.pc_0, row.pc_1, row.pc_2, row.pc_3):
+        assert abs(pc) <= 1
