@@ -41,6 +41,18 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "lr_quality_score",
     "events_ab_test",
     "embedding_power_iteration",
+    # -- NEW in round 5 wave 2 (need first evidence): co-occurrence
+    # mining, bounded EWMA, median/MAD anomalies, OLS trend,
+    # content-addressed splits, inverted index, trained lang-ID. Each
+    # displaces one r02-cohort row whose engine code path stays covered
+    # by a windowed or r04-green sibling (list at the bottom).
+    "market_basket_pairs",
+    "events_ewma_bounded",
+    "events_anomaly_mad",
+    "events_linreg_trend",
+    "corpus_split_hash",
+    "text_inverted_index",
+    "langid_ngram_vote",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "distinct_op",
@@ -66,16 +78,9 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # -- (c) newest-green-in-r02 cohort (28 of 35)
     "dedup_minhash_lsh",
     "dedup_embedding_lsh_verified",
-    "embedding_lsh_buckets",
-    "media_catalog",
     "graph_connected_components",
     "stream_interval_join",
-    "sparql_filter_agg",
     "sparql_optional",
-    "sparql_union",
-    "sparql_minus",
-    "sparql_exists",
-    "sparql_path_sequence",
     "sparql_construct",
     # NEW in round 5 (needs first evidence): incremental near-dup
     # stream against the batch LSH index; same oracle as
@@ -101,15 +106,29 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # graph_bfs_chain (r02-green; shares graph.py iteration machinery
     # with the windowed graph_connected_components — displaced by the
     # new graph_triangle_count), media_frame_sample (r02-green;
-    # shares the mapInPandas pipeline with the windowed media_catalog
+    # shares the mapInPandas pipeline with media_catalog
     # — displaced by the new lr_quality_classifier) and
     # sparql_term_funcs (r02-green, expressions family like the seven
     # above — displaced by the new lr_quality_score) and
     # sparql_not_exists (r02-green; shares the decorrelated anti-join
-    # path with the windowed sparql_exists/sparql_minus — displaced by
+    # path with sparql_exists/sparql_minus — displaced by
     # the new events_ab_test) and dedup_ngram_jaccard (r02-green;
     # shares the LSH-candidate kernel with the windowed
     # dedup_minhash_lsh — displaced by embedding_power_iteration).
+    # Wave-2 displacements (one per new wave-2 entry, all r02-green,
+    # each with a fresher sibling on the same engine code path):
+    # sparql_filter_agg (compiler filter+agg path = r04-green
+    # sparql_agg_suite / sparql_tpch_q1), sparql_union (Union compile =
+    # r04-green union_all + windowed union_distinct), sparql_minus
+    # (static-mask anti path = r04-green join_anti + r03
+    # sparql_minus_optional), sparql_exists (decorrelated semi path =
+    # r04-green join_semi; sparql_optional keeps the LeftJoin path
+    # windowed), sparql_path_sequence (path compiler = r04-green
+    # sparql_path_alt_inverse + sparql_path_transitive),
+    # embedding_lsh_buckets (hyperplane-bucket kernel = windowed
+    # dedup_embedding_lsh_verified; r04-green itself), media_catalog
+    # (mapInPandas media pipeline = r04-green media_feature_hist +
+    # media_dedup_payload).
 )
 
 

@@ -685,3 +685,45 @@ def lr_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(score), 4).alias("mean_score"),
         F.round(F.avg("y"), 4).alias("en_fraction"),
     )
+
+
+@register(
+    "corpus_split_hash",
+    """
+    WITH assigned AS (
+        SELECT source, n_chars,
+               CASE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10
+                    WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+        FROM documents)
+    SELECT split, source,
+           count(*)                         AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)     AS sum_chars
+    FROM assigned GROUP BY split, source
+    """,
+)
+def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: first 16 md5 bits of the
+    doc id mod 10 — bucket 0 is test, 1 is val, the rest train
+    (~80/10/10). Content-addressed splits survive re-partitioning,
+    re-ingestion, and engine changes, which seeded RNG splits do not —
+    the property that makes decontamination auditable. Map-only assign
+    + one partial-agg groupBy over (split, source); at 100 TB the
+    reported relation is #splits x #sources rows."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 10
+    )
+    split = (
+        F.when(bucket == 0, "test").when(bucket == 1, "val").otherwise("train")
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -591,3 +591,145 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("p1"),
         F.round((p1 - p0) / se, 4).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series analytics (round-5 wave 2 extensions)
+# ---------------------------------------------------------------------------
+
+EWMA_DECAY = 0.8  # weight w_k = decay^k for the k-th most recent event
+EWMA_TAPS = 8  # bounded history: only the 8 most recent events matter
+
+
+def _ewma_terms(lag_fn, present_fn):
+    """Shared numerator/denominator construction for the bounded EWMA:
+    num = sum_k decay^k * value[t-k], den = sum_k decay^k over the taps
+    that exist. An explicit, fixed-order expression tree — no aggregate,
+    so no summation-order drift between engines."""
+    num = []
+    den = []
+    for k in range(EWMA_TAPS):
+        w = EWMA_DECAY**k
+        num.append(f"{w!r} * coalesce({lag_fn(k)}, 0.0)")
+        den.append(f"CASE WHEN {present_fn(k)} THEN {w!r} ELSE 0.0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_terms(
+    lambda k: f"lag(value, {k}) OVER w" if k else "value",
+    lambda k: (f"lag(value, {k}) OVER w IS NOT NULL" if k else "TRUE"),
+)
+
+
+@register(
+    "events_ewma_bounded",
+    f"""
+    SELECT event_id, user_id,
+           round(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded exponentially-weighted moving average per user: the 8
+    most recent events with decay 0.8^k, normalized over the taps
+    present (exact at sequence starts). Bounded history means bounded
+    state — the same kernel runs under Structured Streaming with an
+    8-row buffer per key. One shuffle on user_id; the 8 lags are one
+    window-sort, all JVM expression code (no aggregate, so the weighted
+    sum has a fixed evaluation order on both engines)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(EWMA_TAPS):
+        wt = EWMA_DECAY**k
+        lagged = F.col("value") if k == 0 else F.lag("value", k).over(w)
+        num = num + F.lit(wt) * F.coalesce(lagged, F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return e.select("event_id", "user_id", F.round(num / den, 6).alias("ewma"))
+
+
+@register(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               round(quantile_cont(abs(e.value - m.med), 0.5)
+                     OVER (PARTITION BY e.event_type), 6) AS mad
+        FROM events e JOIN med m USING (event_type))
+    SELECT event_type, any_value(med) AS med, any_value(mad) AS mad,
+           CAST(sum(CASE WHEN abs(value - med) > 3 * mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           count(*) AS n_total
+    FROM dev GROUP BY event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: median/MAD per event_type, flag values
+    beyond 3 MADs. Exact interpolated percentiles (Spark ``percentile``
+    == DuckDB ``quantile_cont``), both rounded to 6dp BEFORE the
+    threshold comparison so a final-ULP difference between engines
+    cannot flip a boundary event. Two partial-agg passes over events
+    plus a broadcast of the #event_type-row median table — no
+    data-sized shuffle beyond the two groupBys."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+@register(
+    "events_linreg_trend",
+    """
+    WITH x AS (
+        SELECT event_type, value AS y,
+               (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 3.6e9 AS x
+        FROM events)
+    SELECT event_type,
+           round(covar_pop(x, y) / var_pop(x), 6)               AS slope,
+           round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4) AS intercept,
+           round(corr(x, y) * corr(x, y), 6)                    AS r2,
+           count(*)                                             AS n
+    FROM x GROUP BY event_type
+    """,
+)
+def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of value on time (hours since 2024-01-01) per
+    event_type: slope = covar_pop/var_pop, both built-in aggregates on
+    both engines. Centering happens inside covar/var (they subtract
+    means internally), and x is pre-scaled to O(100)-magnitude hours, so
+    no catastrophic cancellation on epoch-scale sums. One partial-agg
+    groupBy — trend estimation at 100 TB is a single shuffle of
+    #event_type rows of moments."""
+    e = table(spark, sf_dir, "events")
+    x = (epoch_us(F.col("ts")) - F.lit(1704067200000000)) / F.lit(3.6e9)
+    d = e.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return d.groupBy("event_type").agg(
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+        F.round(F.corr("x", "y") * F.corr("x", "y"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )

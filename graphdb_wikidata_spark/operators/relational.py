@@ -852,3 +852,87 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence mining (round-5 wave 2 extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_basket_pairs",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    singles AS (SELECT l_partkey, count(*) AS cnt FROM b GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS p1, c.l_partkey AS p2, count(*) AS pair_count
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2)
+    SELECT p1, p2, pair_count,
+           round(pair_count / (n.n_orders * 1.0), 8)                 AS support,
+           round(pair_count / (s1.cnt * 1.0), 6)                     AS confidence,
+           round(pair_count * n.n_orders / (s1.cnt * 1.0 * s2.cnt), 4) AS lift
+    FROM pairs
+    JOIN singles s1 ON s1.l_partkey = p1
+    JOIN singles s2 ON s2.l_partkey = p2
+    CROSS JOIN n
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs ordered together in
+    >= 2 orders, with support / confidence / lift. The pair generation
+    is a self-join of the distinct (order, part) basket relation on
+    orderkey — both sides shuffle once on the same key (one exchange,
+    reused), and the per-order blowup is bounded by basket size squared
+    (TPC-H baskets are <= 7 lines; a pipeline would cap basket size
+    before pairing). The HAVING prunes the singleton-pair long tail
+    before the metric joins; the singles counts and the 1-row order
+    count broadcast. All metrics are exact-integer ratios rounded at
+    the end, so no engine-order FP drift."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = b.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    singles = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("c.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= 2)
+    )
+    s1 = F.broadcast(singles.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1")))
+    s2 = F.broadcast(singles.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2")))
+    return (
+        pairs.join(s1, "p1")
+        .join(s2, "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "pair_count",
+            F.round(F.col("pair_count") / F.col("n_orders").cast("double"), 8).alias(
+                "support"
+            ),
+            F.round(F.col("pair_count") / F.col("cnt1").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("pair_count")
+                * F.col("n_orders")
+                / (F.col("cnt1").cast("double") * F.col("cnt2")),
+                4,
+            ).alias("lift"),
+        )
+    )

@@ -516,3 +516,161 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_longword").alias("longwords"),
         F.sum(F.col("n0") - F.col("n1")).alias("chars_redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IR / classification (round-5 wave 2 extensions)
+# ---------------------------------------------------------------------------
+
+POSTINGS_CAP = 20  # champion-list prefix kept per term
+
+
+@register(
+    "text_inverted_index",
+    f"""
+    WITH t AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]{{3,}}')) AS term
+        FROM documents)
+    SELECT term, count(*) AS df,
+           array_to_string(list_sort(list(doc_id))[1:{POSTINGS_CAP}], ',')
+               AS postings
+    FROM t GROUP BY term HAVING count(*) >= 2
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term -> document frequency + the
+    first POSTINGS_CAP doc ids of the sorted posting list (a "champion
+    list" — real indexes keep the full postings sharded by term and
+    delta-encoded; the capped prefix keeps this oracle-checkable).
+    One shuffle of distinct (term, doc_id) pairs; hapaxes are dropped
+    AFTER the count (they must be counted to be known), and the
+    sort+slice runs per term-group, never globally. Skewed stopword
+    terms are exactly the groups AQE splits."""
+    d = table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{3,}"), F.lit(0))
+            )
+        ).alias("term"),
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP).cast(
+                    "array<string>"
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+LANGID_PREFIX = 200  # chars of each doc profiled (Cavnar-Trenkle style)
+
+
+@register(
+    "langid_ngram_vote",
+    f"""
+    WITH split AS (
+        SELECT doc_id, lang, substr(text, 1, {LANGID_PREFIX}) AS prefix,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10 AS bucket
+        FROM documents WHERE length(text) >= 2),
+    grams AS (
+        SELECT doc_id, lang, bucket,
+               unnest(list_transform(range(1, length(prefix)),
+                                     i -> substr(prefix, i, 2))) AS bg
+        FROM split),
+    train_counts AS (
+        SELECT bg, lang, count(*) AS cnt FROM grams
+        WHERE bucket <> 0 GROUP BY bg, lang),
+    votes AS (
+        SELECT bg, lang AS vote_lang FROM (
+            SELECT bg, lang,
+                   row_number() OVER (PARTITION BY bg
+                                      ORDER BY cnt DESC, lang ASC) AS rn
+            FROM train_counts) WHERE rn = 1),
+    test_grams AS (
+        SELECT doc_id, lang, bg, count(*) AS w FROM grams
+        WHERE bucket = 0 GROUP BY doc_id, lang, bg),
+    scored AS (
+        SELECT g.doc_id, g.lang, v.vote_lang,
+               CAST(sum(g.w) AS BIGINT) AS score
+        FROM test_grams g JOIN votes v USING (bg)
+        GROUP BY g.doc_id, g.lang, v.vote_lang),
+    pred AS (
+        SELECT doc_id, lang, vote_lang AS pred_lang FROM (
+            SELECT doc_id, lang, vote_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, vote_lang ASC) AS rn
+            FROM scored) WHERE rn = 1)
+    SELECT lang, pred_lang, count(*) AS n_docs
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def langid_ngram_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained character-bigram language classifier (Cavnar-Trenkle
+    style, integer votes so both engines agree exactly): each bigram
+    learns its majority language over the train split (hash buckets
+    1-9), each held-out doc (bucket 0) is classified by the
+    occurrence-weighted majority of its bigrams' votes; output is the
+    confusion matrix. All arithmetic is integer counts with total-order
+    tie-breaks (count DESC, lang ASC) — no FP anywhere. Scale: the vote
+    table is bounded by charset^2 rows (broadcastable for latin,
+    shuffle-join for CJK); the test-side explode is prefix-bounded at
+    {LANGID_PREFIX} chars/doc, and every aggregation is partial-agg.
+    Train/test reuse [[corpus_split_hash]]'s content-addressed split."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 10
+    )
+    prefix = F.substring("text", 1, LANGID_PREFIX)
+    grams = d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(substring(text, 1, {LANGID_PREFIX})) - 1),"
+                f" i -> substring(substring(text, 1, {LANGID_PREFIX}), i, 2))"
+            )
+        ).alias("bg"),
+    )
+    train_counts = (
+        grams.filter(F.col("bucket") != 0)
+        .groupBy("bg", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_vote = Window.partitionBy("bg").orderBy(F.desc("cnt"), F.asc("lang"))
+    votes = (
+        train_counts.withColumn("rn", F.row_number().over(w_vote))
+        .filter(F.col("rn") == 1)
+        .select("bg", F.col("lang").alias("vote_lang"))
+    )
+    test_grams = (
+        grams.filter(F.col("bucket") == 0)
+        .groupBy("doc_id", "lang", "bg")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    scored = (
+        test_grams.join(F.broadcast(votes), "bg")
+        .groupBy("doc_id", "lang", "vote_lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("vote_lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("vote_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
