@@ -53,11 +53,17 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "corpus_split_hash",
     "text_inverted_index",
     "langid_ngram_vote",
+    # -- NEW in round 5 wave 3: stateful-stream EWMA (shares the batch
+    # oracle), TPC-H Q18, Pareto concentration, Zipf exponent fit,
+    # k-means cluster purity. Displacements listed at the bottom.
+    "stream_ewma_bounded",
+    "tpch_q18_large_orders",
+    "events_heavy_hitter_share",
+    "text_zipf_fit",
+    "embedding_cluster_purity",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
-    "distinct_op",
     "events_session_window",
-    "events_tumbling",
     "events_rollup_multires",
     "events_json_extract",
     "events_pivot",
@@ -67,13 +73,10 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "events_asof_join",
     "text_stats",
     "lang_id_heuristic",
-    "token_count_regex",
     "tfidf_rarest_term",
-    "doc_fingerprint",
     "dedup_exact",
     "simhash_signature",
     "embedding_knn_topk",
-    "embedding_centroid_norm",
     "embedding_ivf_topk",
     # -- (c) newest-green-in-r02 cohort (28 of 35)
     "dedup_minhash_lsh",
@@ -115,6 +118,15 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # the new events_ab_test) and dedup_ngram_jaccard (r02-green;
     # shares the LSH-candidate kernel with the windowed
     # dedup_minhash_lsh — displaced by embedding_power_iteration).
+    # Wave-3 displacements (one per new wave-3 entry, all r01-green
+    # with an in-window sibling on the same kernel): distinct_op
+    # (Distinct = windowed union_distinct), events_tumbling
+    # (event-time window agg = windowed events_sliding +
+    # events_session_window + the stream_* rows), token_count_regex
+    # (regexp token family = windowed text_stats + lang_id_heuristic),
+    # doc_fingerprint (map-only md5 = windowed dedup_exact +
+    # corpus_split_hash), embedding_centroid_norm (per-label centroid
+    # agg = windowed embedding_kmeans's update kernel).
     # Wave-2 displacements (one per new wave-2 entry, all r02-green,
     # each with a fresher sibling on the same engine code path):
     # sparql_filter_agg (compiler filter+agg path = r04-green

@@ -733,3 +733,65 @@ def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("x", "y") * F.corr("x", "y"), 6).alias("r2"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "events_heavy_hitter_share",
+    """
+    WITH per_user AS (
+        SELECT event_type, user_id, round(sum(value), 6) AS v
+        FROM events GROUP BY event_type, user_id),
+    ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v DESC, user_id ASC) AS rnk,
+               count(*)  OVER (PARTITION BY event_type) AS n_users,
+               sum(v)    OVER (PARTITION BY event_type) AS total_v
+        FROM per_user)
+    SELECT event_type,
+           CAST(max(n_users) AS BIGINT)                         AS n_users,
+           round(max(total_v), 2)                               AS total_value,
+           round(sum(CASE WHEN rnk * 100 <= n_users THEN v ELSE 0 END)
+                 / max(total_v), 6)                             AS top1pct_share,
+           round(sum(CASE WHEN rnk * 10 <= n_users THEN v ELSE 0 END)
+                 / max(total_v), 6)                             AS top10pct_share
+    FROM ranked GROUP BY event_type
+    """,
+)
+def events_heavy_hitter_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration analysis: the share of total value held by the top
+    1% / 10% of users per event type (the Pareto question every usage
+    dashboard asks). One partial-agg groupBy to per-user totals, then
+    rank/share windows over the already-collapsed #users-row relation —
+    the raw event table is touched once. Rank ties broken by user_id;
+    shares are ratios of identically-grouped sums, rounded at the end."""
+    e = table(spark, sf_dir, "events")
+    # per-user sums are rounded BEFORE ranking: two users with
+    # near-equal totals must rank identically on both engines (exact
+    # ties then break by user_id), or percentile membership could flip
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("v")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(F.desc("v"), F.asc("user_id"))
+    w_all = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "v",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("n_users"),
+        F.sum("v").over(w_all).alias("total_v"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n_users").alias("n_users"),
+        F.round(F.max("total_v"), 2).alias("total_value"),
+        F.round(
+            F.sum(F.when(F.col("rnk") * 100 <= F.col("n_users"), F.col("v")).otherwise(0.0))
+            / F.max("total_v"),
+            6,
+        ).alias("top1pct_share"),
+        F.round(
+            F.sum(F.when(F.col("rnk") * 10 <= F.col("n_users"), F.col("v")).otherwise(0.0))
+            / F.max("total_v"),
+            6,
+        ).alias("top10pct_share"),
+    )

@@ -391,7 +391,11 @@ KMEANS_ROUND = 7
 _KM_D2 = "list_aggregate(list_transform(list_zip(e.v, c.cv), s -> (s[1]-s[2])**2), 'sum')"
 
 
-def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """The unrolled-Lloyd's WITH-body shared by every oracle that needs
+    the trained assignment (`a{iters}`) / centroids (`c{iters}`):
+    embedding_kmeans reports cluster sizes, embedding_cluster_purity
+    joins the assignment against the labels."""
     ctes = []
     for n in range(1, iters + 1):
         ctes.append(
@@ -411,7 +415,12 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}) q),
-    {','.join(ctes)}
+    {','.join(ctes)}"""
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    return f"""
+    {_kmeans_ctes(k, iters)}
     SELECT a.cid AS cluster_id, count(*) AS n_members,
            any_value(round(sqrt(list_aggregate(
                list_transform(c.cv, x -> x*x), 'sum')), 6)) AS centroid_norm
@@ -651,4 +660,67 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(vcur[1]), 6).alias("pc_1"),
         F.round(F.lit(vcur[2]), 6).alias("pc_2"),
         F.round(F.lit(vcur[3]), 6).alias("pc_3"),
+    )
+
+
+def _purity_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    return f"""
+    {_kmeans_ctes(k, iters)},
+    cont AS (
+        SELECT a.cid, emb.label, count(*) AS n
+        FROM a{iters} a JOIN embeddings emb USING (vec_id)
+        GROUP BY a.cid, emb.label),
+    tot AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_members FROM cont GROUP BY cid),
+    top AS (
+        SELECT cid, label AS majority_label, n AS n_majority FROM (
+            SELECT cid, label, n,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY n DESC, label ASC) AS rk
+            FROM cont) x WHERE rk = 1)
+    SELECT t.cid AS cluster_id, tot.n_members,
+           t.majority_label, t.n_majority,
+           round(t.n_majority / (tot.n_members * 1.0), 6) AS purity
+    FROM top t JOIN tot USING (cid)
+    """
+
+
+@register("embedding_cluster_purity", _purity_oracle())
+def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: the contingency of trained k-means
+    clusters against the ground-truth ``label`` column — per cluster,
+    its size, majority label, and purity (majority fraction). This is
+    the eval loop a pipeline runs after [[embedding_kmeans]]; the
+    trained assignment is the SAME unrolled-Lloyd's trajectory (shared
+    CTE builder, shared KMEANS_ROUND contract), so Spark and the oracle
+    score an identical clustering. The contingency is one partial-agg
+    groupBy over (cid, label) — #clusters x #labels rows — and the
+    argmax breaks count ties toward the lower label on both engines."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assigned = kmeans_fit(e).select("vec_id", "cid")
+    cont = (
+        assigned.join(labels, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cont.groupBy("cid").agg(F.sum("n").alias("n_members"))
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        cont.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cid", F.col("label").alias("majority_label"), F.col("n").alias("n_majority"))
+    )
+    return (
+        top.join(tot, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "majority_label",
+            "n_majority",
+            F.round(F.col("n_majority") / F.col("n_members").cast("double"), 6).alias(
+                "purity"
+            ),
+        )
     )

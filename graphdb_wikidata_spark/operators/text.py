@@ -674,3 +674,54 @@ def langid_ngram_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("vote_lang").alias("pred_lang"))
     )
     return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "text_zipf_fit",
+    """
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+        FROM documents),
+    freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    ranked AS (
+        SELECT log10(row_number() OVER (ORDER BY cnt DESC, term ASC)) AS lx,
+               log10(cnt) AS ly
+        FROM freq)
+    SELECT count(*) AS n_terms,
+           round(-(covar_pop(lx, ly) / var_pop(lx)), 6) AS zipf_exponent,
+           round(corr(lx, ly) * corr(lx, ly), 6)        AS r2
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of log10(freq) on
+    log10(rank); the exponent is the negated slope (natural text ~1.0;
+    the synthetic corpus' near-uniform word pool fits ~0.1 — the
+    statistic is exactly how you'd DETECT such synthetic text). The
+    corpus collapses to #vocab rows in one partial-agg pass before any
+    window touches it; the rank sort is vocabulary-sized, not
+    corpus-sized. Counts are integers, so both engines take logs of
+    identical values; moment aggregates round at 6dp."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{3,}"), F.lit(0))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = freq.select(
+        F.log10(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log10(F.col("cnt").cast("double")).alias("ly"),
+    )
+    slope = F.covar_pop("lx", "ly") / F.var_pop("lx")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(-slope, 6).alias("zipf_exponent"),
+        F.round(F.corr("lx", "ly") * F.corr("lx", "ly"), 6).alias("r2"),
+    )

@@ -210,3 +210,22 @@ def stream_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_candidates_stream(documents_stream(spark, sf_dir), static_bands),
         output_mode="append",
     )
+
+
+def _ewma_oracle() -> str:
+    from ..operators.events import ORACLES as EVENTS_ORACLES
+
+    return EVENTS_ORACLES["events_ewma_bounded"]
+
+
+@register("stream_ewma_bounded", _ewma_oracle())
+def stream_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bounded EWMA as a stateful stream (streams.ewma_bounded
+    _stream): fixed 8-value ring state per user, one output row per
+    arriving event; finite replay equals the batch window operator, so
+    it shares events_ewma_bounded's oracle verbatim."""
+    from .streams import ewma_bounded_stream
+
+    return run_available_now(
+        ewma_bounded_stream(events_stream(spark, sf_dir)), output_mode="append"
+    )

@@ -320,3 +320,56 @@ def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame
         spark.conf.set("spark.sql.shuffle.partitions", old)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+_EWMA_SCHEMA = "event_id bigint, user_id bigint, ewma double"
+_EWMA_STATE = "vals array<double>"
+
+
+def _ewma_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Bounded-EWMA state function: the state is ONLY the last
+    EWMA_TAPS values per user (the whole point of a bounded-tap EWMA —
+    per-key state is a fixed-size ring, independent of stream length).
+    Rows inside the micro-batch are sorted by (ts, event_id) to match
+    the batch window order; the per-tap weighted sum runs in the same
+    fixed order as the batch expression tree, so a finite replay is
+    bit-identical to operators/events.events_ewma_bounded."""
+    from ..operators.events import EWMA_DECAY, EWMA_TAPS
+
+    vals: list[float] = list(state.get[0]) if state.exists else []
+    ids: list[int] = []
+    users: list[int] = []
+    out: list[float] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            vals.append(float(v))
+            if len(vals) > EWMA_TAPS:
+                vals.pop(0)
+            num = 0.0
+            den = 0.0
+            for k in range(len(vals)):
+                w = EWMA_DECAY**k
+                num += w * vals[-1 - k]
+                den += w
+            ids.append(int(eid))
+            users.append(int(key[0]))
+            out.append(round(num / den, 6))
+    state.update((vals,))
+    yield pd.DataFrame({"event_id": ids, "user_id": users, "ewma": out})
+
+
+def ewma_bounded_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch bounded EWMA: applyInPandasWithState
+    keyed by user, emitting one smoothed row per arriving event. The
+    per-row Python loop is over <= 8 taps (Arrow moves the batches);
+    a JVM-side alternative would be a session-windowless 8-lag window,
+    but lag() is not supported on streams — this is exactly the
+    "custom stateful operator" case applyInPandasWithState exists for."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=_EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

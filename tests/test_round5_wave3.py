@@ -1,0 +1,152 @@
+"""Round-5 wave-3 additions: streaming bounded EWMA, TPC-H Q18, Pareto
+concentration, Zipf fit, k-means cluster purity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphdb_wikidata_spark.operators import events, relational, similarity, text
+from graphdb_wikidata_spark.tables import table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_ewma_equals_batch(spark):
+    """Finite replay of the stateful stream == the batch window
+    operator, row for row (the availableNow contract)."""
+    from graphdb_wikidata_spark.streaming import entry as streaming_entry
+
+    got = sorted(
+        map(tuple, streaming_entry.QUERIES["stream_ewma_bounded"](spark, SF_SMOKE).collect())
+    )
+    want = sorted(
+        map(tuple, events.QUERIES["events_ewma_bounded"](spark, SF_SMOKE).collect())
+    )
+    assert got == want
+
+
+def test_q18_having_before_join(spark):
+    rows = relational.QUERIES["tpch_q18_large_orders"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.sum_qty > 300
+    # descending by price with orderkey tiebreak
+    prices = [(-r.total_price, r.o_orderkey) for r in rows]
+    assert prices == sorted(prices)
+    # the aggregate runs before the joins: the join input is the
+    # filtered big-orders relation, so the plan broadcasts it
+    plan = (
+        relational.QUERIES["tpch_q18_large_orders"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_heavy_hitter_share_bounds(spark):
+    rows = events.QUERIES["events_heavy_hitter_share"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # top 1% is a subset of top 10%; both are shares of the total
+        assert 0.0 <= r.top1pct_share <= r.top10pct_share <= 1.0 + 1e-9
+        # top 10% of users must hold at least 10% of value only under
+        # uniformity — but they can never hold LESS than their count
+        # share of the MINIMUM user... just check type/row sanity
+        assert r.n_users > 0 and r.total_value > 0
+
+
+def test_heavy_hitter_planted_whale(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    # 100 users with value 1, one whale (user 0) with value 900:
+    # top 1% = 1 user = the whale = 900/1000 of the value
+    rows = [(i, t0 + timedelta(minutes=i), i, "x", 1.0, "{}") for i in range(1, 101)]
+    rows.append((0, t0, 0, "x", 900.0, "{}"))
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = events.table
+    try:
+        events.table = lambda s, d, n: e  # noqa: ARG005
+        [r] = events.QUERIES["events_heavy_hitter_share"](spark, SF_SMOKE).collect()
+    finally:
+        events.table = orig
+    assert r.n_users == 101
+    assert abs(r.top1pct_share - 0.9) < 1e-9
+
+
+def test_zipf_fit_on_planted_zipf(spark):
+    # frequencies exactly rank^-1 scaled: freq_r = 2^(10 - log2-ish)…
+    # simpler: term t_r repeated round(1000 / r) times -> exponent ~1
+    docs = []
+    did = 0
+    for r in range(1, 21):
+        n = max(1, round(1000 / r))
+        # letter-only token: the [a-z]{3,} tokenizer drops digits
+        name = "term" + chr(ord("a") + (r - 1) // 5) + chr(ord("a") + (r - 1) % 5)
+        text_blob = " ".join([name] * n)
+        docs.append((did, text_blob, "en", "s", len(text_blob)))
+        did += 1
+    d = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+    orig = text.table
+    try:
+        text.table = lambda s, dd, n: d  # noqa: ARG005
+        [row] = text.QUERIES["text_zipf_fit"](spark, SF_SMOKE).collect()
+    finally:
+        text.table = orig
+    assert row.n_terms == 20
+    assert abs(row.zipf_exponent - 1.0) < 0.01
+    assert row.r2 > 0.999
+
+
+def test_cluster_purity_consistent_with_kmeans(spark):
+    purity = {
+        r.cluster_id: r
+        for r in similarity.QUERIES["embedding_cluster_purity"](spark, SF_SMOKE).collect()
+    }
+    sizes = {
+        r.cluster_id: r.n_members
+        for r in similarity.QUERIES["embedding_kmeans"](spark, SF_SMOKE).collect()
+    }
+    # same clustering: identical cluster ids and member counts
+    assert {k: v.n_members for k, v in purity.items()} == sizes
+    n_vecs = table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(v.n_members for v in purity.values()) == n_vecs
+    labels = {
+        r[0] for r in table(spark, SF_SMOKE, "embeddings").select("label").distinct().collect()
+    }
+    for v in purity.values():
+        assert v.majority_label in labels
+        assert 0 < v.n_majority <= v.n_members
+        assert abs(v.purity - round(v.n_majority / v.n_members, 6)) < 1e-9
+        # majority of a partition over |labels| classes is at least 1/|labels|
+        assert v.purity >= 1.0 / len(labels) - 1e-9
+
+
+def test_purity_perfect_on_separable_labels(spark):
+    # vectors clustered tightly around 3 orthogonal corners, labels =
+    # the corner: every k-means cluster (k=8 default; surplus centroids
+    # only ever split a corner, never mix two) must be label-pure
+    import graphdb_wikidata_spark.operators.similarity as sim
+
+    rows = []
+    for i in range(60):
+        corner = i % 3
+        base = [0.0] * 6
+        base[corner * 2] = 10.0
+        base[corner * 2 + 1] = 10.0
+        jitter = ((i * 37) % 7) / 100.0
+        vec = [x + jitter for x in base]
+        rows.append((i, vec, corner))
+    e = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    orig_table = sim.table
+    try:
+        sim.table = lambda s, d, n: e  # noqa: ARG005
+        out = sim.QUERIES["embedding_cluster_purity"](spark, SF_SMOKE).collect()
+    finally:
+        sim.table = orig_table
+    assert out
+    assert all(r.purity == 1.0 for r in out)
+    assert sum(r.n_members for r in out) == 60
