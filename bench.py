@@ -184,10 +184,10 @@ def main() -> None:
         # scale path is K ~ N/1000 (see its docstring), which the twin
         # can't exercise without changing the oracle.
         "embedding_kmeans",
-        # round 5 wave 2: the basket self-join must stay linear — the
-        # per-order pair blowup is basket-bounded, so 10x orders means
-        # 10x pairs, not 100x (a superlinear probe here means the
-        # HAVING prune or the single-exchange join broke)
+        # round 5 wave 2: basket-local pair generation must stay
+        # linear — the per-order blowup is basket-bounded, so 10x
+        # orders means 10x pairs, not 100x (a superlinear probe here
+        # means the HAVING prune or the in-row pair expansion broke)
         "market_basket_pairs",
     ]
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":

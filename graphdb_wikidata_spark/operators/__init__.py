@@ -61,10 +61,15 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "events_heavy_hitter_share",
     "text_zipf_fit",
     "embedding_cluster_purity",
+    # -- NEW in round 5 wave 4: CUSUM change detection (grouped-map
+    # applyInPandas custom operator, recursive-CTE oracle), Markov
+    # transition matrix, RFM segmentation. Displacements at the bottom.
+    "events_cusum_alerts",
+    "events_markov_transitions",
+    "customer_rfm_segments",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "events_session_window",
-    "events_rollup_multires",
     "events_json_extract",
     "events_pivot",
     "events_sliding",
@@ -73,10 +78,8 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "events_asof_join",
     "text_stats",
     "lang_id_heuristic",
-    "tfidf_rarest_term",
     "dedup_exact",
     "simhash_signature",
-    "embedding_knn_topk",
     "embedding_ivf_topk",
     # -- (c) newest-green-in-r02 cohort (28 of 35)
     "dedup_minhash_lsh",
@@ -127,6 +130,12 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # doc_fingerprint (map-only md5 = windowed dedup_exact +
     # corpus_split_hash), embedding_centroid_norm (per-label centroid
     # agg = windowed embedding_kmeans's update kernel).
+    # Wave-4 displacements (r01-green, in-window same-kernel siblings):
+    # events_rollup_multires (event-time window-agg family = windowed
+    # events_sliding + events_session_window), tfidf_rarest_term
+    # (df-aggregate + argmin = windowed text_inverted_index computes
+    # the same df relation), embedding_knn_topk (brute cosine kernel =
+    # windowed embedding_ivf_topk's fine search over probed cells).
     # Wave-2 displacements (one per new wave-2 entry, all r02-green,
     # each with a fresher sibling on the same engine code path):
     # sparql_filter_agg (compiler filter+agg path = r04-green

@@ -795,3 +795,110 @@ def events_heavy_hitter_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top10pct_share"),
     )
+
+
+CUSUM_DRIFT = 75.0  # per-step drift subtraction (mean + 0.5 sigma here)
+CUSUM_ALARM = 200.0  # alarm threshold on the cumulative statistic
+
+
+@register(
+    "events_cusum_alerts",
+    f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    cusum AS (
+        SELECT user_id, rn,
+               greatest(0.0, value - {CUSUM_DRIFT}) AS s FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, greatest(0.0, c.s + o.value - {CUSUM_DRIFT})
+        FROM cusum c JOIN ordered o
+          ON o.user_id = c.user_id AND o.rn = c.rn + 1)
+    SELECT user_id, count(*) AS n_events,
+           round(max(s), 6) AS max_cusum,
+           CAST(sum(CASE WHEN s > {CUSUM_ALARM} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms
+    FROM cusum GROUP BY user_id
+    """,
+)
+def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user: the one-sided cumulative
+    sum S_t = max(0, S_(t-1) + value - drift), alarming while S_t
+    exceeds the threshold. The recurrence is inherently sequential per
+    key — the canonical case for a grouped-map ``applyInPandas`` custom
+    operator (Arrow batches in, one shuffle on user_id, per-key state
+    is one float). The oracle runs the SAME recurrence as a recursive
+    CTE; both sides evaluate ``s + value - drift`` left-associated, so
+    the float trajectories are bit-identical. The streaming twin is an
+    applyInPandasWithState with a single-float state (cf.
+    [[stream_ewma_bounded]])."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = 0.0
+        mx = 0.0
+        alarms = 0
+        for v in pdf["value"]:
+            s = s + float(v) - CUSUM_DRIFT
+            if s < 0.0:
+                s = 0.0
+            if s > mx:
+                mx = s
+            if s > CUSUM_ALARM:
+                alarms += 1
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "max_cusum": [round(mx, 6)],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        cusum, schema="user_id bigint, n_events bigint, max_cusum double, n_alarms bigint"
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events),
+    pairs AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           round(n / (sum(n) OVER (PARTITION BY from_type) * 1.0), 6) AS p
+    FROM pairs
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type). One window pass to form
+    (from, to) pairs (shuffle on user_id), one partial-agg groupBy to
+    counts, and the row-normalization window runs over the
+    #types^2-row relation — the corpus is touched once. All-integer
+    counts; the probability is an exact ratio rounded at the end."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / (F.sum("n").over(w_from).cast("double")), 6).alias("p"),
+    )

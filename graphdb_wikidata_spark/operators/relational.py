@@ -883,32 +883,41 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence mining: part pairs ordered together in
-    >= 2 orders, with support / confidence / lift. The pair generation
-    is a self-join of the distinct (order, part) basket relation on
-    orderkey — both sides shuffle once on the same key (one exchange,
-    reused), and the per-order blowup is bounded by basket size squared
-    (TPC-H baskets are <= 7 lines; a pipeline would cap basket size
-    before pairing). The HAVING prunes the singleton-pair long tail
-    before the metric joins; the singles counts and the 1-row order
-    count broadcast. All metrics are exact-integer ratios rounded at
-    the end, so no engine-order FP drift."""
+    >= 2 orders, with support / confidence / lift. Pair generation is
+    basket-local: ONE shuffle collects each order's distinct parts into
+    a sorted array, then a higher-order expression enumerates the
+    C(basket, 2) pairs in-row (the oracle's equivalent self-join would
+    re-shuffle the basket relation once per side — measured plan showed
+    Spark does NOT reuse that exchange). Per-order blowup is basket²
+    (TPC-H baskets <= 7 lines; a pipeline caps basket size before
+    pairing, exactly like an LSH band cap). The singleton-pair long
+    tail is pruned before the metric joins; singles counts and the
+    1-row order count broadcast; the basket relation feeds pairs,
+    singles, and n_orders from the same aggregate. All metrics are
+    exact-integer ratios rounded at the end, so no engine-order FP
+    drift."""
     li = table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = b.select(
-        F.countDistinct("l_orderkey").alias("n_orders")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    singles = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a = b.alias("a")
-    c = b.alias("c")
+    # baskets feeds pairs + singles + n_orders; the subtree recomputes
+    # per consumer (scan + one partial-agg shuffle each) — deliberately
+    # NOT checkpointed/cached: pinning a corpus-sized basket table on
+    # executors evicted neighbouring queries' caches in the bench (the
+    # r04 contamination lesson), and recompute of a map-side-combined
+    # aggregate is the cheaper currency at 100 TB too
+    n_orders = baskets.select(F.count(F.lit(1)).alias("n_orders"))
+    singles = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pair_structs = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS p1, y AS p2))))"
+    )
     pairs = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("c.l_partkey").alias("p2")
-        )
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= 2)
     )
@@ -985,4 +994,62 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
         .limit(100)
+    )
+
+
+RFM_ANCHOR = "1998-08-01"  # recency reference date (end of the dataset era)
+
+
+@register(
+    "customer_rfm_segments",
+    f"""
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', max(o_orderdate), TIMESTAMP '{RFM_ANCHOR}')
+                   AS recency_days,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT custkey, monetary,
+               ntile(4) OVER (ORDER BY recency_days ASC, custkey) AS r_q,
+               ntile(4) OVER (ORDER BY frequency DESC, custkey)   AS f_q,
+               ntile(4) OVER (ORDER BY monetary DESC, custkey)    AS m_q
+        FROM rfm)
+    SELECT r_q, f_q, m_q,
+           count(*) AS n_customers,
+           round(avg(monetary), 2) AS avg_monetary
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary,
+    quartiled by ntile with custkey tie-breaks (quartile membership is
+    then a total order, identical on both engines), rolled up to the
+    4x4x4 segment grid. The orders table collapses to #customers rows
+    in one partial-agg pass; the three ntile windows sort that
+    collapsed relation, not the fact table — at 100 TB the windows run
+    over the customer dimension. (Production note: a single-partition
+    global ntile over billions of customers would swap to a quantile-
+    boundary broadcast — compute approx quartile edges, then map-side
+    bucket — same output contract.)"""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(F.lit(RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate").cast("date"))).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = rfm.select(
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("custkey"))).alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("custkey"))).alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("custkey"))).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
     )

@@ -150,3 +150,76 @@ def test_purity_perfect_on_separable_labels(spark):
     assert out
     assert all(r.purity == 1.0 for r in out)
     assert sum(r.n_members for r in out) == 60
+
+
+# ---------------------------------------------------------------------------
+# wave 4: CUSUM / Markov transitions / RFM
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_planted_shift(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    # 20 quiet events (value 50 < drift 75 -> S pinned at 0), then a
+    # sustained shift to 175: S climbs by 100/step, crossing the 200
+    # alarm from step 3 of the shift onward
+    vals = [50.0] * 20 + [175.0] * 10
+    rows = [
+        (i, t0 + timedelta(minutes=i), 7, "x", v, "{}") for i, v in enumerate(vals)
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = events.table
+    try:
+        events.table = lambda s, d, n: e  # noqa: ARG005
+        [r] = events.QUERIES["events_cusum_alerts"](spark, SF_SMOKE).collect()
+    finally:
+        events.table = orig
+    assert r.n_events == 30
+    assert r.max_cusum == 10 * 100.0
+    assert r.n_alarms == 8  # steps where S in {300, 400, ..., 1000}
+
+
+def test_cusum_monotone_under_threshold(spark):
+    rows = events.QUERIES["events_cusum_alerts"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.max_cusum >= 0
+        assert 0 <= r.n_alarms <= r.n_events
+        if r.max_cusum <= events.CUSUM_ALARM:
+            assert r.n_alarms == 0
+
+
+def test_markov_rows_normalize(spark):
+    rows = events.QUERIES["events_markov_transitions"](spark, SF_SMOKE).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for from_type, grp in by_from.items():
+        assert abs(sum(g.p for g in grp) - 1.0) < 1e-4, from_type
+        assert all(g.n > 0 for g in grp)
+    # pair count = events - one tail event per (user, any) chain
+    n_pairs = sum(r.n for r in rows)
+    from graphdb_wikidata_spark.tables import table as _t
+
+    e = _t(spark, SF_SMOKE, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert n_pairs == e.count() - n_users
+
+
+def test_rfm_grid_covers_customers(spark):
+    from graphdb_wikidata_spark.tables import table as _t
+
+    rows = relational.QUERIES["customer_rfm_segments"](spark, SF_SMOKE).collect()
+    n_cust = _t(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_q <= 4 and 1 <= r.f_q <= 4 and 1 <= r.m_q <= 4
+        assert r.avg_monetary > 0
+    # ntile(4) balance: each quartile holds n/4 +- 1 customers
+    for qcol in ("r_q", "f_q", "m_q"):
+        per_q = {}
+        for r in rows:
+            per_q[getattr(r, qcol)] = per_q.get(getattr(r, qcol), 0) + r.n_customers
+        assert max(per_q.values()) - min(per_q.values()) <= 1
