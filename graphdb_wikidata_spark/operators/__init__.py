@@ -67,17 +67,20 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "events_cusum_alerts",
     "events_markov_transitions",
     "customer_rfm_segments",
+    # -- NEW in round 5 wave 5: streaming CUSUM twin (shares the batch
+    # oracle), in-corpus bigram-LM cross-entropy scoring, candidate-
+    # graph degree histogram. Displacements at the bottom.
+    "stream_cusum_alerts",
+    "text_lm_crossentropy",
+    "graph_degree_histogram",
     # -- (b) newest-green-in-r01 cohort (21)
     "union_distinct",
     "events_session_window",
     "events_json_extract",
     "events_pivot",
     "events_sliding",
-    "events_funnel_steps",
-    "events_range_join_counts",
     "events_asof_join",
     "text_stats",
-    "lang_id_heuristic",
     "dedup_exact",
     "simhash_signature",
     "embedding_ivf_topk",
@@ -136,6 +139,13 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # (df-aggregate + argmin = windowed text_inverted_index computes
     # the same df relation), embedding_knn_topk (brute cosine kernel =
     # windowed embedding_ivf_topk's fine search over probed cells).
+    # Wave-5 displacements (r01-green, in-window same-kernel siblings):
+    # lang_id_heuristic (stopword-profile scoring = the windowed
+    # trained langid_ngram_vote + text_stats token kernel; displaced by
+    # the strictly-richer text_lm_crossentropy), events_funnel_steps
+    # (per-user ordered sequential kernel = windowed events_cusum_alerts
+    # + events_markov_transitions), events_range_join_counts
+    # (asof.py bucketized-range kernel = windowed events_asof_join).
     # Wave-2 displacements (one per new wave-2 entry, all r02-green,
     # each with a fresher sibling on the same engine code path):
     # sparql_filter_agg (compiler filter+agg path = r04-green

@@ -392,3 +392,35 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
     nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
     return nodes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _degree_hist_oracle() -> str:
+    from .dedup import _CAND_CTE
+
+    return f"""
+    WITH {_CAND_CTE},
+    ends AS (SELECT doc_a AS doc_id FROM cand
+             UNION ALL SELECT doc_b FROM cand),
+    deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id)
+    SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
+    """
+
+
+@register("graph_degree_histogram", _degree_hist_oracle())
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the MinHash-LSH candidate graph: how many
+    near-dup partners each document has, histogrammed. The shape is the
+    corpus-health readout — a fat tail (hub documents with hundreds of
+    candidates) means boilerplate/template families that deserve a
+    band-cap, and it is exactly the skew that decides whether the
+    downstream pairwise verify is safe. Two partial-agg groupBys over
+    the candidate edge list (which LSH already bounds); the histogram
+    relation is #distinct-degrees rows."""
+    from .dedup import _shingled, minhash_candidates
+
+    cand = minhash_candidates(_shingled(spark, sf_dir))
+    ends = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))

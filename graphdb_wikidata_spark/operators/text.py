@@ -725,3 +725,95 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-slope, 6).alias("zipf_exponent"),
         F.round(F.corr("lx", "ly") * F.corr("lx", "ly"), 6).alias("r2"),
     )
+
+
+@register(
+    "text_lm_crossentropy",
+    """
+    WITH split AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10 AS bucket
+        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+    grams0 AS (
+        SELECT doc_id, source, bucket,
+               unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr
+        FROM split),
+    grams AS (
+        SELECT doc_id, source, bucket, pr[1] AS w1, pr[2] AS w2 FROM grams0),
+    uni AS (SELECT w1, count(*) AS c1 FROM grams WHERE bucket <> 0 GROUP BY w1),
+    bi  AS (SELECT w1, w2, count(*) AS c2 FROM grams WHERE bucket <> 0
+            GROUP BY w1, w2),
+    v   AS (SELECT count(DISTINCT w2) AS vocab FROM grams WHERE bucket <> 0),
+    scored AS (
+        SELECT g.doc_id, g.source,
+               -ln((coalesce(b.c2, 0) + 1.0) / (coalesce(u.c1, 0) + v.vocab))
+                   AS nll
+        FROM grams g
+        LEFT JOIN bi b ON b.w1 = g.w1 AND b.w2 = g.w2
+        LEFT JOIN uni u ON u.w1 = g.w1
+        CROSS JOIN v
+        WHERE g.bucket = 0),
+    per_doc AS (
+        SELECT doc_id, source, round(avg(nll), 6) AS ce
+        FROM scored GROUP BY doc_id, source)
+    SELECT source, count(*) AS n_docs, round(avg(ce), 4) AS avg_cross_entropy
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring, trained in-corpus: an add-one-smoothed
+    bigram language model is fit on the hash-train split
+    ([[corpus_split_hash]]'s buckets 1-9) and each held-out doc is
+    scored by average negative log-likelihood (cross-entropy) — the
+    classic perplexity-filter signal, here with a model small enough to
+    be exact. Counts are integers so both engines compute log of
+    identical rationals; per-doc averages round at 6dp before the
+    per-source rollup (4dp). Scale: the model is two count relations
+    (vocab and vocab² upper bounds — AQE picks broadcast vs shuffle for
+    the score join); the corpus is exploded once and every aggregation
+    is partial-agg. Swapping the in-corpus model for external KenLM
+    scores is the same plan with the count join replaced by a UDF."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 10
+    )
+    grams = (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            "source",
+            bucket.alias("bucket"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                    " element_at(split(text, ' '), i + 1) AS w2))"
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", "source", "bucket", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    )
+    train = grams.filter(F.col("bucket") != 0)
+    uni = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    v = train.agg(F.countDistinct("w2").alias("vocab"))
+    test = grams.filter(F.col("bucket") == 0)
+    nll = -F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab"))
+    )
+    scored = (
+        test.join(bi, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "source", nll.alias("nll"))
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(F.round(F.avg("nll"), 6).alias("ce"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ce"), 4).alias("avg_cross_entropy"),
+    )

@@ -229,3 +229,22 @@ def stream_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         ewma_bounded_stream(events_stream(spark, sf_dir)), output_mode="append"
     )
+
+
+def _cusum_oracle() -> str:
+    from ..operators.events import ORACLES as EVENTS_ORACLES
+
+    return EVENTS_ORACLES["events_cusum_alerts"]
+
+
+@register("stream_cusum_alerts", _cusum_oracle())
+def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM as a stateful stream (streams.cusum_alerts_stream):
+    one float of state per key, update-mode emission; the final update
+    per user after the finite replay equals the batch recurrence, so it
+    shares events_cusum_alerts' recursive-CTE oracle verbatim."""
+    from .streams import cusum_alerts_stream
+
+    return run_available_now(
+        cusum_alerts_stream(events_stream(spark, sf_dir)), output_mode="update"
+    )

@@ -373,3 +373,51 @@ def ewma_bounded_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_SCHEMA = "user_id bigint, n_events bigint, max_cusum double, n_alarms bigint"
+_CUSUM_STATE = "s double, n bigint, mx double, alarms bigint"
+
+
+def _cusum_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Streaming CUSUM: per-key state is ONE float (the running
+    statistic) plus the report counters — the smallest possible
+    stateful operator. Same left-associated recurrence as the batch
+    operator and its recursive-CTE oracle, so a finite replay emits the
+    identical final row per user."""
+    from ..operators.events import CUSUM_ALARM, CUSUM_DRIFT
+
+    s, n, mx, alarms = state.get if state.exists else (0.0, 0, 0.0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            s = s + float(v) - CUSUM_DRIFT
+            if s < 0.0:
+                s = 0.0
+            if s > mx:
+                mx = s
+            if s > CUSUM_ALARM:
+                alarms += 1
+            n += 1
+    state.update((s, n, mx, alarms))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_events": [n],
+            "max_cusum": [round(mx, 6)],
+            "n_alarms": [alarms],
+        }
+    )
+
+
+def cusum_alerts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/events.events_cusum_alerts: update
+    mode emits each user's refreshed CUSUM report per micro-batch; the
+    last update after a finite replay equals the batch answer."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _cusum_fn,
+        outputStructType=_CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
