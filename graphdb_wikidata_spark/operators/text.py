@@ -634,18 +634,29 @@ def langid_ngram_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % 10
     )
-    prefix = F.substring("text", 1, LANGID_PREFIX)
     grams = d.select(
         "doc_id",
         "lang",
         bucket.alias("bucket"),
+        # project the prefix ONCE — inlining it into the transform
+        # lambda re-evaluates the substring per element in codegen
+        F.substring("text", 1, LANGID_PREFIX).alias("prefix"),
+    ).select(
+        "doc_id",
+        "lang",
+        "bucket",
         F.explode(
             F.expr(
-                f"transform(sequence(1, length(substring(text, 1, {LANGID_PREFIX})) - 1),"
-                f" i -> substring(substring(text, 1, {LANGID_PREFIX}), i, 2))"
+                "transform(sequence(1, length(prefix) - 1),"
+                " i -> substring(prefix, i, 2))"
             )
         ).alias("bg"),
     )
+    # two consumers, each partial-agging the exploded stream into a
+    # SMALL output (train: #bigrams x #langs; test: the 10% held-out
+    # docs' distinct grams) — deliberately NOT pre-collapsed to per-doc
+    # counts, which measured slower: (doc, bg) pairs are mostly unique,
+    # so that "reduction" was a full corpus-sized shuffle
     train_counts = (
         grams.filter(F.col("bucket") != 0)
         .groupBy("bg", "lang")
@@ -783,24 +794,33 @@ def text_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = (
         d.filter(F.size(toks) >= 2)
+        # project the token array ONCE: inlining split(text) into each
+        # element_at re-evaluates the split per access in codegen
+        .select("doc_id", "source", bucket.alias("bucket"), toks.alias("toks"))
         .select(
             "doc_id",
             "source",
-            bucket.alias("bucket"),
+            "bucket",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1),"
-                    " i -> struct(element_at(split(text, ' '), i) AS w1,"
-                    " element_at(split(text, ' '), i + 1) AS w2))"
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1,"
+                    " element_at(toks, i + 1) AS w2))"
                 )
             ).alias("pr"),
         )
         .select("doc_id", "source", "bucket", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     )
     train = grams.filter(F.col("bucket") != 0)
-    uni = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # ONE pass over the exploded train grams: the bigram counts; the
+    # unigram counts and the vocabulary derive from that already-tiny
+    # relation (sum of c2 per w1 == count per w1; distinct w2 of bi ==
+    # distinct w2 of grams). A naive formulation aggregated the
+    # exploded subtree three times — 3 corpus-sized explodes that cost
+    # real minutes on the 30x twin.
     bi = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    v = train.agg(F.countDistinct("w2").alias("vocab"))
+    uni = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = bi.agg(F.countDistinct("w2").alias("vocab"))
     test = grams.filter(F.col("bucket") == 0)
     nll = -F.log(
         (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
