@@ -75,3 +75,40 @@ def test_degree_histogram_triangle_consistency(spark):
     tri = graph.QUERIES["graph_triangle_count"](spark, SF_SMOKE).collect()
     n_deg2 = sum(r.n_docs for r in hist if r.degree >= 2)
     assert len(tri) <= n_deg2
+
+
+def test_cusum_plan_is_mapinpandas_not_grouped(spark):
+    """Perf regression guard (SCALING.md 30x lesson): the CUSUM kernel
+    must be ONE mapInPandas pass over a sorted repartition, not a
+    per-group FlatMapGroupsInPandas — 45k small groups paid ~2.7ms of
+    per-group overhead each (149s vs 6.3s at 30x)."""
+    plan = (
+        events.QUERIES["events_cusum_alerts"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
+    assert "Sort" in plan  # sortWithinPartitions feeding the kernel
+
+
+def test_lm_plan_projects_tokens_before_explode(spark):
+    """Perf regression guard (SCALING.md 30x lesson): every gram
+    explode must transform a PROJECTED token-array column — inlining
+    split(text) into the element_at lambdas re-evaluated the split per
+    element in codegen (78.8s -> 5.7s at 30x once projected). Spark
+    plans the bigram subtree once per consumer (uni/v/bi/test = up to
+    4 linear copies — fine); what must never come back is the inlined
+    split."""
+    plan = (
+        text.QUERIES["text_lm_crossentropy"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "size(toks#" in plan
+    # the once-per-ROW filter predicate size(split(text)) >= 2 is fine;
+    # the killer is a split inside the per-ELEMENT lambda access
+    assert "element_at(split(text" not in plan
+    assert plan.count("Generate explode") <= 4
