@@ -15,12 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 # The external correctness gate hashes the FIRST 50 registry entries against
 # the DuckDB oracle each round. Round 5's window front-loads (a) the r04 red
 # row (corpus_mix_budget — oracle HUGEINT→float64 dtype artifact, now cast to
-# BIGINT; values were already identical), then (b) the entire cohort whose
-# newest green evidence is r01 (21 entries) and (c) 28 of the 35 whose newest
-# green is r02 — after this round no entry's evidence is older than 2 rounds
-# except the 7 deferred expression-family rows listed at the bottom, which
-# share their code path (engine/expressions.py) with five expression entries
-# that ARE in this window and are front-loaded for round 6.
+# BIGINT; values were already identical), then the 32 operators NEW in round 5
+# (waves 1-5: each needs first driver evidence), then as much of the stale
+# r01/r02 cohorts as fits. Every deferral to round 6 is justified at the
+# bottom by an in-window or r04-green sibling exercising the same engine code
+# path; the builder-side sims (DRIVER_SIM_r05*.txt) cover ALL 180 entries at
+# two scale factors every round regardless of this window.
 PRIORITY_ENTRIES: tuple[str, ...] = (
     # -- (a) the r04 red row: oracle now casts cum_before to BIGINT
     "corpus_mix_budget",
