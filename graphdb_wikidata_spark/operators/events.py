@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..rounding import round_half_up
 from ..tables import epoch_us, table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -710,9 +711,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            round(covar_pop(x, y) / var_pop(x), 6)               AS slope,
            round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4) AS intercept,
-           round(corr(x, y) * corr(x, y), 6)                    AS r2,
+           round(covar_pop(x, y) * covar_pop(x, y)
+                 / (var_pop(x) * var_pop(y)), 6)                AS r2,
            count(*)                                             AS n
     FROM x GROUP BY event_type
+    HAVING count(*) >= 2 AND var_pop(x) > 0 AND var_pop(y) > 0
     """,
 )
 def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,12 +729,29 @@ def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     x = (epoch_us(F.col("ts")) - F.lit(1704067200000000)) / F.lit(3.6e9)
     d = e.select("event_type", x.alias("x"), F.col("value").alias("y"))
-    slope = F.covar_pop("x", "y") / F.var_pop("x")
-    return d.groupBy("event_type").agg(
-        F.round(slope, 6).alias("slope"),
-        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
-        F.round(F.corr("x", "y") * F.corr("x", "y"), 6).alias("r2"),
-        F.count(F.lit(1)).alias("n"),
+    cov = F.covar_pop("x", "y")
+    slope = F.try_divide(cov, F.var_pop("x"))
+    # degenerate groups (single event, or zero variance in x or y)
+    # divide by zero / make r2 undefined, with engine-specific
+    # error-vs-NULL-vs-NaN results (under ANSI mode the division even
+    # aborts the job) — try_divide keeps the aggregate total, then the
+    # filter drops the same groups the oracle's HAVING drops
+    # (ADVICE r05). r2 is the moment form cov^2/(varx*vary) == corr^2
+    # on both sides so the guarded expressions match exactly.
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.round(slope, 6).alias("slope"),
+            F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+            F.round(
+                F.try_divide(cov * cov, F.var_pop("x") * F.var_pop("y")), 6
+            ).alias("r2"),
+            F.count(F.lit(1)).alias("n"),
+            F.var_pop("x").alias("_varx"),
+            F.var_pop("y").alias("_vary"),
+        )
+        .where((F.col("n") >= 2) & (F.col("_varx") > 0) & (F.col("_vary") > 0))
+        .drop("_varx", "_vary")
     )
 
 
@@ -867,7 +887,7 @@ def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )[1:].astype(np.float64)
                 out_u.append(int(uids[a]))
                 out_n.append(int(b - a))
-                out_mx.append(round(float(s.max(initial=0.0)), 6))
+                out_mx.append(round_half_up(float(s.max(initial=0.0)), 6))
                 out_al.append(int((s > CUSUM_ALARM).sum()))
             return pd.DataFrame(
                 {

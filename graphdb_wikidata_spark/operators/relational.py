@@ -921,8 +921,13 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= 2)
     )
-    s1 = F.broadcast(singles.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1")))
-    s2 = F.broadcast(singles.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2")))
+    # singles is part-dimension-sized — it grows with scale factor, so
+    # a forced broadcast would eventually OOM the driver at 100 TB
+    # (ADVICE r05). No hint: AQE picks broadcast while it fits and
+    # falls back to a shuffle join when it doesn't; only the 1-row
+    # n_orders keeps an explicit broadcast.
+    s1 = singles.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1"))
+    s2 = singles.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2"))
     return (
         pairs.join(s1, "p1")
         .join(s2, "p2")

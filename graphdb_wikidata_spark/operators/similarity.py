@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..rounding import round_half_up
 from ..tables import table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -640,7 +641,7 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in u_rows:
             u[r.i] = r.ui
         nn = math.sqrt(sum(x * x for x in u))
-        vcur = [round(x / nn, PI_ROUND) for x in u]
+        vcur = [round_half_up(x / nn, PI_ROUND) for x in u]
 
     v_arr = F.array(*[F.lit(x) for x in vcur])
     sc = F.aggregate(

@@ -154,7 +154,10 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user lifetime totals; the final
     update per user equals the batch aggregate."""
     return run_available_now(
-        running_user_totals(events_stream(spark, sf_dir)), output_mode="update"
+        running_user_totals(events_stream(spark, sf_dir)),
+        output_mode="update",
+        last_update_keys=["user_id"],
+        emission_ordinal="n_events",
     )
 
 
@@ -246,5 +249,8 @@ def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streams import cusum_alerts_stream
 
     return run_available_now(
-        cusum_alerts_stream(events_stream(spark, sf_dir)), output_mode="update"
+        cusum_alerts_stream(events_stream(spark, sf_dir)),
+        output_mode="update",
+        last_update_keys=["user_id"],
+        emission_ordinal="n_events",
     )

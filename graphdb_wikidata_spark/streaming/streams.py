@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..rounding import round_half_up
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream (one parquet today; a
     directory of arriving files in production).
@@ -246,7 +248,7 @@ def _make_totals_fn(ttl_ms: int | None):
             # activity resets the clock (sliding idle-timeout policy)
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round_half_up(total, 2)]}
         )
 
     return _totals_fn
@@ -283,11 +285,26 @@ def running_user_totals(events: DataFrame, ttl_minutes: int | None = None) -> Da
     )
 
 
-def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    df: DataFrame,
+    output_mode: str = "complete",
+    last_update_keys: list[str] | None = None,
+    emission_ordinal: str | None = None,
+) -> DataFrame:
     """Execute a streaming DataFrame to completion on the available
     data (Trigger.availableNow) into a memory sink; returns the result
     as a batch DataFrame. Test/bench harness only — production sinks
-    are writeStream.format('delta'/'kafka'/...)."""
+    are writeStream.format('delta'/'kafka'/...).
+
+    Update-mode stateful queries emit one row per key per micro-batch,
+    so a multi-batch replay (maxFilesPerTrigger, a multi-file source)
+    leaves stale per-key rows in the memory sink (ADVICE r05). Callers
+    whose emissions carry a per-key strictly-increasing column (the
+    cumulative ``n_events`` of the totals/CUSUM operators) pass
+    ``last_update_keys`` + ``emission_ordinal``; when the replay took
+    more than one data batch, only the max-ordinal row per key is kept
+    — deterministic regardless of sink row order. Update-mode callers
+    without an ordinal get an assertion instead of silent duplicates."""
     name = "mem_" + uuid.uuid4().hex[:12]
     # checkpoint on tmpfs when available: availableNow runs write the
     # offset/commit/state files synchronously inside the micro-batch,
@@ -316,10 +333,31 @@ def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame
             .start()
         )
         q.awaitTermination()
+        data_batches = sum(
+            1 for p in q.recentProgress if (p.numInputRows or 0) > 0
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    out = spark.table(name)
+    if output_mode == "update" and data_batches > 1:
+        if not (last_update_keys and emission_ordinal):
+            raise AssertionError(
+                f"update-mode replay took {data_batches} data batches; the "
+                "memory sink holds stale per-key rows and this caller gave "
+                "no (last_update_keys, emission_ordinal) to collapse them"
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*last_update_keys).orderBy(
+            F.desc(emission_ordinal)
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return out
 
 
 _EWMA_SCHEMA = "event_id bigint, user_id bigint, ewma double"
@@ -354,7 +392,7 @@ def _ewma_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
                 den += w
             ids.append(int(eid))
             users.append(int(key[0]))
-            out.append(round(num / den, 6))
+            out.append(round_half_up(num / den, 6))
     state.update((vals,))
     yield pd.DataFrame({"event_id": ids, "user_id": users, "ewma": out})
 
@@ -404,7 +442,7 @@ def _cusum_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         {
             "user_id": [int(key[0])],
             "n_events": [n],
-            "max_cusum": [round(mx, 6)],
+            "max_cusum": [round_half_up(mx, 6)],
             "n_alarms": [alarms],
         }
     )
