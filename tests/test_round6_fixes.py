@@ -169,3 +169,58 @@ def test_update_mode_multibatch_without_ordinal_raises(spark, tmp_path):
     )
     with pytest.raises(AssertionError, match="stale per-key rows"):
         run_available_now(running_user_totals(stream), output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic: trained k-means centroids (VERDICT r05 #4)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_pairs_with(spark, assign_df):
+    """In-cluster dup-pair count for a given (vec_id, v, cid) assignment."""
+    from graphdb_wikidata_spark.operators.dedup import SEMDEDUP_TAU
+    from graphdb_wikidata_spark.operators.similarity import dot, norm
+
+    best = assign_df.withColumn("nv", norm(F.col("v")))
+    a = best.select("cid", F.col("vec_id").alias("va"), F.col("v").alias("xa"), F.col("nv").alias("na"))
+    b = best.select("cid", F.col("vec_id").alias("vb"), F.col("v").alias("xb"), F.col("nv").alias("nb"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            F.round(dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")), 6).alias("cs")
+        )
+        .filter(F.col("cs") >= SEMDEDUP_TAU)
+        .count()
+    )
+
+
+def test_semdedup_trained_centroids_recall_not_worse(spark):
+    """Swapping the r5 first-K-by-id 'centroids' for kmeans_fit output
+    must not DECREASE duplicate recall against the exact all-pairs
+    ground truth (it finds strictly more on this corpus)."""
+    from graphdb_wikidata_spark.operators import dedup
+    from graphdb_wikidata_spark.operators.similarity import (
+        _as_double,
+        assign_nearest,
+        kmeans_fit,
+    )
+
+    e = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+    naive_cent = e.orderBy("vec_id").limit(dedup.SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    naive_pairs = _semdedup_pairs_with(
+        spark, assign_nearest(e, naive_cent, metric="cosine")
+    )
+    trained_pairs = _semdedup_pairs_with(
+        spark, kmeans_fit(e).select("vec_id", "v", "cid")
+    )
+    all_pairs = dedup.embedding_cosine_allpairs(
+        spark, SF_SMOKE, threshold=dedup.SEMDEDUP_TAU
+    ).count()
+    assert trained_pairs >= naive_pairs
+    assert trained_pairs <= all_pairs  # clustering never invents pairs
