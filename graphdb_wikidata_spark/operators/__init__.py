@@ -13,153 +13,95 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The external correctness gate hashes the FIRST 50 registry entries against
-# the DuckDB oracle each round. Round 5's window front-loads (a) the r04 red
-# row (corpus_mix_budget — oracle HUGEINT→float64 dtype artifact, now cast to
-# BIGINT; values were already identical), then the 32 operators NEW in round 5
-# (waves 1-5: each needs first driver evidence), then as much of the stale
-# r01/r02 cohorts as fits. Every deferral to round 6 is justified at the
-# bottom by an in-window or r04-green sibling exercising the same engine code
-# path; the builder-side sims (DRIVER_SIM_r05*.txt) cover ALL 180 entries at
-# two scale factors every round regardless of this window.
+# the DuckDB oracle each round. Round 6's window implements the VERDICT r05
+# task-3 rotation: (a) entries whose CODE changed this round (they need fresh
+# evidence regardless of age), (b) the three operators NEW in round 6, then
+# (c) the ENTIRE stale cohort — all 41 entries whose last hard driver-window
+# row dates from r1/r2. Nothing r3+ is re-windowed this round; the standing
+# rotation invariant (ADVICE r05 #5) is recorded explicitly at the bottom:
+# round 7 front-loads the r3 cohort (41 entries), round 8 the r4 cohort, so
+# every entry's external evidence age is bounded by the cohort cycle, not by
+# ad-hoc displacement arguments. The builder-side sims (DRIVER_SIM_r06*.txt)
+# cover ALL entries at two scale factors every round regardless of window.
 PRIORITY_ENTRIES: tuple[str, ...] = (
-    # -- (a) the r04 red row: oracle now casts cum_before to BIGINT
-    "corpus_mix_budget",
-    # -- NEW in round 5 (need first evidence): SemDeDup semantic dedup,
-    # PII/pattern scrub, sharded per-domain cap. Each displaces one
-    # r02-cohort row to round 6.
+    # -- (a) code changed in round 6 (fresh evidence required):
+    # dedup_semantic now clusters with trained kmeans_fit centroids and
+    # its oracle switched to the shared unrolled-Lloyd's CTEs
     "dedup_semantic",
-    "text_pii_scrub",
-    "corpus_domain_cap",
-    "events_approx_distinct_kmv",
-    "sample_weighted_es",
-    "embedding_kmeans",
-    "events_exact_quantiles",
-    "corpus_dedup_quality_pack",
-    "dedup_incremental",
-    "graph_triangle_count",
-    "lr_quality_classifier",
-    "lr_quality_score",
-    "events_ab_test",
-    "embedding_power_iteration",
-    # -- NEW in round 5 wave 2 (need first evidence): co-occurrence
-    # mining, bounded EWMA, median/MAD anomalies, OLS trend,
-    # content-addressed splits, inverted index, trained lang-ID. Each
-    # displaces one r02-cohort row whose engine code path stays covered
-    # by a windowed or r04-green sibling (list at the bottom).
-    "market_basket_pairs",
-    "events_ewma_bounded",
-    "events_anomaly_mad",
+    # degenerate-group HAVING guard + try_divide moment-form r2 on
+    # both sides
     "events_linreg_trend",
-    "corpus_split_hash",
-    "text_inverted_index",
-    "langid_ngram_vote",
-    # -- NEW in round 5 wave 3: stateful-stream EWMA (shares the batch
-    # oracle), TPC-H Q18, Pareto concentration, Zipf exponent fit,
-    # k-means cluster purity. Displacements listed at the bottom.
-    "stream_ewma_bounded",
-    "tpch_q18_large_orders",
-    "events_heavy_hitter_share",
-    "text_zipf_fit",
-    "embedding_cluster_purity",
-    # -- NEW in round 5 wave 4: CUSUM change detection (grouped-map
-    # applyInPandas custom operator, recursive-CTE oracle), Markov
-    # transition matrix, RFM segmentation. Displacements at the bottom.
+    # kernel refactor: trajectory() indirection + HALF_UP rounding +
+    # optional closed-form flag (default path bit-identical by test)
     "events_cusum_alerts",
-    "events_markov_transitions",
-    "customer_rfm_segments",
-    # -- NEW in round 5 wave 5: streaming CUSUM twin (shares the batch
-    # oracle), in-corpus bigram-LM cross-entropy scoring, candidate-
-    # graph degree histogram. Displacements at the bottom.
+    # run_available_now multi-batch last-update dedupe + HALF_UP
+    # rounding in the stateful kernels
     "stream_cusum_alerts",
-    "text_lm_crossentropy",
-    "graph_degree_histogram",
-    # -- (b) newest-green-in-r01 cohort (21)
-    "union_distinct",
-    "events_session_window",
-    "events_json_extract",
-    "events_pivot",
-    "events_sliding",
-    "events_asof_join",
-    "text_stats",
-    "dedup_exact",
-    "simhash_signature",
-    "embedding_ivf_topk",
-    # -- (c) newest-green-in-r02 cohort (28 of 35)
-    "dedup_minhash_lsh",
-    "dedup_embedding_lsh_verified",
-    "graph_connected_components",
-    "stream_interval_join",
-    "sparql_optional",
-    "sparql_construct",
-    # NEW in round 5 (needs first evidence): incremental near-dup
-    # stream against the batch LSH index; same oracle as
-    # dedup_minhash_lsh. Takes the slot of sparql_describe, deferred
-    # to round 6 — DESCRIBE shares the CONSTRUCT template machinery
-    # exercised by sparql_construct two lines up.
-    "stream_neardup_candidates",
-    # Deferred to round 6 (front-load them there): sparql_hash_funcs,
-    # sparql_expr_calc, sparql_string_funcs, sparql_date_funcs,
-    # sparql_numeric_funcs, sparql_reduced, sparql_graph_empty — all
-    # expression/modifier-family shapes whose engine code paths are
-    # exercised by the sparql rows above — plus sparql_describe
-    # (CONSTRUCT template machinery, covered by sparql_construct,
-    # displaced by the new stream_neardup_candidates entry) and, to
-    # make room for the nine new round-5 operators (dedup_semantic,
-    # text_pii_scrub, corpus_domain_cap, events_approx_distinct_kmv,
-    # sample_weighted_es, embedding_kmeans, events_exact_quantiles,
-    # corpus_dedup_quality_pack, dedup_incremental): sparql_group_concat,
-    # sparql_subselect, sparql_path_negated, sparql_qualifier_join,
-    # sparql_ps_pq_chain, sparql_wds_lookup, sparql_values_undef,
-    # sparql_lateral, sparql_ask (all r02-green; their compiler/scan
-    # code paths stay exercised by the windowed rows) and
-    # graph_bfs_chain (r02-green; shares graph.py iteration machinery
-    # with the windowed graph_connected_components — displaced by the
-    # new graph_triangle_count), media_frame_sample (r02-green;
-    # shares the mapInPandas pipeline with media_catalog
-    # — displaced by the new lr_quality_classifier) and
-    # sparql_term_funcs (r02-green, expressions family like the seven
-    # above — displaced by the new lr_quality_score) and
-    # sparql_not_exists (r02-green; shares the decorrelated anti-join
-    # path with sparql_exists/sparql_minus — displaced by
-    # the new events_ab_test) and dedup_ngram_jaccard (r02-green;
-    # shares the LSH-candidate kernel with the windowed
-    # dedup_minhash_lsh — displaced by embedding_power_iteration).
-    # Wave-3 displacements (one per new wave-3 entry, all r01-green
-    # with an in-window sibling on the same kernel): distinct_op
-    # (Distinct = windowed union_distinct), events_tumbling
-    # (event-time window agg = windowed events_sliding +
-    # events_session_window + the stream_* rows), token_count_regex
-    # (regexp token family = windowed text_stats + lang_id_heuristic),
-    # doc_fingerprint (map-only md5 = windowed dedup_exact +
-    # corpus_split_hash), embedding_centroid_norm (per-label centroid
-    # agg = windowed embedding_kmeans's update kernel).
-    # Wave-4 displacements (r01-green, in-window same-kernel siblings):
-    # events_rollup_multires (event-time window-agg family = windowed
-    # events_sliding + events_session_window), tfidf_rarest_term
-    # (df-aggregate + argmin = windowed text_inverted_index computes
-    # the same df relation), embedding_knn_topk (brute cosine kernel =
-    # windowed embedding_ivf_topk's fine search over probed cells).
-    # Wave-5 displacements (r01-green, in-window same-kernel siblings):
-    # lang_id_heuristic (stopword-profile scoring = the windowed
-    # trained langid_ngram_vote + text_stats token kernel; displaced by
-    # the strictly-richer text_lm_crossentropy), events_funnel_steps
-    # (per-user ordered sequential kernel = windowed events_cusum_alerts
-    # + events_markov_transitions), events_range_join_counts
-    # (asof.py bucketized-range kernel = windowed events_asof_join).
-    # Wave-2 displacements (one per new wave-2 entry, all r02-green,
-    # each with a fresher sibling on the same engine code path):
-    # sparql_filter_agg (compiler filter+agg path = r04-green
-    # sparql_agg_suite / sparql_tpch_q1), sparql_union (Union compile =
-    # r04-green union_all + windowed union_distinct), sparql_minus
-    # (static-mask anti path = r04-green join_anti + r03
-    # sparql_minus_optional), sparql_exists (decorrelated semi path =
-    # r04-green join_semi; sparql_optional keeps the LeftJoin path
-    # windowed), sparql_path_sequence (path compiler = r04-green
-    # sparql_path_alt_inverse + sparql_path_transitive),
-    # embedding_lsh_buckets (hyperplane-bucket kernel = windowed
-    # dedup_embedding_lsh_verified; r04-green itself), media_catalog
-    # (mapInPandas media pipeline = r04-green media_feature_hist +
-    # media_dedup_payload).
+    "stream_running_totals",
+    # forced broadcast dropped from the part-dimension singles joins
+    "market_basket_pairs",
+    # (rounding-only diffs NOT re-windowed: stream_ewma_bounded shares
+    # the changed harness+rounding path with the two stream rows above;
+    # embedding_power_iteration's round site is a driver-side list of
+    # D floats exercised by every windowed kmeans/PCA sibling)
+    #
+    # -- (b) NEW in round 6 (first evidence):
+    "dedup_exact_substring",
+    "events_retention_cohorts",
+    "text_ngram_novelty",
+    # (dedup_embedding_cosine, the 12th r01 row, was renamed/absorbed
+    # into dedup_embedding_lsh_verified in r2 and is no longer a
+    # registry key; its slot re-windows the rounding-touched
+    # stream_ewma_bounded after all)
+    "stream_ewma_bounded",
+    # -- (c) the full stale cohort: last green r01 (11 entries) ...
+    "distinct_op",
+    "doc_fingerprint",
+    "embedding_centroid_norm",
+    "embedding_knn_topk",
+    "events_funnel_steps",
+    "events_range_join_counts",
+    "events_rollup_multires",
+    "events_tumbling",
+    "lang_id_heuristic",
+    "tfidf_rarest_term",
+    "token_count_regex",
+    # ... and last green r02 (29 entries)
+    "dedup_ngram_jaccard",
+    "embedding_lsh_buckets",
+    "graph_bfs_chain",
+    "media_catalog",
+    "media_frame_sample",
+    "sparql_ask",
+    "sparql_date_funcs",
+    "sparql_describe",
+    "sparql_exists",
+    "sparql_expr_calc",
+    "sparql_filter_agg",
+    "sparql_graph_empty",
+    "sparql_group_concat",
+    "sparql_hash_funcs",
+    "sparql_lateral",
+    "sparql_minus",
+    "sparql_not_exists",
+    "sparql_numeric_funcs",
+    "sparql_path_negated",
+    "sparql_path_sequence",
+    "sparql_ps_pq_chain",
+    "sparql_qualifier_join",
+    "sparql_reduced",
+    "sparql_string_funcs",
+    "sparql_subselect",
+    "sparql_term_funcs",
+    "sparql_union",
+    "sparql_values_undef",
+    "sparql_wds_lookup",
+    # ROTATION LEDGER (evidence age after round 6, assuming this window
+    # lands green): r06 x 50 (the above), r05 x 44 (round-5 front-load,
+    # minus the six re-windowed here), r04 x 46, r03 x 41. Round 7
+    # front-loads the r03 cohort + anything that changes; round 8 the
+    # r04 cohort; the cycle then repeats. No entry's age ever exceeds
+    # the ~4-round cycle a 50-slot window over 184 entries permits.
 )
 
 

@@ -745,3 +745,104 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("matched_corpus"),
         (F.count("doc_a") == 0).alias("keep"),
     ).drop("t")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup: shared fixed-length token windows
+# ---------------------------------------------------------------------------
+
+#: token-window length for exact-substring matching. 50 in Lee et al.
+#: 2021 ("Deduplicating Training Data Makes Language Models Better",
+#: suffix-array exact-substring dedup); the synthetic docs are 27-72
+#: tokens, so 15 keeps the test non-degenerate (~24 pairs at sf0.01).
+SUBSTR_W = 15
+#: windows appearing in more than this many docs are boilerplate
+#: ("stop windows" — license headers, navigation chrome) and are
+#: dropped BEFORE pair enumeration; this caps the per-window pair
+#: blowup at C(SUBSTR_DF_CAP, 2), exactly like an LSH band cap.
+SUBSTR_DF_CAP = 20
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                  WHERE len(string_split(text, ' ')) >= {SUBSTR_W}),
+    pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+    w AS (SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+{SUBSTR_W}-1], ' ')) AS h
+          FROM pos WHERE i <= len(t) - {SUBSTR_W} + 1),
+    nw AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+    keepw AS (SELECT h FROM w GROUP BY h
+              HAVING count(*) BETWEEN 2 AND {SUBSTR_DF_CAP}),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+              FROM w a JOIN keepw USING (h) JOIN w b USING (h)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           round(p.n_shared / least(na.n_windows, nb.n_windows)::DOUBLE, 6)
+               AS containment
+    FROM pairs p
+    JOIN nw na ON na.doc_id = p.doc_a
+    JOIN nw nb ON nb.doc_id = p.doc_b
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (the signal behind Lee et al. 2021's
+    suffix-array dedup, re-expressed for a distributed engine): two
+    docs are duplicates-in-part iff they share a verbatim SUBSTR_W-token
+    window. Every doc's sliding windows are hashed; windows shared by
+    2..SUBSTR_DF_CAP docs key a bucket self-join (windows above the cap
+    are boilerplate and dropped — the blowup bound); output is the pair
+    list with the shared-window count and a containment score
+    n_shared / min(windows). This catches verbatim partial overlap
+    that whole-doc hashing (`dedup_exact`) misses and shingle-Jaccard
+    (`dedup_minhash_lsh`) underweights.
+
+    Scale shape: project split(text) ONCE (the text_lm_crossentropy
+    lesson), one explode of ~len(doc) window hashes (fixed-width
+    md5 rows — payloads never shuffle), one partial-agg groupBy for
+    doc-frequency, and a bucket join whose per-bucket cost is capped by
+    SUBSTR_DF_CAP. A suffix array would find variable-length matches
+    but needs a global sort of the token stream; fixed-W windows are
+    the standard distributed approximation (any >= W-token verbatim
+    overlap is guaranteed to share a window)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    docs = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= SUBSTR_W)
+    win = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(t) - {SUBSTR_W} + 1),"
+            f" i -> md5(array_join(slice(t, i, {SUBSTR_W}), ' ')))"
+        )
+    )
+    w = docs.select("doc_id", F.explode(win).alias("h"))
+    nw = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    keepw = (
+        w.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_DF_CAP))
+        .select("h")
+    )
+    bounded = w.join(keepw, "h")
+    a = bounded.select("h", F.col("doc_id").alias("doc_a"))
+    b = bounded.select("h", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = nw.select(F.col("doc_id").alias("doc_a"), F.col("n_windows").alias("nwa"))
+    nb = nw.select(F.col("doc_id").alias("doc_b"), F.col("n_windows").alias("nwb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("nwa", "nwb").cast("double"), 6
+            ).alias("containment"),
+        )
+    )

@@ -971,3 +971,62 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / (F.sum("n").over(w_from).cast("double")), 6).alias("p"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    f AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id),
+    a AS (SELECT u.user_id, f.cohort,
+                 datediff('day', f.cohort, u.wk) // 7 AS week_offset
+          FROM uw u JOIN f USING (user_id)),
+    per AS (SELECT cohort, week_offset, count(DISTINCT user_id) AS n_active
+            FROM a GROUP BY cohort, week_offset),
+    s AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY cohort)
+    SELECT strftime(per.cohort, '%Y-%m-%d') AS cohort_week,
+           per.week_offset,
+           per.n_active,
+           s.cohort_size,
+           round(per.n_active / s.cohort_size::DOUBLE, 6) AS retention
+    FROM per JOIN s USING (cohort)
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the ISO week of
+    their first event; each (cohort, week-offset) cell reports how many
+    cohort members were active that week and the retention share — the
+    standard growth-analytics triangle.
+
+    Scale shape: the event table collapses to DISTINCT (user, week)
+    in one pass (partial-agg), first-week per user is one more groupBy
+    of that already-collapsed relation, and everything after runs over
+    #cohorts x #offsets rows. The user->cohort join shuffles the
+    user-week relation once on user_id; at 100 TB both groupBys are
+    map-side-combinable and nothing wider than (user_id, week) ever
+    moves. No reference parity (SPARQL store has no event analytics) —
+    beyond-parity pipeline operator."""
+    e = table(spark, sf_dir, "events")
+    uw = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = uw.join(first, "user_id").select(
+        "user_id",
+        "cohort",
+        (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("long").alias("week_offset"),
+    )
+    per = act.groupBy("cohort", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    size = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        per.join(size, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )

@@ -837,3 +837,55 @@ def text_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("ce"), 4).alias("avg_cross_entropy"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    pos AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+           FROM pos WHERE i <= len(toks) - 2),
+    first_seen AS (SELECT sh, min(doc_id) AS owner FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.owner = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           round(sum(CASE WHEN f.owner = s.doc_id THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS novelty
+    FROM sh s JOIN first_seen f USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document, the fraction of its distinct
+    3-token shingles that no earlier (lower doc_id = earlier-crawled)
+    document contains. Duplicated or templated docs score near 0,
+    genuinely fresh text near 1 — the metric a continual-pretraining
+    pipeline uses to decide whether a new crawl batch still adds
+    information (and the doc-level twin of the dedup candidate
+    signals: near-dups are exactly the low-novelty tail).
+
+    Scale shape: one explode to the distinct (doc, shingle) relation
+    (same kernel as `dedup_minhash_lsh`), one partial-agg groupBy for
+    first-seen owner per shingle (min is map-side combinable), one join
+    back on the shingle key, one groupBy doc. Nothing wider than
+    (shingle-hash, doc_id) shuffles; boilerplate celebrity shingles are
+    AQE skew-split like every other shingle-keyed op here."""
+    from .dedup import _shingled
+
+    sh = _shingled(spark, sf_dir).select("doc_id", "sh")
+    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("owner"))
+    novel = F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
