@@ -212,7 +212,7 @@ def test_bench_interleaved_min_warmup_uncounted():
         class FakeSpark:
             _jvm = None
 
-        timings, gc_sec, rows = bench._interleaved_min(
+        timings, gc_sec, rows, retries = bench._interleaved_min(
             FakeSpark(), ["q1", "q2"], runner, "test"
         )
     finally:
@@ -221,3 +221,4 @@ def test_bench_interleaved_min_warmup_uncounted():
     assert timings["q1"] == 1.0  # warmup 0.1 not counted
     assert timings["q2"] == 2.0  # warmup 5.0 not counted
     assert rows == {"q1": 7, "q2": 7}
+    assert retries == 0  # 1.0 vs 1.1 and 2.0 vs 2.05 are within 1.5x
