@@ -49,6 +49,13 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "dedup_exact_substring",
     "events_retention_cohorts",
     "text_ngram_novelty",
+    # wave 2:
+    "tpch_q5_local_volume",
+    "graph_label_propagation",
+    "graph_kcore",
+    "events_path_trigrams",
+    "events_time_to_convert",
+    "embedding_pq_encode",
     # (dedup_embedding_cosine, the 12th r01 row, was renamed/absorbed
     # into dedup_embedding_lsh_verified in r2 and is no longer a
     # registry key; its slot re-windows the rounding-touched
@@ -66,42 +73,45 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "lang_id_heuristic",
     "tfidf_rarest_term",
     "token_count_regex",
-    # ... and last green r02 (29 entries)
+    # ... and 23 of the 29 last green r02. Six expression-family rows
+    # (sparql_string/numeric/date/hash/term_funcs, sparql_expr_calc —
+    # all pure JVM Column expression evaluation through expressions.py,
+    # no join/agg/path machinery) are displaced by the six wave-2
+    # operators above, which have NO external evidence yet: first
+    # evidence for a new operator outranks a 4th re-confirmation of a
+    # sibling-covered one. The six displaced rows lead round 7's
+    # front-load (see ledger below).
     "dedup_ngram_jaccard",
     "embedding_lsh_buckets",
     "graph_bfs_chain",
     "media_catalog",
     "media_frame_sample",
     "sparql_ask",
-    "sparql_date_funcs",
     "sparql_describe",
     "sparql_exists",
-    "sparql_expr_calc",
     "sparql_filter_agg",
     "sparql_graph_empty",
     "sparql_group_concat",
-    "sparql_hash_funcs",
     "sparql_lateral",
     "sparql_minus",
     "sparql_not_exists",
-    "sparql_numeric_funcs",
     "sparql_path_negated",
     "sparql_path_sequence",
     "sparql_ps_pq_chain",
     "sparql_qualifier_join",
     "sparql_reduced",
-    "sparql_string_funcs",
     "sparql_subselect",
-    "sparql_term_funcs",
     "sparql_union",
     "sparql_values_undef",
     "sparql_wds_lookup",
     # ROTATION LEDGER (evidence age after round 6, assuming this window
     # lands green): r06 x 50 (the above), r05 x 44 (round-5 front-load,
-    # minus the six re-windowed here), r04 x 46, r03 x 41. Round 7
-    # front-loads the r03 cohort + anything that changes; round 8 the
-    # r04 cohort; the cycle then repeats. No entry's age ever exceeds
-    # the ~4-round cycle a 50-slot window over 184 entries permits.
+    # minus the six re-windowed here), r04 x 46, r03 x 41, r02 x 6 (the
+    # displaced expression-family rows listed above). Round 7
+    # front-loads (1) those six displaced r02 rows, then (2) the r03
+    # cohort + anything that changes; round 8 the r04 cohort; the cycle
+    # then repeats. No entry's age ever exceeds the ~4-round cycle a
+    # 50-slot window over ~190 entries permits.
 )
 
 

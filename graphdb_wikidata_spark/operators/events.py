@@ -1030,3 +1030,92 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "events_path_trigrams",
+    """
+    WITH s AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1, e2, e3, count(*) AS n_paths
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral 3-gram mining: every consecutive event-type triple
+    along each user's timeline, counted corpus-wide — the sequence-
+    pattern extension of `events_markov_transitions` (2-grams / row
+    transition probabilities). The result is the top-paths table a
+    product-analytics "user flows" view reads.
+
+    One window (partition user_id, order ts with event_id as the
+    deterministic tie-break) producing two leads, then a partial-agg
+    groupBy over at most |event_types|^3 keys. The window shuffle is
+    the only data-sized movement and it reuses the per-user
+    partitioning every sessionize/funnel operator already needs; at
+    100 TB the trigram key space stays tiny so the final agg is
+    map-side-combined down to nothing."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+@register(
+    "events_time_to_convert",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t0
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tconv
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= v.t0
+          GROUP BY e.user_id)
+    SELECT p.user_id,
+           (p.tconv - epoch_us(v.t0)) // 1000000 AS secs_to_convert
+    FROM p JOIN v ON p.user_id = v.user_id
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every user, whole seconds from their FIRST
+    view to their first purchase at-or-after it — the latency
+    companion to `events_funnel_steps` (which counts conversions;
+    this one distributes them). Non-converting users drop out.
+
+    Two partial-agg min-groupBys and one user-keyed join: the first-
+    view relation is user-sized and joins back onto the purchase
+    events on user_id (broadcast while it fits, AQE's call), so the
+    event table is scanned twice but shuffled once, map-side-combined
+    to per-user minima both times. All arithmetic is integer
+    microseconds (epoch_us on both engines) with a final integer
+    floor-div — no float timestamps anywhere, so no rounding
+    divergence at 1e15 magnitudes."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(epoch_us(F.col("ts"))).alias("tconv"), F.min(epoch_us(F.col("t0"))).alias("t0us"))
+    )
+    return p.select(
+        "user_id",
+        F.expr("(tconv - t0us) div 1000000").alias("secs_to_convert"),
+    )

@@ -424,3 +424,157 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    from .dedup import _CAND_CTE
+
+    ctes = []
+    for n in range(1, rounds + 1):
+        ctes.append(
+            f"""
+    l{n} AS (SELECT node, lbl FROM (
+        SELECT e.u AS node, l.lbl, count(*) AS c,
+               row_number() OVER (PARTITION BY e.u
+                                  ORDER BY count(*) DESC, l.lbl) AS rk
+        FROM und e JOIN l{n - 1} l ON l.node = e.v
+        GROUP BY e.u, l.lbl) x WHERE rk = 1)"""
+        )
+    return f"""
+    WITH {_CAND_CTE},
+    und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+    {','.join(ctes)}
+    SELECT lbl AS community, count(*) AS n_members
+    FROM l{rounds} GROUP BY lbl
+    """
+
+
+LPA_ROUNDS = 3
+
+
+@register("graph_label_propagation", _lpa_oracle(LPA_ROUNDS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection) on the
+    MinHash-LSH candidate graph: every node starts as its own label,
+    then for a fixed number of rounds adopts the most frequent label
+    among its neighbors (ties toward the smaller label — the
+    determinism that makes a cross-engine oracle possible; classic
+    async LPA is run-order-dependent and unverifiable). Communities
+    after 3 rounds are the template/boilerplate families of the
+    near-dup graph — coarser than connected components when bands
+    chain unrelated docs through a shared hub.
+
+    Per round: one edge-label join (keyed on node id) + two partial-agg
+    groupBys (vote count, then struct-min argmax). The label relation
+    is node-sized, the join is edge-sized — identical shape to one
+    PageRank iteration, O(rounds) shuffles total, nothing quadratic.
+    Fixed round count (no convergence probe) keeps it exactly
+    reproducible; sync LPA can 2-cycle on bipartite shapes, which a
+    fixed horizon sidesteps deterministically."""
+    from .dedup import _shingled, minhash_candidates
+
+    cand = minhash_candidates(_shingled(spark, sf_dir))
+    und = (
+        cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            und.join(labels, und["v"] == labels["node"], "inner")
+            .groupBy("u", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # min over (-c, lbl): most votes first, then smallest label
+        labels = (
+            votes.groupBy("u")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("m"))
+            .select(F.col("u").alias("node"), F.col("m.lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+KCORE_K = 2
+KCORE_ORACLE_PEELS = 10
+
+
+def _kcore_oracle(k: int = KCORE_K, peels: int = KCORE_ORACLE_PEELS) -> str:
+    from .dedup import _CAND_CTE
+
+    # AS MATERIALIZED: every peel references its predecessor three
+    # times (degree count + two endpoint semi-joins) — default CTE
+    # inlining would expand the chain 3^peels-fold and exhaust file
+    # handles re-reading the parquet scan; materializing each stage
+    # keeps the unroll linear, which is also what the Spark side's
+    # per-round localCheckpoint does.
+    ctes = []
+    for n in range(1, peels + 1):
+        ctes.append(
+            f"""
+    n{n} AS MATERIALIZED (SELECT u FROM e{n - 1} GROUP BY u HAVING count(*) >= {k}),
+    e{n} AS MATERIALIZED (SELECT e.u, e.v FROM e{n - 1} e
+             JOIN n{n} a ON e.u = a.u JOIN n{n} b ON e.v = b.u)"""
+        )
+    return f"""
+    WITH {_CAND_CTE},
+    e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand
+           UNION ALL SELECT doc_b, doc_a FROM cand),
+    {','.join(ctes)}
+    SELECT u AS doc_id, count(*) AS core_degree FROM e{peels} GROUP BY u
+    """
+
+
+@register("graph_kcore", _kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k=2) of the LSH candidate graph: peel
+    nodes of degree < k until fixpoint; survivors with their in-core
+    degree. The 2-core strips the chance-collision fringe (pendant
+    candidates that one band alignment produced) and keeps the densely
+    interlinked template families — the standard graph-sparsification
+    pass before community detection or triangle counting.
+
+    Each peel round is one partial-agg degree count + a double
+    semi-join of the edge list against survivors — edge-list-sized
+    shuffles keyed on node id, O(rounds) of them. Convergence is a
+    node-count scalar per round (metadata-sized, like the CC label
+    sum). The oracle unrolls {KCORE_ORACLE_PEELS} peels — peeling is
+    idempotent at fixpoint, so the unroll just needs to be >= the real
+    round count; the regression test asserts the engine converges
+    within that horizon on both bench scale factors."""
+    from .dedup import _shingled, minhash_candidates
+
+    cand = minhash_candidates(_shingled(spark, sf_dir))
+    edges = (
+        cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    prev_nodes = -1
+    for rounds_used in range(1, KCORE_ORACLE_PEELS + 1):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("u").localCheckpoint()
+        n_nodes = keep.count()
+        if n_nodes == prev_nodes:
+            break
+        prev_nodes = n_nodes
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"graph_kcore did not converge within {KCORE_ORACLE_PEELS} peels; "
+            "raise KCORE_ORACLE_PEELS (and the oracle unroll) together"
+        )
+    return edges.groupBy(F.col("u").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )

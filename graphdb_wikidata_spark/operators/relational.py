@@ -1058,3 +1058,63 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("monetary"), 2).alias("avg_monetary"),
     )
+
+
+@register(
+    "tpch_q5_local_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the classic 6-table join with
+    the c_nationkey = s_nationkey "local" correlation. Join order
+    matters at 100 TB: lineitem joins the date-filtered orders on
+    orderkey first (the only fact-fact shuffle), then supplier on
+    suppkey; customer attaches on o_custkey with the nation-equality
+    correlation folded into the SAME join condition (never a post-join
+    filter over the full cross-nation result). nation x region prune
+    to the 5 ASIA nations and broadcast onto supplier, so the
+    region/nation restriction reaches the supplier side before any
+    fact shuffle; AQE decides supplier/customer join strategies (both
+    grow with scale factor - no forced broadcast, the market_basket
+    lesson). Revenue is exact-decimal-free: summed as double and
+    rounded once at the end on both engines."""
+    asia_nations = (
+        table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = table(spark, sf_dir, "customer")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )

@@ -392,30 +392,38 @@ KMEANS_ROUND = 7
 _KM_D2 = "list_aggregate(list_transform(list_zip(e.v, c.cv), s -> (s[1]-s[2])**2), 'sum')"
 
 
-def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+def _kmeans_ctes(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    pfx: str = "",
+    vexpr: str = "embedding::DOUBLE[]",
+    with_kw: bool = True,
+) -> str:
     """The unrolled-Lloyd's WITH-body shared by every oracle that needs
     the trained assignment (`a{iters}`) / centroids (`c{iters}`):
     embedding_kmeans reports cluster sizes, embedding_cluster_purity
-    joins the assignment against the labels."""
+    joins the assignment against the labels. ``pfx``/``vexpr``/
+    ``with_kw`` let one query carry several independent fits (the PQ
+    oracle trains one codebook per subvector slice in a single WITH)."""
     ctes = []
     for n in range(1, iters + 1):
         ctes.append(
             f"""
-    a{n} AS (SELECT vec_id, v, cid FROM (
+    {pfx}a{n} AS (SELECT vec_id, v, cid FROM (
         SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_KM_D2}, c.cid) AS rk
-        FROM e CROSS JOIN c{n - 1} c) x WHERE rk = 1),
-    c{n} AS (SELECT cid, list(av ORDER BY i) AS cv FROM (
+        FROM {pfx}e e CROSS JOIN {pfx}c{n - 1} c) x WHERE rk = 1),
+    {pfx}c{n} AS (SELECT cid, list(av ORDER BY i) AS cv FROM (
         SELECT cid, i, round(avg(x), {KMEANS_ROUND}) AS av FROM (
             SELECT cid, generate_subscripts(v, 1) AS i, unnest(v) AS x
-            FROM a{n}) u
+            FROM {pfx}a{n}) u
         GROUP BY cid, i) g GROUP BY cid)"""
         )
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}) q),
+    {'WITH ' if with_kw else ''}{pfx}e AS (SELECT vec_id, {vexpr} AS v FROM embeddings),
+    {pfx}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           FROM (SELECT vec_id, v FROM {pfx}e ORDER BY vec_id LIMIT {k}) q),
     {','.join(ctes)}"""
 
 
@@ -725,3 +733,65 @@ def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace codebooks (round-6 extension)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (PQ_M * PQ_SUB = embedding dim 64)
+PQ_K = 8  # codewords per subspace -> 3 bits, 12 bits per vector total
+PQ_ITERS = 2
+
+
+def _pq_oracle() -> str:
+    chains, selects = [], []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUB + 1, (s + 1) * PQ_SUB
+        pfx = f"s{s}_"
+        chains.append(
+            _kmeans_ctes(
+                PQ_K,
+                PQ_ITERS,
+                pfx=pfx,
+                vexpr=f"(embedding::DOUBLE[])[{lo}:{hi}]",
+                with_kw=False,
+            )
+        )
+        selects.append(
+            f"SELECT vec_id, {s} AS subspace, cid AS code FROM {pfx}a{PQ_ITERS}"
+        )
+    return "WITH " + ",".join(chains) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("embedding_pq_encode", _pq_oracle())
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ) encoding of the embedding corpus: the
+    vector is split into PQ_M contiguous subvectors, an independent
+    k-means codebook (PQ_K codewords, deterministic seed) is trained
+    per subspace, and every vector is encoded as its nearest codeword
+    id per subspace — 64 floats compressed to PQ_M small codes, the
+    memory layout IVF-PQ indexes (Jegou et al., TPAMI 2011) search.
+
+    Each subspace fit reuses `kmeans_fit` verbatim (broadcast assign +
+    partial-agg centroid update), over 16-dim slices instead of full
+    vectors — the slice happens in the scan projection so a subspace
+    round moves PQ_SUB/D of the corpus bytes. The PQ_M fits are
+    independent jobs over the same scan; the trained trajectory is
+    bit-pinned to the oracle by the shared KMEANS_ROUND rounding and
+    the (distance, cid) tie-break, exactly like `embedding_kmeans`.
+    Output is (vec_id, subspace, code) — the long form of the code
+    matrix, one downstream pivot away from the packed row."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("full")
+    )
+    out = None
+    for s in range(PQ_M):
+        es = e.select("vec_id", F.slice("full", s * PQ_SUB + 1, PQ_SUB).alias("v"))
+        fitted = kmeans_fit(es, k=PQ_K, iters=PQ_ITERS)
+        part = fitted.select(
+            "vec_id", F.lit(s).alias("subspace"), F.col("cid").alias("code")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
