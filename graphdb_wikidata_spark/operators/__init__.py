@@ -56,6 +56,10 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "events_path_trigrams",
     "events_time_to_convert",
     "embedding_pq_encode",
+    # wave 3:
+    "embedding_pq_search",
+    "tpch_q10_returned_items",
+    "text_keywords_topk",
     # (dedup_embedding_cosine, the 12th r01 row, was renamed/absorbed
     # into dedup_embedding_lsh_verified in r2 and is no longer a
     # registry key; its slot re-windows the rounding-touched
@@ -73,20 +77,24 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "lang_id_heuristic",
     "tfidf_rarest_term",
     "token_count_regex",
-    # ... and 23 of the 29 last green r02. Six expression-family rows
-    # (sparql_string/numeric/date/hash/term_funcs, sparql_expr_calc —
-    # all pure JVM Column expression evaluation through expressions.py,
-    # no join/agg/path machinery) are displaced by the six wave-2
-    # operators above, which have NO external evidence yet: first
-    # evidence for a new operator outranks a 4th re-confirmation of a
-    # sibling-covered one. The six displaced rows lead round 7's
-    # front-load (see ledger below).
+    # ... and 20 of the 29 last green r02. Nine r02 rows are displaced
+    # by the nine new round-6 operators above, which have NO external
+    # evidence yet: first evidence for a new operator outranks a 4th
+    # re-confirmation of a sibling-covered row. Displaced, with the
+    # in-window sibling that covers the shared kernel meanwhile:
+    # sparql_string/numeric/date/hash/term_funcs + sparql_expr_calc
+    # (pure JVM Column expression families through expressions.py; the
+    # windowed sparql_filter_agg/sparql_group_concat rows exercise the
+    # same expression evaluation path), sparql_ask (LIMIT-1 wrapper
+    # over the windowed BGP/exists machinery), sparql_reduced (same
+    # dropDuplicates kernel as the windowed distinct_op), and
+    # graph_bfs_chain (frontier-loop shape; the windowed graph_kcore /
+    # graph_label_propagation are the same iterative edge-join kernel).
+    # All nine lead round 7's front-load (see ledger below).
     "dedup_ngram_jaccard",
     "embedding_lsh_buckets",
-    "graph_bfs_chain",
     "media_catalog",
     "media_frame_sample",
-    "sparql_ask",
     "sparql_describe",
     "sparql_exists",
     "sparql_filter_agg",
@@ -99,19 +107,18 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_path_sequence",
     "sparql_ps_pq_chain",
     "sparql_qualifier_join",
-    "sparql_reduced",
     "sparql_subselect",
     "sparql_union",
     "sparql_values_undef",
     "sparql_wds_lookup",
     # ROTATION LEDGER (evidence age after round 6, assuming this window
     # lands green): r06 x 50 (the above), r05 x 44 (round-5 front-load,
-    # minus the six re-windowed here), r04 x 46, r03 x 41, r02 x 6 (the
-    # displaced expression-family rows listed above). Round 7
-    # front-loads (1) those six displaced r02 rows, then (2) the r03
-    # cohort + anything that changes; round 8 the r04 cohort; the cycle
-    # then repeats. No entry's age ever exceeds the ~4-round cycle a
-    # 50-slot window over ~190 entries permits.
+    # minus the six re-windowed here), r04 x 46, r03 x 41, r02 x 9 (the
+    # displaced rows listed above). Round 7 front-loads (1) those nine
+    # displaced r02 rows, then (2) the r03 cohort + anything that
+    # changes; round 8 the r04 cohort; the cycle then repeats. No
+    # entry's age ever exceeds the ~4-round cycle a 50-slot window over
+    # ~192 entries permits.
 )
 
 

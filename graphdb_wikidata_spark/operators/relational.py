@@ -1064,7 +1064,8 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_volume",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(l_extendedprice::DECIMAL(18,2)
+                     * (1 - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1113,8 +1114,81 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
     )
+    # exact-decimal revenue: a double sum's association order differs
+    # between engines (and between partitionings of the SAME engine),
+    # and with enough groups some group's true sum lands within an ULP
+    # of a .005 boundary — the 2dp round then flips a cent. DECIMAL
+    # terms make the sum exact on both sides; cast back to double only
+    # after the final round.
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
+        F.round(F.sum(rev), 2).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice::DECIMAL(18,2)
+                     * (1 - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1995-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): customers who returned the
+    most revenue in a quarter. The returnflag filter reaches the
+    lineitem scan and the quarter filter the orders scan (both pushed
+    to parquet), so the orderkey shuffle joins two pre-shrunk facts;
+    customer attaches on o_custkey (AQE's strategy call — customer
+    grows with SF), nation broadcasts. Top-20 is
+    TakeOrderedAndProject with c_custkey breaking 2dp-revenue ties."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # exact-decimal sum, same rationale as tpch_q5_local_volume:
+        # the double sum's 1082-customer group count makes a 2dp
+        # boundary hit near-certain somewhere (measured: one cent off
+        # at sf0.01 with the double formulation)
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
     )

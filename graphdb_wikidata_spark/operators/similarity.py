@@ -765,6 +765,69 @@ def _pq_oracle() -> str:
     return "WITH " + ",".join(chains) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def kmeans_fit_grouped(es: DataFrame, k: int, iters: int) -> DataFrame:
+    """Assignment half of `_kmeans_grouped` (kept as the public
+    name used by `embedding_pq_encode`)."""
+    assigned, _cent = _kmeans_grouped(es, k, iters)
+    return assigned
+
+
+def _kmeans_grouped(es: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means trained independently PER GROUP, all groups in
+    the SAME cluster-wide jobs: ``es`` is (grp, vec_id, v) and the
+    return is the final assignment (grp, vec_id, cid). Identical
+    per-group trajectory to `kmeans_fit` on that group alone — same
+    k-lowest-vec_id init, KMEANS_ROUND centroid rounding, (d2, cid)
+    tie-break — so any oracle for the per-group fit verifies this one.
+
+    The group id rides in the broadcast-join key and the groupBy keys:
+    per iteration ONE broadcast(centroids) join + ONE argmin groupBy +
+    ONE (grp, cid, dim) centroid update, independent of the number of
+    groups — M sequential `kmeans_fit` calls would pay M x iters
+    barriers and M scans. Init avoids any corpus-wide window: the k
+    lowest vec_ids come from a TakeOrdered over the distinct id
+    relation (vec_ids are shared across groups), ranked by a window
+    over those k rows only, then broadcast-joined back."""
+    low = es.select("vec_id").distinct().orderBy("vec_id").limit(k)
+    low = low.select(
+        "vec_id", (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid")
+    )
+    cent = es.join(F.broadcast(low), "vec_id").select(
+        "grp", "cid", F.col("v").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = None
+    for _ in range(iters):
+        scored = es.join(F.broadcast(cent), "grp").select(
+            "grp", "vec_id", "v", "cid", d2.alias("d2")
+        )
+        assigned = (
+            scored.groupBy("grp", "vec_id")
+            .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
+            .select("grp", "vec_id", F.col("m.cid").alias("cid"), F.col("m.v").alias("v"))
+        )
+        dims = assigned.select("grp", "cid", F.posexplode("v").alias("i", "x"))
+        cent = (
+            dims.groupBy("grp", "cid", "i")
+            .agg(F.round(F.avg("x"), KMEANS_ROUND).alias("av"))
+            .groupBy("grp", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "av"))),
+                    lambda s: s.getField("av"),
+                ).alias("cv")
+            )
+            # groups x k rows — tiny; cut lineage so iteration r+1 (and
+            # the final assignment) never re-runs round r's argmin
+            .localCheckpoint(eager=True)
+        )
+    return assigned.select("grp", "vec_id", "cid"), cent
+
+
 @register("embedding_pq_encode", _pq_oracle())
 def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (PQ) encoding of the embedding corpus: the
@@ -774,24 +837,133 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     id per subspace — 64 floats compressed to PQ_M small codes, the
     memory layout IVF-PQ indexes (Jegou et al., TPAMI 2011) search.
 
-    Each subspace fit reuses `kmeans_fit` verbatim (broadcast assign +
-    partial-agg centroid update), over 16-dim slices instead of full
-    vectors — the slice happens in the scan projection so a subspace
-    round moves PQ_SUB/D of the corpus bytes. The PQ_M fits are
-    independent jobs over the same scan; the trained trajectory is
-    bit-pinned to the oracle by the shared KMEANS_ROUND rounding and
-    the (distance, cid) tie-break, exactly like `embedding_kmeans`.
-    Output is (vec_id, subspace, code) — the long form of the code
-    matrix, one downstream pivot away from the packed row."""
+    All PQ_M codebooks train in ONE grouped fit (`kmeans_fit_grouped`
+    with subspace as the group id): the corpus is exploded once into
+    (subspace, vec_id, 16-dim slice) rows — PQ_M x the rows at 1/PQ_M
+    the width, same bytes — and each iteration is one broadcast join +
+    two partial-agg groupBys regardless of PQ_M, instead of PQ_M
+    sequential fits x iters barriers. The per-subspace trajectory is
+    bit-pinned to the oracle's independent unrolled-Lloyd's chains by
+    the shared KMEANS_ROUND rounding and (d2, cid) tie-break, exactly
+    like `embedding_kmeans`. Output is (vec_id, subspace, code) — the
+    long form of the code matrix, one downstream pivot away from the
+    packed row."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("full")
     )
-    out = None
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("grp"),
+                F.slice("full", s * PQ_SUB + 1, PQ_SUB).alias("v"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    es = e.select("vec_id", F.explode(slices).alias("sv")).select(
+        "vec_id", F.col("sv.grp").alias("grp"), F.col("sv.v").alias("v")
+    )
+    assigned = kmeans_fit_grouped(es, k=PQ_K, iters=PQ_ITERS)
+    return assigned.select(
+        "vec_id", F.col("grp").alias("subspace"), F.col("cid").alias("code")
+    )
+
+
+def _pq_search_oracle(k_results: int = 10) -> str:
+    chains, stages = [], []
     for s in range(PQ_M):
-        es = e.select("vec_id", F.slice("full", s * PQ_SUB + 1, PQ_SUB).alias("v"))
-        fitted = kmeans_fit(es, k=PQ_K, iters=PQ_ITERS)
-        part = fitted.select(
-            "vec_id", F.lit(s).alias("subspace"), F.col("cid").alias("code")
+        lo, hi = s * PQ_SUB + 1, (s + 1) * PQ_SUB
+        pfx = f"s{s}_"
+        chains.append(
+            _kmeans_ctes(
+                PQ_K,
+                PQ_ITERS,
+                pfx=pfx,
+                vexpr=f"(embedding::DOUBLE[])[{lo}:{hi}]",
+                with_kw=False,
+            )
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+        stages.append(
+            f"""
+    q{s} AS (SELECT (embedding::DOUBLE[])[{lo}:{hi}] AS qv
+             FROM embeddings WHERE vec_id = 0),
+    lut{s} AS (SELECT c.cid,
+                      list_aggregate(list_transform(list_zip(q.qv, c.cv),
+                                     x -> (x[1]-x[2])**2), 'sum') AS dd
+               FROM {pfx}c{PQ_ITERS} c, q{s} q),
+    d{s} AS (SELECT a.vec_id, l.dd FROM {pfx}a{PQ_ITERS} a
+             JOIN lut{s} l USING (cid))"""
+        )
+    dsum = "d0.dd"
+    for s in range(1, PQ_M):
+        dsum = f"({dsum} + d{s}.dd)"
+    joins = " ".join(f"JOIN d{s} USING (vec_id)" for s in range(1, PQ_M))
+    return f"""WITH {','.join(chains)},{','.join(stages)}
+    SELECT d0.vec_id, round({dsum}, 6) AS adist
+    FROM d0 {joins}
+    WHERE d0.vec_id <> 0
+    ORDER BY adist, d0.vec_id LIMIT {k_results}
+    """
+
+
+@register("embedding_pq_search", _pq_search_oracle())
+def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) search: top-10 approximate nearest
+    neighbours of vec_id 0 using only the PQ codes — the search half
+    of `embedding_pq_encode` and the standard IVF-PQ query path (Jegou
+    et al., TPAMI 2011). The query stays UNquantized: per subspace, a
+    lookup table of squared distances from the query slice to the
+    PQ_K trained codewords, and a vector's approximate distance is the
+    sum of its codes' LUT entries.
+
+    Scale shape: the LUT is PQ_M x PQ_K rows (broadcast); the corpus
+    side touches only the code columns — (vec_id, subspace, code) —
+    never the raw vectors, which is the point of PQ: at 100 TB the
+    scan reads PQ_M ints per vector instead of D floats. One broadcast
+    join + one pivot-style groupBy + TakeOrderedAndProject; subspace
+    distances are summed in fixed left-to-right order (never a
+    commutative float agg across subspaces) so the double trajectory
+    matches the oracle bit-for-bit."""
+    from functools import reduce
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("full")
+    )
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("full").head()[0]]
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("grp"),
+                F.slice("full", s * PQ_SUB + 1, PQ_SUB).alias("v"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    es = e.select("vec_id", F.explode(slices).alias("sv")).select(
+        "vec_id", F.col("sv.grp").alias("grp"), F.col("sv.v").alias("v")
+    )
+    assigned, cent = _kmeans_grouped(es, k=PQ_K, iters=PQ_ITERS)
+    qdf = spark.createDataFrame(
+        [(s, qvec[s * PQ_SUB : (s + 1) * PQ_SUB]) for s in range(PQ_M)],
+        "grp int, qv array<double>",
+    )
+    dd = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = cent.join(F.broadcast(qdf), "grp").select("grp", "cid", dd.alias("dd"))
+    per = assigned.join(F.broadcast(lut), ["grp", "cid"]).select("vec_id", "grp", "dd")
+    agg = per.groupBy("vec_id").agg(
+        *[
+            F.sum(F.when(F.col("grp") == s, F.col("dd"))).alias(f"d{s}")
+            for s in range(PQ_M)
+        ]
+    )
+    adist = reduce(lambda a, b: a + b, [F.col(f"d{s}") for s in range(PQ_M)])
+    return (
+        agg.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(adist, 6).alias("adist"))
+        .orderBy("adist", "vec_id")
+        .limit(10)
+    )

@@ -889,3 +889,55 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_keywords_topk",
+    """
+    WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tfc GROUP BY token),
+    scored AS (SELECT t.doc_id, t.token, t.tf, d.df,
+                      round(t.tf::DOUBLE / d.df, 6) AS score,
+                      row_number() OVER (PARTITION BY t.doc_id
+                                         ORDER BY t.tf::DOUBLE / d.df DESC,
+                                                  t.token) AS rank
+               FROM tfc t JOIN dfreq d USING (token))
+    SELECT doc_id, rank, token, tf, df, score
+    FROM scored WHERE rank <= 3
+    """,
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf/df — the
+    rational tf-idf surrogate (1/df is a monotone transform of idf, so
+    the per-doc ranking matches tf-idf while staying an exact integer
+    ratio — no cross-engine log() ULP drift). The keyword table is what
+    a corpus browser / topic labeler reads per document.
+
+    Shape at scale: one explode (linear), two partial-agg groupBys
+    (term frequency, document frequency), one frequency join back (AQE
+    broadcasts the vocabulary while it fits), and a row_number window
+    partitioned BY DOC — per-partition cardinality is a document's
+    vocabulary, never corpus-sized. Ties (equal score) break on the
+    token string, so the same 3 keywords surface in both engines."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tfc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tfc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.asc("token"))
+    return (
+        tfc.join(dfreq, "token")
+        .select(
+            "doc_id",
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "tf",
+            "df",
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("rank") <= 3)
+    )

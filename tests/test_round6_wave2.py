@@ -170,3 +170,45 @@ def test_pq_subspace_fit_equals_kmeans_on_slice(spark):
         if r.subspace == 1
     }
     assert direct == via_pq
+
+
+# ---------------------------------------------------------------------------
+# wave 3: embedding_pq_search / text_keywords_topk
+# ---------------------------------------------------------------------------
+
+
+def test_pq_search_self_distance_is_minimal(spark):
+    # the query vector's own codes give adist equal to its quantization
+    # error — every returned neighbour's adist must be >= the smallest
+    # and the list must be ascending with vec_id tie-breaks
+    rows = similarity.QUERIES["embedding_pq_search"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    assert 0 not in {r.vec_id for r in rows}
+    dists = [r.adist for r in rows]
+    assert dists == sorted(dists)
+    assert all(d >= 0 for d in dists)
+
+
+def test_pq_search_tracks_exact_knn(spark):
+    # ADC over 12-bit codes is approximate; on the clustered testdata
+    # at least a few of the exact top-10 should survive in the PQ
+    # top-10 (a total miss means the codebooks/LUT wiring is wrong)
+    exact = {r.vec_id for r in similarity.QUERIES["embedding_knn_topk"](spark, SF_SMOKE).collect()}
+    approx = {r.vec_id for r in similarity.QUERIES["embedding_pq_search"](spark, SF_SMOKE).collect()}
+    assert len(exact & approx) >= 2
+
+
+def test_keywords_topk_rank_and_ties(spark):
+    from graphdb_wikidata_spark.operators import text
+
+    out = text.QUERIES["text_keywords_topk"](spark, SF_SMOKE).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # scores non-increasing; equal scores ordered by token string
+        for a, b in zip(rs, rs[1:]):
+            assert a.score > b.score or (a.score == b.score and a.token < b.token)
