@@ -60,6 +60,14 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "embedding_pq_search",
     "tpch_q10_returned_items",
     "text_keywords_topk",
+    # wave 4:
+    "tpch_q14_promo_revenue",
+    "tpch_q13_custdist",
+    "tpch_q4_priority_exists",
+    "tpch_q22_idle_customers",
+    "graph_clustering_coeff",
+    "graph_jaccard_neighbors",
+    "events_attribution_last_touch",
     # (dedup_embedding_cosine, the 12th r01 row, was renamed/absorbed
     # into dedup_embedding_lsh_verified in r2 and is no longer a
     # registry key; its slot re-windows the rounding-touched
@@ -91,34 +99,41 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # graph_bfs_chain (frontier-loop shape; the windowed graph_kcore /
     # graph_label_propagation are the same iterative edge-join kernel).
     # All nine lead round 7's front-load (see ledger below).
-    "dedup_ngram_jaccard",
     "embedding_lsh_buckets",
     "media_catalog",
-    "media_frame_sample",
-    "sparql_describe",
-    "sparql_exists",
     "sparql_filter_agg",
     "sparql_graph_empty",
     "sparql_group_concat",
     "sparql_lateral",
     "sparql_minus",
-    "sparql_not_exists",
     "sparql_path_negated",
     "sparql_path_sequence",
     "sparql_ps_pq_chain",
     "sparql_qualifier_join",
     "sparql_subselect",
-    "sparql_union",
-    "sparql_values_undef",
     "sparql_wds_lookup",
+    # Seven MORE r02 rows are displaced by the seven wave-4 operators
+    # (first evidence outranks re-confirmation, same rule as above),
+    # each with a fresh sibling on the shared kernel meanwhile:
+    # sparql_exists / sparql_not_exists (decorrelated semi/anti joins —
+    # the NEW in-window tpch_q4_priority_exists / tpch_q22_idle_customers
+    # are the same join shapes, plus join_semi/join_anti green r04),
+    # sparql_union (unionByName kernel: union_distinct green r05,
+    # union_all r04), sparql_values_undef (inline-table kernel:
+    # values_inline green r04), sparql_describe (template wrapper over
+    # the construct path: sparql_construct green r05),
+    # media_frame_sample (same mapInPandas Arrow kernel as the windowed
+    # media_catalog), dedup_ngram_jaccard (exact-Jaccard verify kernel:
+    # dedup_embedding_lsh_verified green r05, dedup_containment r04).
+    # All seven join the nine above at the head of round 7's front-load.
     # ROTATION LEDGER (evidence age after round 6, assuming this window
     # lands green): r06 x 50 (the above), r05 x 44 (round-5 front-load,
-    # minus the six re-windowed here), r04 x 46, r03 x 41, r02 x 9 (the
-    # displaced rows listed above). Round 7 front-loads (1) those nine
-    # displaced r02 rows, then (2) the r03 cohort + anything that
-    # changes; round 8 the r04 cohort; the cycle then repeats. No
+    # minus the six re-windowed here), r04 x 46, r03 x 41, r02 x 16 (the
+    # 9 + 7 displaced rows listed above). Round 7 front-loads (1) those
+    # sixteen displaced r02 rows, then (2) the r03 cohort + anything
+    # that changes; round 8 the r04 cohort; the cycle then repeats. No
     # entry's age ever exceeds the ~4-round cycle a 50-slot window over
-    # ~192 entries permits.
+    # ~199 entries permits.
 )
 
 

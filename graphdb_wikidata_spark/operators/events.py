@@ -1119,3 +1119,57 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("(tconv - t0us) div 1000000").alias("secs_to_convert"),
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    """
+    WITH ordered AS (
+        SELECT event_id, user_id, event_type, ts,
+               last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_type
+        FROM events)
+    SELECT coalesce(touch_type, 'organic') AS touch_type,
+           count(*) AS n_conversions,
+           count(DISTINCT user_id) AS n_users
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent PRIOR touch event (click/view/signup); a
+    purchase with no prior touch is 'organic'. The canonical sessionless
+    attribution model every product-analytics stack ships.
+
+    One window pass per user (the same partitionBy('user_id') shuffle
+    every other per-user kernel here rides) with last(ignorenulls) over
+    ROWS UNBOUNDED PRECEDING..1 PRECEDING — the carried touch is
+    computed in-stream, never by a self-join of purchases against the
+    touch history (which would re-shuffle events once per side and
+    explode on high-activity users). Ties are impossible: the ordering
+    key is (ts, event_id) and event_id is unique. The final aggregate
+    is touch-type-sized (4 rows)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view", "signup"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch_type", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("organic")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -578,3 +578,149 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("u").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
+
+
+def _clustering_coeff_oracle() -> str:
+    from .dedup import _CAND_CTE
+
+    return f"""
+    WITH {_CAND_CTE},
+    tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+            FROM cand ab
+            JOIN cand bc ON ab.doc_b = bc.doc_a
+            JOIN cand ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+    tmem AS (SELECT a AS doc_id FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri),
+    tcnt AS (SELECT doc_id, count(*) AS n_triangles FROM tmem GROUP BY doc_id),
+    ends AS (SELECT doc_a AS doc_id FROM cand
+             UNION ALL SELECT doc_b FROM cand),
+    deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id)
+    SELECT deg.doc_id, degree,
+           coalesce(n_triangles, 0) AS n_triangles,
+           round(2.0 * coalesce(n_triangles, 0)
+                 / (degree * (degree - 1)), 6) AS clustering_coeff
+    FROM deg LEFT JOIN tcnt ON deg.doc_id = tcnt.doc_id
+    WHERE degree >= 2
+    """
+
+
+@register("graph_clustering_coeff", _clustering_coeff_oracle())
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the MinHash-LSH
+    candidate graph: 2*triangles / (deg*(deg-1)) for nodes with
+    degree >= 2. This is the per-document "is my near-dup neighborhood
+    one template family?" score — coefficient ~1 means the candidates
+    form a clique (one boilerplate source), ~0 means hub-like chance
+    collisions that a band-cap should break up.
+
+    Reuses the node-iterator triangle join and the degree aggregation
+    verbatim (both over the LSH-bounded candidate graph, never the
+    corpus); the coefficient is a broadcast-free left join of two
+    node-keyed aggregates co-partitioned on doc_id. Exact integer
+    inputs, one final round — no FP drift."""
+    from .dedup import _shingled, minhash_candidates
+
+    cand = minhash_candidates(_shingled(spark, sf_dir)).localCheckpoint()
+    ab = cand.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = cand.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = cand.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= 2)
+    )
+    return deg.join(tcnt, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.round(
+            F.lit(2.0)
+            * F.coalesce("n_triangles", F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ).alias("clustering_coeff"),
+    )
+
+
+def _jaccard_neighbors_oracle() -> str:
+    from .dedup import _CAND_CTE
+
+    return f"""
+    WITH {_CAND_CTE},
+    adj AS (SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+    deg AS (SELECT u, count(*) AS degree FROM adj GROUP BY u),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS common_neighbors
+        FROM cand c
+        JOIN adj x ON x.u = c.doc_a
+        JOIN adj y ON y.u = c.doc_b AND y.v = x.v
+        GROUP BY c.doc_a, c.doc_b)
+    SELECT c.doc_a, c.doc_b,
+           coalesce(common_neighbors, 0) AS common_neighbors,
+           round(coalesce(common_neighbors, 0) * 1.0
+                 / (da.degree + db.degree - coalesce(common_neighbors, 0)),
+                 6) AS neighbor_jaccard
+    FROM cand c
+    LEFT JOIN common ON common.doc_a = c.doc_a AND common.doc_b = c.doc_b
+    JOIN deg da ON da.u = c.doc_a
+    JOIN deg db ON db.u = c.doc_b
+    """
+
+
+@register("graph_jaccard_neighbors", _jaccard_neighbors_oracle())
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural (neighbor-set) Jaccard similarity for every candidate
+    edge: |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. Link-prediction 101, and in a
+    dedup pipeline the cheap edge-confidence score — a candidate pair
+    embedded in the same dense community is a template-family edge; an
+    isolated pair (jaccard 0) is more likely a chance band collision
+    worth the exact verify.
+
+    Common neighbors via the wedge join (adj ⋈ adj on the shared
+    endpoint, restricted to candidate pairs — the same O(sum deg²)
+    bound as the triangle count, on the LSH-bounded graph only).
+    Degrees are a node-keyed partial agg; the union size is the
+    inclusion-exclusion identity, so nothing materializes neighbor
+    SETS — only counts join. Candidate edges with zero common
+    neighbors survive via the left join (coalesce 0)."""
+    from .dedup import _shingled, minhash_candidates
+
+    cand = minhash_candidates(_shingled(spark, sf_dir)).localCheckpoint()
+    adj = cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    x = adj.select(F.col("u").alias("doc_a"), F.col("v").alias("w"))
+    y = adj.select(F.col("u").alias("doc_b"), F.col("v").alias("w"))
+    common = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    da = deg.select(F.col("u").alias("doc_a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("u").alias("doc_b"), F.col("degree").alias("deg_b"))
+    cn = F.coalesce("common_neighbors", F.lit(0))
+    return (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cn.alias("common_neighbors"),
+            F.round(
+                cn * F.lit(1.0) / (F.col("deg_a") + F.col("deg_b") - cn), 6
+            ).alias("neighbor_jaccard"),
+        )
+    )

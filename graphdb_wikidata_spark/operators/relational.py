@@ -1192,3 +1192,171 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H adaptations, round-6 wave 4 (the synthetic schema lacks
+# l_shipmode / l_commitdate / o_comment, so Q4/Q13/Q22 are adapted to
+# the columns that exist; the operator SHAPE — correlated EXISTS,
+# left-join histogram, anti-join + scalar subquery — is the point)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN (l_extendedprice::DECIMAL(18,2)
+                           * (1 - l_discount::DECIMAL(18,2)))
+                     ELSE 0 END)
+                 / sum(l_extendedprice::DECIMAL(18,2)
+                       * (1 - l_discount::DECIMAL(18,2))), 6)::DOUBLE
+               AS promo_revenue_pct,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): what share of a quarter's revenue
+    came from PROMO parts. The date band is a scan-level PushedFilter
+    on lineitem (row groups pruned by min/max before the join); part is
+    a dimension and broadcasts, so the only shuffle is the single-row
+    final aggregate. The conditional revenue and the total are computed
+    in ONE pass over the joined relation (two sums, same groupBy) —
+    never two scans. Both sums are exact decimal so the ratio is
+    reproducible across partitionings; rounded once at the end."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                / F.sum(rev),
+                6,
+            )
+            .cast("double")
+            .alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    """
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution; the o_comment
+    NOT-LIKE filter is dropped — the column doesn't exist here). Two
+    stacked aggregations: orders-per-customer (count of the non-null
+    join side under a LEFT join, so no-order customers count 0), then
+    the histogram over those counts. The first groupBy shuffles on
+    c_custkey — the same key the join just shuffled on, so AQE reuses
+    the exchange; the second groupBy's input is customer-sized and its
+    output is #distinct-counts rows. No orderBy: the driver's compare
+    sorts, and a global sort on a histogram is wasted work at scale."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q4_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted: the reference
+    predicate l_commitdate < l_receiptdate doesn't exist in this
+    schema, so "late" is l_shipdate more than 60 days after the order
+    date — same correlated-EXISTS shape, same decorrelation story. The
+    EXISTS becomes a LEFT SEMI join on l_orderkey with the cross-side
+    date comparison folded into the join condition (never a post-join
+    filter); the semi join deduplicates matches on the build side, so
+    multi-line orders count once. The date band prunes orders at the
+    scan; the semi-join shuffle is keyed on orderkey and the final
+    aggregate is 5 rows."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q22_idle_customers",
+    """
+    WITH positive AS (SELECT avg(c_acctbal) AS avg_bal
+                      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS totacctbal
+    FROM customer, positive
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: rich customers
+    (balance above the positive-balance average) who never ordered,
+    grouped by market segment instead of phone country code (no phone
+    column). Shape: a scalar subquery (1-row broadcast threshold) + a
+    NULL-safe anti join against orders. The anti join shuffles customer
+    and the o_custkey projection of orders on the same key; at 100 TB
+    the orders side is pre-aggregated to distinct keys by the shuffle's
+    partial dedup (left_anti needs only key presence). The average is
+    computed over doubles but used only as a threshold — a tie would
+    need a balance EXACTLY equal to the mean at full precision, which
+    the synthetic doubles cannot hit; the summed output is exact
+    decimal as usual."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("totacctbal"),
+    )
