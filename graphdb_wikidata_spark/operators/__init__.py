@@ -68,6 +68,12 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "graph_clustering_coeff",
     "graph_jaccard_neighbors",
     "events_attribution_last_touch",
+    # wave 5:
+    "text_token_entropy",
+    "vocab_topk_ids",
+    "bpe_pair_counts",
+    "events_dau_wau_rolling",
+    "events_gini_concentration",
     # (dedup_embedding_cosine, the 12th r01 row, was renamed/absorbed
     # into dedup_embedding_lsh_verified in r2 and is no longer a
     # registry key; its slot re-windows the rounding-touched
@@ -102,19 +108,14 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "embedding_lsh_buckets",
     "media_catalog",
     "sparql_filter_agg",
-    "sparql_graph_empty",
     "sparql_group_concat",
     "sparql_lateral",
     "sparql_minus",
-    "sparql_path_negated",
-    "sparql_path_sequence",
-    "sparql_ps_pq_chain",
-    "sparql_qualifier_join",
     "sparql_subselect",
     "sparql_wds_lookup",
-    # Seven MORE r02 rows are displaced by the seven wave-4 operators
-    # (first evidence outranks re-confirmation, same rule as above),
-    # each with a fresh sibling on the shared kernel meanwhile:
+    # Twelve MORE r02 rows are displaced by the twelve wave-4/5
+    # operators (first evidence outranks re-confirmation, same rule as
+    # above), each with a fresh sibling on the shared kernel meanwhile:
     # sparql_exists / sparql_not_exists (decorrelated semi/anti joins —
     # the NEW in-window tpch_q4_priority_exists / tpch_q22_idle_customers
     # are the same join shapes, plus join_semi/join_anti green r04),
@@ -124,16 +125,23 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # the construct path: sparql_construct green r05),
     # media_frame_sample (same mapInPandas Arrow kernel as the windowed
     # media_catalog), dedup_ngram_jaccard (exact-Jaccard verify kernel:
-    # dedup_embedding_lsh_verified green r05, dedup_containment r04).
-    # All seven join the nine above at the head of round 7's front-load.
+    # dedup_embedding_lsh_verified green r05, dedup_containment r04),
+    # sparql_path_sequence / sparql_path_negated (path compilation:
+    # sparql_path_transitive / _alt_inverse / _zero_or_one /
+    # _in_graph_var all green r04 on the same paths.py kernels),
+    # sparql_ps_pq_chain / sparql_qualifier_join (wds:/p:/ps:/pq:
+    # routing: the windowed sparql_wds_lookup rides the same scan
+    # dispatch), sparql_graph_empty (graph_id scan routing:
+    # sparql_graph_named + sparql_dataset_from green r04).
+    # All twelve join the nine above at the head of round 7's front-load.
     # ROTATION LEDGER (evidence age after round 6, assuming this window
     # lands green): r06 x 50 (the above), r05 x 44 (round-5 front-load,
-    # minus the six re-windowed here), r04 x 46, r03 x 41, r02 x 16 (the
-    # 9 + 7 displaced rows listed above). Round 7 front-loads (1) those
-    # sixteen displaced r02 rows, then (2) the r03 cohort + anything
+    # minus the six re-windowed here), r04 x 46, r03 x 41, r02 x 21 (the
+    # 9 + 12 displaced rows listed above). Round 7 front-loads (1) those
+    # twenty-one displaced r02 rows, then (2) the r03 cohort + anything
     # that changes; round 8 the r04 cohort; the cycle then repeats. No
     # entry's age ever exceeds the ~4-round cycle a 50-slot window over
-    # ~199 entries permits.
+    # ~204 entries permits.
 )
 
 

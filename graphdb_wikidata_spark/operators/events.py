@@ -1173,3 +1173,102 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "events_dau_wau_rolling",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    grid AS (SELECT user_id, d + x * INTERVAL 1 DAY AS wend
+             FROM ud CROSS JOIN generate_series(0, 6) t(x)),
+    wau AS (SELECT wend, count(DISTINCT user_id) AS wau_7d
+            FROM grid JOIN days ON wend = days.d
+            GROUP BY wend),
+    dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau, wau_7d,
+           round(dau * 1.0 / wau_7d, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.wend
+    """,
+)
+def events_dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per calendar day, the distinct active users
+    that day (DAU), in the trailing 7 days (WAU), and the DAU/WAU
+    stickiness ratio. Rolling COUNT DISTINCT has no window-function
+    form (distinct state can't slide), so the scale-correct plan is the
+    day-grid scatter: events first collapse to distinct (user, day) —
+    the ONLY pass over the raw table — then each user-day scatters to
+    the ≤7 window-end days it supports (a bounded map-side explode of
+    the already-deduped relation, 7x of a tiny frame, NOT 7x of the
+    corpus), and a count-distinct groupBy lands per day. DAU is exact
+    count(*) over the same deduped relation (one user-day row each).
+    Window ends are restricted to days that exist in the data, so both
+    engines emit the same day set."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    ud = ud.localCheckpoint()  # feeds grid, days and dau; scan once
+    days = ud.select("d").distinct()
+    grid = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(0, 6)")).alias("x"),
+        "d",
+    ).select("user_id", F.expr("d + make_interval(0, 0, 0, x)").alias("wend"))
+    wau = (
+        grid.join(days, grid.wend == days.d)
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, dau.d == wau.wend).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau_7d",
+        F.round(F.col("dau") * F.lit(1.0) / F.col("wau_7d"), 6).alias("stickiness"),
+    )
+
+
+@register(
+    "events_gini_concentration",
+    """
+    WITH pu AS (SELECT event_type, user_id, count(*) AS cnt
+                FROM events GROUP BY 1, 2),
+    rk AS (SELECT event_type, cnt,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cnt, user_id) AS i
+           FROM pu)
+    SELECT event_type,
+           count(*)::BIGINT AS n_users,
+           sum(cnt)::BIGINT AS n_events,
+           round((2.0 * sum(i * cnt)::BIGINT) / (count(*) * sum(cnt)::BIGINT)
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM rk GROUP BY event_type
+    """,
+)
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity for each event type — the
+    standard inequality readout ("do 1% of users generate 99% of
+    clicks?") that decides per-user caps and skew salting upstream.
+    Uses the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over counts
+    sorted ascending.
+
+    Events collapse to the per-(type, user) count relation in one
+    partial-agg pass; the ranking window runs over THAT (users per
+    type, not events), partitioned by type. The rank tie-break
+    (cnt, user_id) is deterministic, and permuting equal counts leaves
+    Σ(i·xᵢ) unchanged, so the score is engine-order-proof; every
+    aggregate stays integer until the single final division."""
+    ev = table(spark, sf_dir, "events")
+    pu = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    rk = pu.select("event_type", "cnt", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    s = F.sum("cnt")
+    si = F.sum(F.col("i") * F.col("cnt"))
+    return rk.groupBy("event_type").agg(
+        n.alias("n_users"),
+        s.alias("n_events"),
+        F.round(
+            (F.lit(2.0) * si) / (n * s) - (n + F.lit(1.0)) / n, 6
+        ).alias("gini"),
+    )

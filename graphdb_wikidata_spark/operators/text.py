@@ -941,3 +941,136 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave 5: vocabulary building / tokenizer-training primitives
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 1000  # vocabulary size kept by vocab_topk_ids
+BPE_TOP_PAIRS = 50  # merge candidates surfaced by bpe_pair_counts
+
+
+@register(
+    "text_token_entropy",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(cnt)::BIGINT AS n_tokens,
+           round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 6)
+               AS token_entropy
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    repetitiveness axis of quality filtering (near-zero entropy = one
+    token spammed; log2(n) = every token unique). Uses the identity
+    H = log2(n) - (1/n)·Σ c·log2(c) so only integer token counts are
+    aggregated and the log is applied once per DISTINCT token, not per
+    occurrence.
+
+    One explode + two stacked partial-agg groupBys, both keyed on
+    doc_id (the second reuses the first's exchange). The whitespace
+    tokenization matches text_stats exactly (split on single space,
+    empties kept), so both engines count identical multisets."""
+    docs = table(spark, sf_dir, "documents")
+    c = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.round(
+            F.log2(F.sum("cnt")) - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt"),
+            6,
+        ).alias("token_entropy"),
+    )
+
+
+@register(
+    "vocab_topk_ids",
+    f"""
+    WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+                  FROM documents),
+    cnt AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+    top AS (SELECT token, freq FROM cnt
+            ORDER BY freq DESC, token LIMIT {VOCAB_K})
+    SELECT token, freq,
+           row_number() OVER (ORDER BY freq DESC, token) AS vocab_id
+    FROM top
+    """,
+)
+def vocab_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary builder: the top-VOCAB_K word tokens
+    with dense integer ids — the first step of training any tokenizer
+    or embedding table, and the id-assignment pass of a bag-of-words
+    featurizer.
+
+    The corpus collapses to the vocabulary relation (#distinct tokens)
+    in one partial-agg groupBy; the top-K cut is orderBy().limit() =
+    TakeOrderedAndProject (per-partition heaps, K-row driver merge, no
+    global sort of the vocab). Only THEN does the id-assigning window
+    run — over K rows, not the vocabulary. Ties are total-ordered by
+    (freq DESC, token ASC) in both the cut and the ranking, so both
+    engines keep and number the same K tokens."""
+    docs = table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql.window import Window
+
+    top = cnt.orderBy(F.desc("freq"), F.asc("token")).limit(VOCAB_K)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return top.select("token", "freq", F.row_number().over(w).alias("vocab_id"))
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                   FROM documents),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                     i -> substring(w, i, 2))) AS pair
+        FROM words WHERE length(w) >= 2)
+    SELECT pair, count(*) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies over word-internal characters —
+    the statistic BPE tokenizer training greedily merges on (the top
+    pair IS the first merge). Pair enumeration is a higher-order
+    expression (transform over sequence(1, len-1)) entirely inside
+    whole-stage codegen: per word, length-1 two-char slices, no Python
+    and no per-character explode-then-self-join. One explode feeds one
+    partial-agg groupBy over the ≤26² pair key space; the top-50 cut is
+    TakeOrderedAndProject. In a real BPE trainer this operator runs per
+    merge round on the current symbol sequences — same plan, symbols
+    for chars."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
