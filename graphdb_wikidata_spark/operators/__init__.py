@@ -142,6 +142,16 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # that changes; round 8 the r04 cohort; the cycle then repeats. No
     # entry's age ever exceeds the ~4-round cycle a 50-slot window over
     # ~204 entries permits.
+    #
+    # LATE-ROUND-6 ADDITIONS (registry tail, NOT windowed this round):
+    # the twelve wave-6 TPC-H completions (tpch_q2/q7/q8/q9/q11/q12/
+    # q15/q16/q17/q19/q20/q21) and the six wave-7 analytics ops
+    # (events_survival_hazard, events_winsorized_mean,
+    # graph_adamic_adar, text_feature_hashing, nb_lang_classifier,
+    # embedding_ann_recall) land after this window was frozen. They
+    # carry builder-sim evidence (DRIVER_SIM_r06*, both SFs) this round
+    # and join the twenty-one displaced r02 rows at the HEAD of round
+    # 7's front-load (first evidence outranks re-confirmation).
 )
 
 
@@ -155,24 +165,24 @@ def _reorder(merged: dict) -> dict:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import asof, corpus, dedup, events, graph, multimodal, relational, similarity, text
+    from . import asof, corpus, dedup, events, graph, multimodal, relational, similarity, text, tpch
 
     from ..engine import entry_queries as sparql_queries
     from ..streaming import entry as streaming_entry
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, events, asof, text, corpus, dedup, similarity, multimodal, graph, streaming_entry, sparql_queries):
+    for mod in (relational, tpch, events, asof, text, corpus, dedup, similarity, multimodal, graph, streaming_entry, sparql_queries):
         merged.update(mod.QUERIES)
     return _reorder(merged)
 
 
 def all_oracles() -> dict[str, str]:
-    from . import asof, corpus, dedup, events, graph, multimodal, relational, similarity, text
+    from . import asof, corpus, dedup, events, graph, multimodal, relational, similarity, text, tpch
 
     from ..engine import entry_queries as sparql_queries
     from ..streaming import entry as streaming_entry
 
     merged: dict[str, str] = {}
-    for mod in (relational, events, asof, text, corpus, dedup, similarity, multimodal, graph, streaming_entry, sparql_queries):
+    for mod in (relational, tpch, events, asof, text, corpus, dedup, similarity, multimodal, graph, streaming_entry, sparql_queries):
         merged.update(mod.ORACLES)
     return {k: merged[k] for k in all_queries() if k in merged}

@@ -1272,3 +1272,197 @@ def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2.0) * si) / (n * s) - (n + F.lit(1.0)) / n, 6
         ).alias("gini"),
     )
+
+
+@register(
+    "events_survival_hazard",
+    """
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+               max(ts) AS tmax
+        FROM events GROUP BY user_id
+        HAVING min(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL),
+    conv AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN u ON e.user_id = u.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= u.t0
+        GROUP BY e.user_id),
+    durs AS (
+        SELECT u.user_id,
+               CASE WHEN t1 IS NOT NULL
+                    THEN (epoch_us(t1) - epoch_us(t0)) // 3600000000
+                    ELSE (epoch_us(tmax) - epoch_us(t0)) // 3600000000
+               END AS dur_h,
+               CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS is_event
+        FROM u LEFT JOIN conv ON u.user_id = conv.user_id),
+    hist AS (
+        SELECT dur_h, count(*) AS n_all, sum(is_event)::BIGINT AS d
+        FROM durs GROUP BY dur_h),
+    risk AS (
+        SELECT dur_h, d,
+               sum(n_all) OVER (ORDER BY dur_h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   ::BIGINT AS n_at_risk
+        FROM hist),
+    steps AS (
+        SELECT dur_h, d, n_at_risk,
+               round(CAST(d AS DOUBLE) / n_at_risk, 6)::DECIMAL(18,6)
+                   AS hazard
+        FROM risk WHERE d > 0)
+    SELECT dur_h AS t_hours, d AS n_events, n_at_risk,
+           CAST(hazard AS DOUBLE) AS hazard,
+           CAST(sum(hazard) OVER (ORDER BY dur_h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum_hazard
+    FROM steps ORDER BY t_hours
+    """,
+)
+def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for signup -> purchase
+    conversion, with right-censoring at the user's last observed event.
+    Survival analysis is the principled answer to "how long until
+    users convert" when many never have — naive averages over
+    converters only are biased; the risk-set construction here is not.
+    (The Kaplan-Meier survival curve is exp(-H(t)) to first order; the
+    cumulative hazard is reported because it is a SUM, which both
+    engines compute exactly — see below — where KM's running PRODUCT
+    is not available as an exact aggregate in either.)
+
+    Scale shape: one user_id shuffle builds (t0, tmax) per user, a
+    second attaches the first qualifying purchase, then everything
+    collapses to the duration HISTOGRAM — all window work (the reverse
+    cumulative risk set, the cumulative hazard) runs over
+    distinct-duration rows, not users, on a single partition of
+    histogram size (bounded by the observation span in hours, ~60k
+    rows at 7 years, regardless of user count).
+
+    Determinism: d and n_at_risk are integers (reverse-cumulative
+    window sums of counts); each hazard step d/n is one double
+    division rounded half-up to 6dp on both engines; the CUMULATIVE
+    hazard sums those steps as exact DECIMAL(18,6) — so the running
+    sum is association-order-proof and the two engines agree bit-for-
+    bit, where a double running sum would hash-flip on window
+    aggregation order."""
+    ev = table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0"),
+            F.max("ts").alias("tmax"),
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u.select("user_id", "t0"), "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    us_per_h = F.lit(3_600_000_000)
+    durs = (
+        u.join(conv, "user_id", "left")
+        .select(
+            F.when(
+                F.col("t1").isNotNull(),
+                (epoch_us(F.col("t1")) - epoch_us(F.col("t0"))),
+            )
+            .otherwise(epoch_us(F.col("tmax")) - epoch_us(F.col("t0")))
+            .alias("dur_us"),
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("is_event"),
+        )
+        .select(
+            F.expr("dur_us DIV 3600000000").alias("dur_h"), "is_event"
+        )
+    )
+    hist = durs.groupBy("dur_h").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("is_event").alias("d")
+    )
+    w_risk = Window.orderBy("dur_h").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    steps = (
+        hist.withColumn("n_at_risk", F.sum("n_all").over(w_risk))
+        .filter(F.col("d") > 0)
+        .withColumn(
+            "hazard",
+            F.round(F.col("d").cast("double") / F.col("n_at_risk"), 6).cast(
+                "decimal(18,6)"
+            ),
+        )
+    )
+    w_cum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return steps.select(
+        F.col("dur_h").alias("t_hours"),
+        F.col("d").alias("n_events"),
+        "n_at_risk",
+        F.col("hazard").cast("double").alias("hazard"),
+        F.sum("hazard").over(w_cum).cast("double").alias("cum_hazard"),
+    ).orderBy("t_hours")
+
+
+@register(
+    "events_winsorized_mean",
+    """
+    WITH pct AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           round(p05, 4) AS p05,
+           round(p95, 4) AS p95,
+           count(*) AS n_events,
+           round(CAST(sum(round(least(greatest(e.value, p05), p95), 6)
+                           ::DECIMAL(18,6)) AS DOUBLE)
+                 / count(*), 4) AS winsorized_mean
+    FROM events e JOIN pct ON e.event_type = pct.event_type
+    GROUP BY e.event_type, p05, p95
+    ORDER BY e.event_type
+    """,
+)
+def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized mean: clamp values into the
+    [p05, p95] band, then average — the standard robust location
+    estimate for long-tailed pipeline metrics (a handful of huge
+    payloads shouldn't move a monitoring mean; dropping them outright
+    (trimming) discards real signal; winsorizing caps them).
+
+    Scale shape: exact per-group percentiles are one sort-based
+    aggregate over events (the documented exact/approx trade of
+    events_exact_quantiles applies — swap percentile_approx in at
+    open-world group counts); the resulting (event_type, p05, p95)
+    relation is group-count-sized and broadcasts back into the fact
+    for the clamp+mean pass. Two passes over events, both partial-agg.
+
+    Determinism: Spark's sort-based `percentile` and DuckDB's
+    quantile_cont share the linear-interpolation definition, so both
+    engines clamp against identical doubles; each clamped value is
+    rounded half-up to 6dp and summed as exact DECIMAL(18,6) (the
+    association-order-proof trick), divided once by the integer count,
+    rounded once."""
+    ev = table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")), 6
+    ).cast("decimal(18,6)")
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(clipped).cast("double") / F.count(F.lit(1)), 4
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            "n_events",
+            "winsorized_mean",
+        )
+        .orderBy("event_type")
+    )

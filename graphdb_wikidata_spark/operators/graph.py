@@ -724,3 +724,90 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neighbor_jaccard"),
         )
     )
+
+
+def _adamic_adar_oracle() -> str:
+    from .dedup import _CAND_CTE
+
+    return f"""
+    WITH {_CAND_CTE},
+    adj AS (SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+    deg AS (SELECT u, count(*) AS degree FROM adj GROUP BY u),
+    wedges AS (
+        SELECT c.doc_a, c.doc_b, dw.degree AS deg_w
+        FROM cand c
+        JOIN adj x ON x.u = c.doc_a
+        JOIN adj y ON y.u = c.doc_b AND y.v = x.v
+        JOIN deg dw ON dw.u = x.v),
+    scores AS (
+        SELECT doc_a, doc_b, count(*) AS common_neighbors,
+               sum(round(1.0 / ln(deg_w), 9)::DECIMAL(18,9)) AS aa,
+               sum(round(1.0 / deg_w, 9)::DECIMAL(18,9)) AS ra
+        FROM wedges GROUP BY doc_a, doc_b)
+    SELECT c.doc_a, c.doc_b,
+           coalesce(common_neighbors, 0) AS common_neighbors,
+           round(CAST(coalesce(aa, 0) AS DOUBLE), 6) AS adamic_adar,
+           round(CAST(coalesce(ra, 0) AS DOUBLE), 6) AS resource_alloc
+    FROM cand c
+    LEFT JOIN scores s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+    """
+
+
+@register("graph_adamic_adar", _adamic_adar_oracle())
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar and Resource-Allocation link-prediction scores for
+    every LSH candidate edge: AA = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)),
+    RA = Σ 1/deg(w). Both weight common neighbors inversely by how
+    promiscuous they are — a shared neighbor that touches everything
+    (a boilerplate template doc) is weak evidence the pair is a real
+    near-dup family, which is exactly the confidence refinement the
+    plain common-neighbor count (graph_jaccard_neighbors) can't make.
+
+    Scale shape: the same wedge join as the triangle/jaccard kernels
+    (adj ⋈ adj on the shared endpoint, restricted to candidate edges —
+    O(Σ deg²) on the LSH-BOUNDED graph, never the corpus), with the
+    degree relation joined onto the wedge midpoint. A common neighbor
+    has degree >= 2 by construction, so ln(deg) > 0 always.
+
+    Determinism: each weight is one double op rounded half-up to 9dp,
+    then accumulated as exact DECIMAL(18,9) — groupBy sum association
+    order cannot move the result (the same trick as
+    events_survival_hazard's cumulative hazard); one final 6dp round.
+    """
+    from .dedup import _shingled, minhash_candidates
+
+    cand = minhash_candidates(_shingled(spark, sf_dir)).localCheckpoint()
+    adj = cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    x = adj.select(F.col("u").alias("doc_a"), F.col("v").alias("w"))
+    y = adj.select(F.col("u").alias("doc_b"), F.col("v").alias("w"))
+    dw = deg.select(F.col("u").alias("w"), F.col("degree").alias("deg_w"))
+    scores = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "w"])
+        .join(dw, "w")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("deg_w")), 9).cast("decimal(18,9)")
+            ).alias("aa"),
+            F.sum(
+                F.round(F.lit(1.0) / F.col("deg_w"), 9).cast("decimal(18,9)")
+            ).alias("ra"),
+        )
+    )
+    return cand.join(scores, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("common_neighbors", F.lit(0)).alias("common_neighbors"),
+        F.round(F.coalesce(F.col("aa"), F.lit(0)).cast("double"), 6).alias(
+            "adamic_adar"
+        ),
+        F.round(F.coalesce(F.col("ra"), F.lit(0)).cast("double"), 6).alias(
+            "resource_alloc"
+        ),
+    )

@@ -967,3 +967,147 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adist", "vec_id")
         .limit(10)
     )
+
+
+N_RECALL_QUERIES = 5
+RECALL_K = 10
+RECALL_NPROBE = 2
+
+
+def _ann_recall_oracle(
+    nq: int = N_RECALL_QUERIES, k: int = RECALL_K, nprobe: int = RECALL_NPROBE
+) -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < {nq}),
+    p AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding)::DOUBLE AS val
+          FROM embeddings),
+    c AS (SELECT label, pos, avg(val) AS cv FROM p GROUP BY label, pos),
+    cq AS (SELECT q.qid, c.label,
+                  round(sum(cv * qe[pos]::DOUBLE)
+                        / (sqrt(sum(cv * cv))
+                           * sqrt(sum((qe[pos]::DOUBLE) ^ 2))), 6) AS csim
+           FROM c, q GROUP BY q.qid, c.label),
+    probe AS (
+        SELECT qid, label FROM (
+            SELECT qid, label,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY csim DESC, label) AS rk
+            FROM cq) WHERE rk <= {nprobe}),
+    sims AS (
+        SELECT q.qid, e.vec_id, e.label,
+               round(sum(x.x * q.qe[x.i]::DOUBLE)
+                     / (sqrt(sum(x.x * x.x))
+                        * sqrt(sum((q.qe[x.i]::DOUBLE) ^ 2))), 6) AS sim
+        FROM embeddings e
+        CROSS JOIN q
+        JOIN LATERAL (SELECT generate_subscripts(e.embedding, 1) AS i,
+                             unnest(e.embedding)::DOUBLE AS x) x ON true
+        WHERE e.vec_id <> q.qid
+        GROUP BY q.qid, e.vec_id, e.label),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, vec_id) AS rk
+            FROM sims) WHERE rk <= {k}),
+    approx AS (
+        SELECT qid, vec_id FROM (
+            SELECT s.qid, s.vec_id,
+                   row_number() OVER (PARTITION BY s.qid
+                                      ORDER BY s.sim DESC, s.vec_id) AS rk
+            FROM sims s JOIN probe pb
+              ON pb.qid = s.qid AND pb.label = s.label) WHERE rk <= {k})
+    SELECT e.qid, count(a.vec_id) AS n_overlap,
+           round(count(a.vec_id) / {k}.0, 2) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+    GROUP BY e.qid ORDER BY e.qid
+    """
+
+
+@register("embedding_ann_recall", _ann_recall_oracle())
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force, per probe
+    query — the index-quality gate a similarity pipeline runs before
+    trusting the approximate path at scale (an IVF whose nprobe misses
+    the true neighbors' cells silently degrades every downstream
+    near-dup / retrieval job; this measures that miss rate on a probe
+    sample instead of guessing).
+
+    Scale shape: the probe set is a fixed small sample (5 queries)
+    broadcast against the corpus — the exact arm costs nq full scans
+    and exists BECAUSE it's an evaluation harness over a sample, not a
+    production query path; the IVF arm touches only the probed cells'
+    rows (the candidate join is an equi-join on (qid, label)). Both
+    arms' top-k are rank windows partitioned by qid over
+    already-reduced similarity relations; overlap is one more
+    qid-keyed join of two nq*k-row relations.
+
+    Determinism: similarities are rounded to 6dp BEFORE ranking on
+    both engines (identical tie sets), ranks tie-break on vec_id, and
+    cell selection tie-breaks on label — the recall count is
+    integer-exact from there."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_RECALL_QUERIES).select(
+            F.col("vec_id").alias("qid"), _as_double("embedding").alias("qe")
+        )
+    )
+    cents = centroids_by_label(e)
+    cq = cents.join(q).select(
+        "qid",
+        "label",
+        F.round(
+            dot(F.col("centroid"), F.col("qe"))
+            / (norm(F.col("centroid")) * norm(F.col("qe"))),
+            6,
+        ).alias("csim"),
+    )
+    w_cell = Window.partitionBy("qid").orderBy(F.desc("csim"), "label")
+    probe = (
+        cq.withColumn("rk", F.row_number().over(w_cell))
+        .filter(F.col("rk") <= RECALL_NPROBE)
+        .select("qid", "label")
+    )
+    emb = _as_double("embedding")
+    sims = (
+        e.join(q, e.vec_id != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(
+                dot(emb, F.col("qe")) / (norm(emb) * norm(F.col("qe"))), 6
+            ).alias("sim"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    exact = (
+        sims.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("qid", "vec_id")
+    )
+    approx = (
+        sims.join(F.broadcast(probe), ["qid", "label"])
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("qid", F.col("vec_id").alias("a_vec_id"))
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.qid == approx.qid) & (exact.vec_id == approx.a_vec_id),
+            "left",
+        )
+        .groupBy(exact.qid.alias("qid"))
+        .agg(
+            F.count("a_vec_id").alias("n_overlap"),
+            F.round(F.count("a_vec_id") / F.lit(float(RECALL_K)), 2).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("qid")
+    )

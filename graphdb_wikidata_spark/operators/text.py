@@ -1074,3 +1074,180 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(BPE_TOP_PAIRS)
     )
+
+
+@register(
+    "text_feature_hashing",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    hashed AS (
+        SELECT token,
+               ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket_id
+        FROM toks WHERE token <> '')
+    SELECT bucket_id,
+           count(*) AS n_occurrences,
+           count(DISTINCT token) AS n_distinct_tokens
+    FROM hashed GROUP BY bucket_id ORDER BY bucket_id
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer census: every token maps to one of 64
+    feature buckets by the first 32 md5 bits mod dim — the fixed-width,
+    vocabulary-free featurization used when a 100 TB corpus's vocab
+    cannot be collected to build an index (the feature space is decided
+    before any data is seen, so the map is embarrassingly parallel and
+    identical across re-runs/engines, unlike a fitted vocabulary).
+    Reported per bucket: occurrence mass and distinct-token load — the
+    collision census that tells you whether dim=64 is too small for the
+    corpus before you train on the collided features.
+
+    Scale: one explode + one partial-agg groupBy on a 64-value key;
+    the distinct-count is the only state and it's bounded by vocab,
+    with Spark's partial-distinct doing the map-side dedup."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long") % 64
+    )
+    return (
+        toks.select(bucket.alias("bucket_id"), "token")
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+def _nb_oracle() -> str:
+    return """
+    WITH docs AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10
+                   AS bucket
+        FROM documents),
+    train_tok AS (
+        SELECT lang, unnest(toks) AS token FROM docs WHERE bucket <> 0),
+    cls AS (
+        SELECT lang, count(*) AS tot_c FROM train_tok GROUP BY lang),
+    prior AS (
+        SELECT lang, count(*) AS n_docs,
+               (SELECT count(*) FROM docs WHERE bucket <> 0) AS n_total
+        FROM docs WHERE bucket <> 0 GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM train_tok),
+    tc AS (
+        SELECT lang, token, count(*) AS c FROM train_tok GROUP BY lang, token),
+    test_tok AS (
+        SELECT doc_id, lang AS true_lang, unnest(toks) AS token
+        FROM docs WHERE bucket = 0),
+    scored AS (
+        SELECT t.doc_id, t.true_lang, cls.lang AS cand_lang,
+               sum(round(ln((coalesce(tc.c, 0) + 1.0) / (cls.tot_c + vocab.v)),
+                         9)::DECIMAL(20,9)) AS loglik
+        FROM test_tok t
+        CROSS JOIN cls CROSS JOIN vocab
+        LEFT JOIN tc ON tc.lang = cls.lang AND tc.token = t.token
+        GROUP BY t.doc_id, t.true_lang, cls.lang),
+    posterior AS (
+        SELECT s.doc_id, s.true_lang, s.cand_lang,
+               s.loglik + round(ln(CAST(p.n_docs AS DOUBLE) / p.n_total),
+                                9)::DECIMAL(20,9) AS score
+        FROM scored s JOIN prior p ON p.lang = s.cand_lang),
+    pred AS (
+        SELECT doc_id, true_lang, cand_lang AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand_lang) AS rk
+        FROM posterior)
+    SELECT true_lang, pred_lang, count(*) AS n_docs
+    FROM pred WHERE rk = 1
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """
+
+
+@register("nb_lang_classifier", _nb_oracle())
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and
+    evaluated distributed: fit token likelihoods (Laplace-smoothed)
+    and class priors on the md5-hash train split, score the held-out
+    bucket-0 docs, report the confusion matrix. This is the classic
+    cheap quality/metadata model a corpus pipeline trains in-situ
+    (complementing the fixed-wordlist langid_ngram_vote and the
+    gradient-trained lr_quality_classifier: NB needs ONE counting pass
+    where LR needs a pass per gradient step).
+
+    Scale shape: training is two partial-agg groupBys (token-class
+    counts, class totals). Scoring joins test tokens against the
+    (token, class) likelihood relation on the token key — vocab-sized,
+    so AQE broadcasts it when it fits and shuffle-joins when it
+    doesn't; the x5 class expansion multiplies test tokens by the
+    class count only. No driver-side model materialization: the
+    "model" stays a DataFrame end to end.
+
+    Determinism: per-token log-likelihoods are rounded half-up to 9dp
+    and summed as exact DECIMAL(20,9) per (doc, class) — association-
+    order-proof; the argmax breaks exact-decimal score ties by class
+    name identically in both engines."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 10
+    )
+    docs = d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("toks"), bucket.alias("bucket"))
+    train = docs.filter(F.col("bucket") != 0)
+    test = docs.filter(F.col("bucket") == 0)
+    train_tok = train.select("lang", F.explode("toks").alias("token"))
+    cls = train_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("tot_c"))
+    n_total = train.count()
+    prior = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab_v = train_tok.select("token").distinct().count()
+    tc = train_tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    test_tok = test.select(
+        "doc_id", F.col("lang").alias("true_lang"), F.explode("toks").alias("token")
+    )
+    cand = cls.select(F.col("lang").alias("cand_lang"), "tot_c")
+    scored = (
+        test_tok.join(F.broadcast(cand))
+        .join(
+            tc.select(F.col("lang").alias("cand_lang"), "token", "c"),
+            ["cand_lang", "token"],
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tot_c") + F.lit(vocab_v))
+                    ),
+                    9,
+                ).cast("decimal(20,9)")
+            ).alias("loglik")
+        )
+    )
+    pr = prior.select(
+        F.col("lang").alias("cand_lang"),
+        F.round(F.log(F.col("n_docs").cast("double") / F.lit(n_total)), 9)
+        .cast("decimal(20,9)")
+        .alias("logprior"),
+    )
+    posterior = scored.join(F.broadcast(pr), "cand_lang").withColumn(
+        "score", F.col("loglik") + F.col("logprior")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand_lang")
+    return (
+        posterior.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("true_lang", F.col("cand_lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
