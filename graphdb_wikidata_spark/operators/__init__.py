@@ -148,7 +148,9 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # q15/q16/q17/q19/q20/q21) and the six wave-7 analytics ops
     # (events_survival_hazard, events_winsorized_mean,
     # graph_adamic_adar, text_feature_hashing, nb_lang_classifier,
-    # embedding_ann_recall) land after this window was frozen. They
+    # embedding_ann_recall) and the five wave-8 ops (text_chi2_keywords,
+    # text_readability, media_phash_buckets, embedding_mmr_diverse_topk,
+    # knn_label_vote) land after this window was frozen. They
     # carry builder-sim evidence (DRIVER_SIM_r06*, both SFs) this round
     # and join the twenty-one displaced r02 rows at the HEAD of round
     # 7's front-load (first evidence outranks re-confirmation).

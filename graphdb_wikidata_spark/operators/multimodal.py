@@ -371,3 +371,78 @@ def media_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         (F.col("media_id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+@register(
+    "media_phash_buckets",
+    """
+    WITH hist AS (
+        SELECT doc_id AS media_id, len(string_split_regex(text, '')) AS total,
+               """
+    + ",\n               ".join(
+        "len(list_filter(string_split_regex(text, ''),"
+        f" c -> ascii(c) // 32 = {k})) AS bin_{k}"
+        for k in range(8)
+    )
+    + """
+        FROM documents),
+    codes AS (
+        SELECT media_id,
+               """
+    + " + ".join(
+        f"(CASE WHEN bin_{k} * 8 > total THEN {1 << k} ELSE 0 END)"
+        for k in range(8)
+    )
+    + """ AS phash_code
+        FROM hist)
+    SELECT phash_code, count(*) AS n_media,
+           count(DISTINCT media_id) AS n_distinct
+    FROM codes GROUP BY phash_code HAVING count(*) >= 2
+    ORDER BY phash_code
+    """,
+)
+def media_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style near-dup bucketing for media payloads: an
+    8-bit signature with bit k set when byte-range bin k holds more
+    than its uniform 1/8 share of the payload — the shape (not the
+    pixels) of a pHash pipeline, where a real system would DCT the
+    decoded image instead of histogramming bytes (same decode stub
+    boundary as every media_* entry; reference has no media path at
+    all). Buckets with >= 2 members are the near-dup candidate sets an
+    exact verify (media_dedup_payload's checksum pass) would then
+    refine — the LSH band-bucket pattern transplanted to binary
+    payloads.
+
+    Scale shape: signatures stream out of the SAME Arrow-batched
+    _byte_hist kernel as the other media entries (payloads never
+    shuffle — only the 8-bit code + id leave the scan), and the bucket
+    census is one partial-agg groupBy on a 256-value key.
+
+    Determinism: the signature is pure integer arithmetic (bin*8 >
+    total), exact in both engines; the oracle recomputes it per
+    CHARACTER via ascii()//32, which coincides with the byte kernel
+    because the synthetic payloads are pure ASCII (same documented
+    assumption as media_byte_hist_counts)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = _byte_hist(pdf["payload"])
+            totals = counts.sum(axis=1, keepdims=True)
+            bits = (counts * 8 > totals).astype(np.int64)
+            code = (bits << np.arange(8, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash_code": code})
+
+    codes = media_table(spark, sf_dir).mapInPandas(
+        fn, schema="media_id bigint, phash_code bigint"
+    )
+    return (
+        codes.groupBy("phash_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.countDistinct("media_id").alias("n_distinct"),
+        )
+        .filter(F.col("n_media") >= 2)
+        .orderBy("phash_code")
+    )

@@ -1111,3 +1111,259 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle(pool: int = MMR_POOL, k: int = MMR_K, lam: float = MMR_LAMBDA) -> str:
+    # Unrolled greedy selection, one CTE pair (m_i scores, s_i pick) per
+    # step — the same unrolling discipline as the k-means oracle.
+    steps = []
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        steps.append(
+            f"""
+    m{i} AS (
+        SELECT p.vec_id, p.simq, max(w.s) AS ms
+        FROM pool p
+        JOIN pw w ON w.a = p.vec_id
+        JOIN {prev} ON w.b = {prev}.vec_id
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY p.vec_id, p.simq),
+    s{i} AS (
+        SELECT {i} AS rank, vec_id,
+               round({lam} * simq - {1 - lam:.1f} * ms, 6) AS mmr_score
+        FROM m{i}
+        ORDER BY round({lam} * simq - {1 - lam:.1f} * ms, 6) DESC, vec_id
+        LIMIT 1),
+    sel{i} AS (SELECT rank, vec_id, mmr_score FROM sel{i - 1}
+               UNION ALL SELECT rank, vec_id, mmr_score FROM s{i})"""
+        )
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+    p0 AS (SELECT e.vec_id, e.embedding,
+                  generate_subscripts(e.embedding, 1) AS i,
+                  unnest(e.embedding)::DOUBLE AS x, q.qe AS qe
+           FROM e, q),
+    p1 AS (SELECT vec_id, embedding, x, qe[i]::DOUBLE AS y FROM p0),
+    a AS (SELECT vec_id, any_value(embedding) AS embedding,
+                 sum(x * y) AS dotp, sqrt(sum(x * x)) AS nx,
+                 sqrt(sum(y * y)) AS ny
+          FROM p1 GROUP BY vec_id),
+    pool AS (SELECT vec_id, embedding, round(dotp / (nx * ny), 6) AS simq
+             FROM a ORDER BY round(dotp / (nx * ny), 6) DESC, vec_id
+             LIMIT {pool}),
+    w0 AS (SELECT x.vec_id AS av, y.vec_id AS bv,
+                  generate_subscripts(x.embedding, 1) AS i,
+                  unnest(x.embedding)::DOUBLE AS xv, y.embedding AS be
+           FROM pool x JOIN pool y ON x.vec_id <> y.vec_id),
+    w1 AS (SELECT av, bv, xv, be[i]::DOUBLE AS yv FROM w0),
+    pw AS (SELECT av AS a, bv AS b,
+                  round(sum(xv * yv) / (sqrt(sum(xv * xv))
+                        * sqrt(sum(yv * yv))), 6) AS s
+           FROM w1 GROUP BY av, bv),
+    s1 AS (SELECT 1 AS rank, vec_id,
+                  round({lam} * simq, 6) AS mmr_score
+           FROM pool ORDER BY round({lam} * simq, 6) DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT rank, vec_id, mmr_score FROM s1),{",".join(steps)}
+    SELECT rank, vec_id, mmr_score FROM sel{k} ORDER BY rank
+    """
+
+
+@register("embedding_mmr_diverse_topk", _mmr_oracle())
+def embedding_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: pick k=5 results for vec 0's query
+    that are RELEVANT but mutually DIVERSE — greedy argmax of
+    λ·sim(d,q) − (1−λ)·max_{s∈selected} sim(d,s) over a top-20
+    candidate pool. Plain top-k hands a training-data sampler five
+    near-copies of the same best match; MMR is the standard fix when
+    selecting exemplars, hard negatives, or dedup survivors.
+
+    Scale shape: the pool is the brute-force top-20 (TakeOrdered, the
+    knn_topk kernel) and is k-BOUNDED — the pairwise diversity matrix
+    is pool², 400 rows, computed once as a bounded broadcast self-join
+    (never corpus x corpus). The greedy loop is inherently sequential
+    in k: each of the 5 steps is one Spark job whose argmax collects
+    exactly ONE row (a constant-bounded scalar collect, same contract
+    as k-means' nprobe/convergence collects); candidate re-scoring
+    stays distributed.
+
+    Determinism: all similarities and every MMR score are rounded to
+    6dp BEFORE each argmax, ties break on vec_id, and the oracle
+    unrolls the same greedy steps as CTEs (the k-means-oracle
+    discipline), so both engines walk identical selection paths."""
+    e = table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = [float(x) for x in qvec]
+    qnorm = math.sqrt(sum(x * x for x in q))
+    qcol = F.array(*[F.lit(x) for x in q])
+    emb = _as_double("embedding")
+    simq = F.round(dot(emb, qcol) / (norm(emb) * F.lit(qnorm)), 6)
+    pool = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", emb.alias("emb"), simq.alias("simq"))
+        .orderBy(F.desc("simq"), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint()
+    )
+    x = pool.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))
+    y = pool.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))
+    pw = (
+        x.join(y, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                dot(F.col("ea"), F.col("eb"))
+                / (norm(F.col("ea")) * norm(F.col("eb"))),
+                6,
+            ).alias("s"),
+        )
+        .localCheckpoint()
+    )
+    lam, mu = F.lit(MMR_LAMBDA), F.lit(round(1 - MMR_LAMBDA, 1))
+    picks = []
+    for rank in range(1, MMR_K + 1):
+        if not picks:
+            cand = pool.select(
+                "vec_id", F.round(lam * F.col("simq"), 6).alias("mmr_score")
+            )
+        else:
+            sel_ids = [p[1] for p in picks]
+            ms = (
+                pw.filter(F.col("b").isin(sel_ids))
+                .groupBy("a")
+                .agg(F.max("s").alias("ms"))
+            )
+            cand = (
+                pool.filter(~F.col("vec_id").isin(sel_ids))
+                .join(ms, pool.vec_id == ms.a)
+                .select(
+                    "vec_id",
+                    F.round(lam * F.col("simq") - mu * F.col("ms"), 6).alias(
+                        "mmr_score"
+                    ),
+                )
+            )
+        top = cand.orderBy(F.desc("mmr_score"), "vec_id").limit(1).collect()[0]
+        picks.append((rank, top.vec_id, top.mmr_score))
+    return spark.createDataFrame(picks, "rank int, vec_id bigint, mmr_score double")
+
+
+KNN_VOTE_K = 5
+
+
+def _knn_vote_oracle(k: int = KNN_VOTE_K) -> str:
+    return f"""
+    WITH r AS (SELECT j.j, i.i,
+                      ((('0x' || substr(md5(j.j || '_' || i.i), 1, 8))::BIGINT % 1000)
+                       / 1000.0 - 0.5) AS rv
+               FROM generate_series(0, {N_PLANES - 1}) j(j),
+                    generate_series(1, 64) i(i)),
+    pl AS (SELECT e.vec_id, r.j, e.embedding[r.i]::DOUBLE * r.rv AS prod
+           FROM embeddings e JOIN r ON r.i <= len(e.embedding)),
+    d AS (SELECT vec_id, j, sum(prod) AS dotp FROM pl GROUP BY vec_id, j),
+    bk AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN dotp > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+           FROM d GROUP BY vec_id),
+    e2 AS (SELECT e.vec_id, e.embedding, e.label, bk.bucket,
+                  ('0x' || substr(md5(e.vec_id::VARCHAR), 1, 4))::BIGINT % 10
+                      AS split
+           FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+    p0 AS (SELECT a.vec_id AS va, a.label AS la,
+                  b.vec_id AS vb, b.label AS lb,
+                  generate_subscripts(a.embedding, 1) AS i,
+                  unnest(a.embedding)::DOUBLE AS x, b.embedding AS eb
+           FROM e2 a JOIN e2 b
+             ON a.bucket = b.bucket AND a.split = 0 AND b.split <> 0),
+    p AS (SELECT va, la, vb, lb, x, eb[i]::DOUBLE AS y FROM p0),
+    s AS (SELECT va, any_value(la) AS la, vb, any_value(lb) AS lb,
+                 round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+                     AS sim
+          FROM p GROUP BY va, vb),
+    topk AS (SELECT va, la, lb FROM (
+                 SELECT va, la, lb,
+                        row_number() OVER (PARTITION BY va
+                                           ORDER BY sim DESC, vb) AS rk
+                 FROM s) x WHERE rk <= {k}),
+    votes AS (SELECT va, la, lb, count(*) AS cnt
+              FROM topk GROUP BY va, la, lb),
+    pred AS (SELECT va, la AS true_label, lb AS pred_label FROM (
+                 SELECT va, la, lb,
+                        row_number() OVER (PARTITION BY va
+                                           ORDER BY cnt DESC, lb) AS rk
+                 FROM votes) x WHERE rk = 1)
+    SELECT true_label, pred_label, count(*) AS n_vecs
+    FROM pred GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """
+
+
+@register("knn_label_vote", _knn_vote_oracle())
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification by majority vote: held-out
+    vectors (md5 hash-split bucket 0) take the modal label of their 5
+    nearest train-split neighbors — completing the in-situ classifier
+    trio (NB = one counting pass, LR = gradient rounds, kNN = no
+    training at all, just retrieval) that a data pipeline uses to
+    propagate labels onto unlabeled corpus slices.
+
+    Scale shape: candidate pairs come from the SAME hyperplane-LSH
+    bucket equi-join as embedding_knn_join (never test x train
+    all-pairs); the vote and the confusion rollup are two more
+    partial-agg groupBys over the k-bounded top-k relation. Test
+    vectors whose bucket holds no train vector are unclassified and
+    excluded identically in both engines (production would multi-probe
+    neighboring buckets — plan shape unchanged).
+
+    Determinism: rounded sims rank with vb tie-break; the vote argmax
+    breaks count ties on the smaller label; the hash split is the
+    engine-portable md5 idiom."""
+    e = table(spark, sf_dir, "embeddings")
+    split = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 10
+    )
+    eb = e.join(lsh_bucket_assignments(e), "vec_id").withColumn("split", split)
+    a = eb.filter(F.col("split") == 0).select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("true_label"),
+        F.col("bucket").alias("bucket_a"),
+        _as_double("embedding").alias("ea"),
+    )
+    b = eb.filter(F.col("split") != 0).select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("nb_label"),
+        F.col("bucket").alias("bucket_b"),
+        _as_double("embedding").alias("nb"),
+    )
+    sim = F.round(
+        dot(F.col("ea"), F.col("nb")) / (norm(F.col("ea")) * norm(F.col("nb"))), 6
+    )
+    sims = a.join(b, F.col("bucket_a") == F.col("bucket_b")).select(
+        "va", "true_label", "vb", F.col("nb_label").alias("lb"), sim.alias("sim")
+    )
+    w_rank = Window.partitionBy("va").orderBy(F.desc("sim"), "vb")
+    topk = (
+        sims.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= KNN_VOTE_K)
+        .select("va", "true_label", "lb")
+    )
+    votes = topk.groupBy("va", "true_label", "lb").agg(F.count(F.lit(1)).alias("cnt"))
+    w_vote = Window.partitionBy("va").orderBy(F.desc("cnt"), "lb")
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w_vote))
+        .filter(F.col("rk") == 1)
+        .select("true_label", F.col("lb").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )

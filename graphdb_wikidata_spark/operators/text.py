@@ -1251,3 +1251,152 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+CHI2_MIN_DF = 5
+CHI2_TOPK = 5
+
+
+@register(
+    "text_chi2_keywords",
+    f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    cls AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY lang),
+    tok AS (SELECT token, count(*) AS df FROM dt GROUP BY token
+            HAVING count(*) >= {CHI2_MIN_DF}),
+    cell AS (
+        SELECT dt.lang, dt.token, count(*) AS n11
+        FROM dt JOIN tok ON dt.token = tok.token
+        GROUP BY dt.lang, dt.token),
+    chi AS (
+        SELECT c.lang, c.token,
+               round(n.n_docs
+                     * (CAST(c.n11 AS DOUBLE) * (n.n_docs - cls.n_c - tok.df + c.n11)
+                        - CAST(tok.df - c.n11 AS DOUBLE) * (cls.n_c - c.n11)) ^ 2
+                     / (CAST(cls.n_c AS DOUBLE) * (n.n_docs - cls.n_c)
+                        * tok.df * (n.n_docs - tok.df)), 4) AS chi2
+        FROM cell c
+        JOIN cls ON cls.lang = c.lang
+        JOIN tok ON tok.token = c.token
+        CROSS JOIN n)
+    SELECT lang, token, chi2, rk
+    FROM (SELECT lang, token, chi2,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY chi2 DESC, token) AS rk
+          FROM chi)
+    WHERE rk <= {CHI2_TOPK}
+    ORDER BY lang, rk
+    """,
+)
+def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: the tokens most associated with
+    each language by the 2x2 presence contingency test — the classic
+    supervised vocabulary-pruning step before training a bag-of-words
+    model (tf-idf ranks tokens by rarity; chi2 ranks them by how much
+    they DISCRIMINATE a class, which is what a classifier needs).
+
+    chi2 = N(n11*n00 - n10*n01)² / ((n11+n01)(n11+n10)(n10+n00)(n01+n00)),
+    with all four cells derived from three integer aggregates (per-class
+    doc counts, per-token doc frequency, per-(class, token) presence) —
+    never a dense class x token matrix. The df >= 5 floor prunes the
+    hapax tail BEFORE the per-cell join, bounding it by the heavy-vocab
+    size.
+
+    Determinism: every cell is an exact integer; the statistic is a
+    fixed dag of double ops from those integers (identical in both
+    engines), rounded once; rank ties break on the token string.
+
+    Scale: one distinct-explode shuffle + three partial aggs + a
+    vocab-keyed join; the rank window partitions by class (bounded
+    fan-in per class = pruned vocab)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).distinct()
+    n_docs = d.count()
+    cls = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    tok = (
+        dt.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= CHI2_MIN_DF)
+    )
+    cell = dt.join(tok, "token").groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("n11")
+    )
+    n11 = F.col("n11").cast("double")
+    n_c = F.col("n_c").cast("double")
+    df_ = F.col("df").cast("double")
+    N = F.lit(float(n_docs))
+    num = n11 * (N - n_c - df_ + n11) - (df_ - n11) * (n_c - n11)
+    chi2 = F.round(N * num * num / (n_c * (N - n_c) * df_ * (N - df_)), 4)
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), "token")
+    return (
+        cell.join(F.broadcast(cls), "lang")
+        .join(tok, "token")
+        .select("lang", "token", chi2.alias("chi2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CHI2_TOPK)
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "text_readability",
+    """
+    WITH m AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+        FROM documents)
+    SELECT doc_id, source, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+               round(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+           END AS flesch
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, with syllables approximated as
+    vowel-cluster runs — the standard cheap readability gate in a
+    corpus quality stack (Gopher-style rules catch degenerate docs;
+    readability separates prose registers within the non-degenerate
+    ones, e.g. for curriculum ordering or audience bucketing).
+
+    Map-only: three JVM regexp counts per row and a fixed double
+    formula from exact integers (identical across engines), no
+    shuffle at all — the ideal 100 TB shape. Sentence count is floored
+    at 1 so fragment docs don't divide by zero; wordless docs yield
+    NULL flesch on both engines."""
+    d = table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_words = F.size(F.regexp_extract_all(lower, F.lit("[a-z0-9]+"), F.lit(0)))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syl = F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), F.lit(0)))
+    out = d.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    flesch = F.when(
+        F.col("n_words") > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ),
+    )
+    return out.withColumn("flesch", flesch).orderBy("doc_id")
