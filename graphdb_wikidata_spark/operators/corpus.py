@@ -727,3 +727,73 @@ def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "corpus_source_kl_drift",
+    """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    per_src AS (
+        SELECT source, token, count(*) AS n_ts FROM tok GROUP BY 1, 2),
+    src_tot AS (
+        SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+    corp AS (
+        SELECT token, count(*) AS n_t FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_total FROM tok),
+    terms AS (
+        SELECT p.source,
+               round((CAST(p.n_ts AS DOUBLE) / s.n_s)
+                     * ln((CAST(p.n_ts AS DOUBLE) / s.n_s)
+                          / (CAST(c.n_t AS DOUBLE) / n.n_total)),
+                     9)::DECIMAL(20,9) AS term
+        FROM per_src p
+        JOIN src_tot s ON s.source = p.source
+        JOIN corp c ON c.token = p.token
+        CROSS JOIN n)
+    SELECT t.source, s.n_s AS n_tokens,
+           round(CAST(sum(t.term) AS DOUBLE), 6) AS kl_divergence
+    FROM terms t JOIN src_tot s ON s.source = t.source
+    GROUP BY t.source, s.n_s
+    ORDER BY t.source
+    """,
+)
+def corpus_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the unigram distribution against the
+    corpus-wide distribution — the drift monitor a mixture pipeline
+    runs per ingestion batch: a source whose KL jumps changed its
+    content mix (scraper drift, spam infusion, encoding breakage)
+    before any downstream metric notices. KL(P_src || P_corpus) sums
+    p·ln(p/q) over the source's tokens; q > 0 always because the
+    corpus distribution includes every source's tokens.
+
+    Scale shape: one explode feeds three partial-agg count relations
+    (source x token, source totals, corpus vocab); the per-term join
+    is token-keyed against the vocab relation and everything after is
+    group-by-source. Nothing driver-side, no dense distributions
+    materialized.
+
+    Determinism: counts are exact; each KL term is a fixed double dag
+    rounded half-up to 9dp and summed as DECIMAL(20,9) (association-
+    order-proof), rounded once to 6dp at the end."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    per_src = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_ts"))
+    src_tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    corp = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    n_total = tok.count()
+    p = F.col("n_ts").cast("double") / F.col("n_s")
+    q = F.col("n_t").cast("double") / F.lit(float(n_total))
+    term = F.round(p * F.log(p / q), 9).cast("decimal(20,9)")
+    return (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(corp, "token")
+        .select("source", F.col("n_s"), term.alias("term"))
+        .groupBy("source", "n_s")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("kl_divergence"))
+        .select(
+            "source", F.col("n_s").alias("n_tokens"), "kl_divergence"
+        )
+        .orderBy("source")
+    )

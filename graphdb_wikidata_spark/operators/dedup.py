@@ -846,3 +846,88 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+SIMHASH_HAMMING_K = 3
+_SIMHASH_CTE = """
+    tok AS (SELECT DISTINCT doc_id, t.tok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents) t(doc_id, tok)),
+    th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+    bits AS (SELECT doc_id, b.b,
+                    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM th, generate_series(0, 31) b(b)
+             GROUP BY doc_id, b.b),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash_bands",
+    f"""
+    WITH {_SIMHASH_CTE},
+    bands AS (SELECT doc_id, simhash, b.b AS band,
+                     (simhash >> (8 * b.b)) & 255 AS band_val
+              FROM sig, generate_series(0, 3) b(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                    b.doc_id AS doc_b, b.simhash AS sh_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAMMING_K}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRING: all pairs within Hamming distance 3 of
+    each other's 32-bit signature, found by the pigeonhole band trick —
+    split the signature into 4 disjoint 8-bit bands; any pair with
+    hamming <= 3 differs in at most 3 bands, so it MUST agree exactly
+    on at least one, making band equality a lossless (no false
+    negative) blocking key. This closes the simhash pipeline: the
+    signature op (simhash_signature) is the map side, this is the
+    pairing side — MinHash-LSH's probabilistic banding with a
+    DETERMINISTIC recall guarantee instead.
+
+    Scale shape: 4 band keys per doc, equi-join on (band, band_val) —
+    candidates bounded by band-bucket sizes exactly like the MinHash
+    band join (and the exact hamming check is a single bit_count on
+    the joined row, not a payload comparison). Never an all-pairs
+    product; the signature computation is the shared
+    bit-contribution aggregation kernel of simhash_signature
+    (reference has no simhash path; SURVEY §extensions)."""
+    sig = simhash_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, 8 * band) & 255"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band",
+        "band_val",
+    )
+    ham = F.expr("bit_count(sh_a ^ sh_b)")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_K)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1466,3 +1466,82 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_percent_change_wow",
+    """
+    WITH wk AS (
+        SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d')
+                   AS week_start,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, week_start, n_events,
+           round((n_events - lag(n_events) OVER w) * 100.0
+                 / lag(n_events) OVER w, 4) AS pct_change
+    FROM wk
+    WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+    ORDER BY event_type, week_start
+    """,
+)
+def events_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week percent change of event volume per type — the
+    growth-rate readout every periodic pipeline-health report derives
+    from its rollups (the first week of each type is NULL on both
+    engines, not 0: there is no prior week to compare).
+
+    One partial-agg groupBy collapses events to (type, week) counts;
+    the lag window then runs over that rollup relation (weeks x types
+    rows, trivially bounded), never over raw events. Both engines
+    truncate weeks to the same Monday boundary; the change ratio is a
+    single double division of exact counts, rounded once."""
+    ev = table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("n_events").over(w)
+    return wk.select(
+        "event_type",
+        "week_start",
+        "n_events",
+        F.round((F.col("n_events") - prev) * 100.0 / prev, 4).alias("pct_change"),
+    ).orderBy("event_type", "week_start")
+
+
+@register(
+    "events_power_users_percentile",
+    """
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+    thr AS (SELECT quantile_cont(n_events, 0.95) AS p95 FROM per_user)
+    SELECT user_id, n_events, round(p95, 4) AS p95_threshold
+    FROM per_user, thr
+    WHERE n_events > p95
+    ORDER BY n_events DESC, user_id
+    """,
+)
+def events_power_users_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user extraction: accounts above the 95th percentile of
+    event volume — the heavy-account slice ops teams pull for skew
+    planning (these ARE the keys that make a user_id shuffle skewed;
+    feeding this into join salting closes the loop) and abuse review.
+
+    Events collapse to the per-user count relation in one partial-agg
+    pass; the p95 threshold is a 1-row aggregate over THAT relation
+    joined back by broadcast (the scalar-subquery shape of tpch_q11/
+    q15 — never a driver collect); interpolated percentiles over
+    integer counts are the established cross-engine parity
+    (agg_percentiles)."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    thr = per_user.agg(F.expr("percentile(n_events, 0.95)").alias("p95"))
+    return (
+        per_user.join(F.broadcast(thr))
+        .filter(F.col("n_events") > F.col("p95"))
+        .select("user_id", "n_events", F.round("p95", 4).alias("p95_threshold"))
+        .orderBy(F.desc("n_events"), "user_id")
+    )

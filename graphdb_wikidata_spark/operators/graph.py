@@ -811,3 +811,102 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resource_alloc"
         ),
     )
+
+
+HARMONIC_SOURCES = 8
+HARMONIC_ROUNDS = 3
+HARMONIC_TOPK = 50
+
+
+def _harmonic_oracle() -> str:
+    from .dedup import _CAND_CTE
+
+    return f"""
+    WITH {_CAND_CTE},
+    adj AS (SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+    srcs AS (SELECT u AS s FROM (SELECT DISTINCT u FROM adj)
+             ORDER BY u LIMIT {HARMONIC_SOURCES}),
+    r1 AS (SELECT DISTINCT srcs.s, e.v
+           FROM srcs JOIN adj e ON e.u = srcs.s WHERE e.v <> srcs.s),
+    r2 AS (SELECT DISTINCT f.s, e.v
+           FROM r1 f JOIN adj e ON e.u = f.v
+           LEFT JOIN r1 x ON x.s = f.s AND x.v = e.v
+           WHERE x.v IS NULL AND e.v <> f.s),
+    r3 AS (SELECT DISTINCT f.s, e.v
+           FROM r2 f JOIN adj e ON e.u = f.v
+           LEFT JOIN r1 x1 ON x1.s = f.s AND x1.v = e.v
+           LEFT JOIN r2 x2 ON x2.s = f.s AND x2.v = e.v
+           WHERE x1.v IS NULL AND x2.v IS NULL AND e.v <> f.s),
+    dist AS (SELECT s, v, 1 AS d FROM r1
+             UNION ALL SELECT s, v, 2 FROM r2
+             UNION ALL SELECT s, v, 3 FROM r3)
+    SELECT v AS doc_id, count(*) AS n_sources_reaching,
+           round(CAST(sum(round(1.0 / d, 9)::DECIMAL(18,9)) AS DOUBLE), 6)
+               AS harmonic
+    FROM dist GROUP BY v
+    ORDER BY harmonic DESC, doc_id LIMIT {HARMONIC_TOPK}
+    """
+
+
+@register("graph_harmonic_centrality", _harmonic_oracle())
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality on the candidate graph: multi-source
+    BFS from the {HARMONIC_SOURCES} lowest-id nodes, 3 rounds deep;
+    each node's score sums 1/dist over the sources that reach it —
+    the standard scalable estimator for "which docs sit at the center
+    of the near-dup web" (exact all-pairs harmonic is O(V·E); sampling
+    sources is how production graph stacks (and the original HyperBall
+    line of work) bound it, and more samples just widen the source
+    dimension of the SAME frontier join).
+
+    Scale shape: ONE grouped BFS carries the source id through the
+    frontier join (the paths.py GRAPH-?g lesson — never a per-source
+    loop), each round is an edge equi-join + anti-join against the
+    visited relation + a (source, node) min-dedup, and the visited
+    relation is localCheckpoint'ed per round to cut the lineage like
+    the other iterative kernels. Depth is a constant, so the oracle
+    unrolls the exact same three rounds.
+
+    Determinism: distances are small exact ints; 1/d is rounded to 9dp
+    and summed as DECIMAL(18,9); the top-{HARMONIC_TOPK} tie-breaks on
+    doc_id."""
+    from .dedup import _shingled, minhash_candidates
+
+    cand = minhash_candidates(_shingled(spark, sf_dir)).localCheckpoint()
+    adj = cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    srcs = (
+        adj.select("u").distinct().orderBy("u").limit(HARMONIC_SOURCES).select(
+            F.col("u").alias("s")
+        )
+    )
+    edges = adj.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    reach = srcs.select("s", F.col("s").alias("v"), F.lit(0).alias("d"))
+    frontier = reach
+    for d in range(1, HARMONIC_ROUNDS + 1):
+        hops = (
+            frontier.join(edges, frontier.v == F.col("eu"))
+            .select("s", F.col("ev").alias("v"), F.lit(d).alias("d"))
+            .distinct()
+            .join(reach.select("s", "v"), ["s", "v"], "left_anti")
+            .localCheckpoint()
+        )
+        reach = reach.unionByName(hops).localCheckpoint()
+        frontier = hops
+    return (
+        reach.filter(F.col("d") > 0)
+        .groupBy(F.col("v").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sources_reaching"),
+            F.round(
+                F.sum(
+                    F.round(F.lit(1.0) / F.col("d"), 9).cast("decimal(18,9)")
+                ).cast("double"),
+                6,
+            ).alias("harmonic"),
+        )
+        .orderBy(F.desc("harmonic"), "doc_id")
+        .limit(HARMONIC_TOPK)
+    )

@@ -1367,3 +1367,87 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("true_label", "pred_label")
     )
+
+
+OUTLIER_TOPK = 20
+
+
+@register(
+    "embedding_outlier_distance",
+    f"""
+    WITH p AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                      unnest(embedding)::DOUBLE AS val
+               FROM embeddings),
+    c AS (SELECT label, pos, avg(val) AS cv FROM p GROUP BY label, pos),
+    d AS (SELECT p.vec_id, p.label,
+                 round(sqrt(sum((p.val - c.cv) ^ 2)), 6) AS dist
+          FROM p JOIN c ON c.label = p.label AND c.pos = p.pos
+          GROUP BY p.vec_id, p.label),
+    mom AS (SELECT label,
+                   count(*) AS n,
+                   CAST(sum(dist::DECIMAL(18,6)) AS DOUBLE) AS s1,
+                   CAST(sum(round(dist * dist, 6)::DECIMAL(18,6)) AS DOUBLE)
+                       AS s2
+            FROM d GROUP BY label),
+    z AS (SELECT d.vec_id, d.label, d.dist,
+                 round((d.dist - s1 / n)
+                       / sqrt(s2 / n - (s1 / n) ^ 2), 4) AS z_score
+          FROM d JOIN mom ON mom.label = d.label
+          WHERE n >= 2 AND s2 / n - (s1 / n) ^ 2 > 0)
+    SELECT vec_id, label, dist, z_score FROM z
+    ORDER BY z_score DESC, vec_id LIMIT {OUTLIER_TOPK}
+    """,
+)
+def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier scoring: per cluster cell, z-score of
+    each vector's L2 distance to its cell centroid; report the global
+    top-20. This is the embedding-space quality filter of a curation
+    pipeline — mislabeled/garbage vectors sit far from every centroid,
+    and z-normalizing per cell makes tight and loose clusters
+    comparable (a raw-distance cut would only ever flag the loosest
+    cell).
+
+    Scale shape: centroids are the (label, pos) partial-agg relation
+    (cells x dims rows); distances are one more partial agg over the
+    exploded corpus; the per-cell moments reduce the DISTANCE relation
+    (one row per vector), and the top-20 is TakeOrderedAndProject.
+
+    Determinism: distances are rounded to 6dp, then both moments
+    accumulate as exact DECIMAL(18,6) (association-order-proof); the
+    z formula is a fixed double dag from those exact sums, rounded
+    once, with degenerate cells (n < 2 or zero variance) excluded
+    identically on both sides."""
+    e = table(spark, sf_dir, "embeddings")
+    p = e.select("vec_id", "label", F.posexplode(_as_double("embedding")).alias("pos", "val"))
+    c = p.groupBy("label", "pos").agg(F.avg("val").alias("cv"))
+    d = (
+        p.join(c, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("val") - F.col("cv")) * (F.col("val") - F.col("cv")))),
+                6,
+            ).alias("dist")
+        )
+    )
+    mom = d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dist").cast("decimal(18,6)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("dist") * F.col("dist"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    return (
+        d.join(F.broadcast(mom), "label")
+        .filter((F.col("n") >= 2) & (var > 0))
+        .select(
+            "vec_id",
+            "label",
+            "dist",
+            F.round((F.col("dist") - mean) / F.sqrt(var), 4).alias("z_score"),
+        )
+        .orderBy(F.desc("z_score"), "vec_id")
+        .limit(OUTLIER_TOPK)
+    )

@@ -1400,3 +1400,86 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.withColumn("flesch", flesch).orderBy("doc_id")
+
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+@register(
+    "text_pmi_collocations",
+    f"""
+    WITH split AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+    grams0 AS (
+        SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr
+        FROM split),
+    grams AS (SELECT pr[1] AS w1, pr[2] AS w2 FROM grams0),
+    n AS (SELECT count(*) AS n_grams FROM grams),
+    uni1 AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY w1),
+    uni2 AS (SELECT w2, count(*) AS c2 FROM grams GROUP BY w2),
+    bi AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2
+           HAVING count(*) >= {PMI_MIN_COUNT})
+    SELECT b.w1, b.w2, b.c12 AS n_pair,
+           round(ln(CAST(b.c12 AS DOUBLE) * n.n_grams
+                    / (CAST(u1.c1 AS DOUBLE) * u2.c2)), 4) AS pmi
+    FROM bi b
+    JOIN uni1 u1 ON u1.w1 = b.w1
+    JOIN uni2 u2 ON u2.w2 = b.w2
+    CROSS JOIN n
+    ORDER BY pmi DESC, b.w1, b.w2 LIMIT {PMI_TOPK}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the adjacent
+    token pairs that co-occur far more than their marginals predict —
+    the phrase-detection pass (word2vec-style "new_york" merging, BPE
+    seeding, stopword-collocation QA) a text pipeline runs before
+    tokenizer training. PMI = ln(P(ab) / (P(a)·P(b))) over the bigram
+    relation, with a count floor so rare coincidences don't dominate.
+
+    Scale shape: the bigram relation comes from ONE pass that projects
+    the split() array before zipping (the text_lm_crossentropy lesson —
+    no per-char explode, no re-split); marginals are two partial-agg
+    counts over that same relation; the count floor prunes the pair
+    table BEFORE the marginal joins; top-k is TakeOrderedAndProject.
+
+    Determinism: all counts exact; PMI is one double dag from them
+    (identical both engines), rounded once; rank ties break on the
+    token pair."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    split = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    grams = split.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pr")
+    ).select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    n_grams = grams.count()
+    uni1 = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni2 = grams.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    bi = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double")
+            * F.lit(float(n_grams))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        4,
+    )
+    return (
+        bi.join(uni1, "w1")
+        .join(uni2, "w2")
+        .select("w1", "w2", F.col("c12").alias("n_pair"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
