@@ -161,8 +161,16 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
 #   embedding_outlier_distance — centroid distances + per-cell moments;
 #       windowed dedup_semantic runs the same centroid-distance kernel
 #       and embedding_ann_recall the same centroid aggregate.
+#   events_count_min_heavy_hitters — md5-row-hash counting sketch;
+#       events_approx_distinct_kmv (green r05) is the sketch sibling
+#       and events_heavy_hitter_share (green r05) the exact readout.
+#   embedding_mrl_truncation_recall — same probe-broadcast + rank
+#       window + overlap join as the windowed embedding_ann_recall;
+#       only the similarity input (dimension-sliced) differs.
 DEFERRED_FIRST_EVIDENCE: tuple[str, ...] = (
     "embedding_outlier_distance",
+    "events_count_min_heavy_hitters",
+    "embedding_mrl_truncation_recall",
     "tpch_q12_shipmode_priority",
     "tpch_q15_top_supplier",
     "tpch_q19_disjunctive_revenue",

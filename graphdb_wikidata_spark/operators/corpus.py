@@ -787,7 +787,7 @@ def corpus_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.col("n_t").cast("double") / F.lit(float(n_total))
     term = F.round(p * F.log(p / q), 9).cast("decimal(20,9)")
     return (
-        per_src.join(F.broadcast(src_tot), "source")
+        per_src.join(src_tot, "source")
         .join(corp, "token")
         .select("source", F.col("n_s"), term.alias("term"))
         .groupBy("source", "n_s")

@@ -1545,3 +1545,85 @@ def events_power_users_percentile(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "n_events", F.round("p95", 4).alias("p95_threshold"))
         .orderBy(F.desc("n_events"), "user_id")
     )
+
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+CM_TOPK = 10
+
+
+@register(
+    "events_count_min_heavy_hitters",
+    f"""
+    WITH hashed AS (
+        SELECT e.user_id, j.j,
+               ('0x' || substr(md5(j.j || '_' || e.user_id), 1, 8))::BIGINT
+                   % {CM_WIDTH} AS bucket
+        FROM events e, generate_series(0, {CM_DEPTH - 1}) j(j)),
+    counters AS (
+        SELECT j, bucket, count(*)::BIGINT AS c
+        FROM hashed GROUP BY j, bucket),
+    est AS (
+        SELECT h.user_id, min(c.c) AS cm_estimate
+        FROM (SELECT DISTINCT user_id, j, bucket FROM hashed) h
+        JOIN counters c ON c.j = h.j AND c.bucket = h.bucket
+        GROUP BY h.user_id),
+    truth AS (
+        SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id)
+    SELECT t.user_id, t.true_count, e.cm_estimate
+    FROM truth t JOIN est e ON e.user_id = t.user_id
+    ORDER BY t.true_count DESC, t.user_id LIMIT {CM_TOPK}
+    """,
+)
+def events_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch with the exact counts alongside: build a
+    4 x 64 counter sketch of per-user event volume in one pass, then
+    read each user's estimate (min over the 4 hash rows) next to the
+    true count. The CM sketch is THE mergeable bounded-memory
+    frequency summary for streams too hot to count exactly — this
+    entry both demonstrates the distributed build (the sketch is a
+    256-row relation, mergeable by cell-wise + across shards/batches)
+    and quantifies its overestimation against ground truth on the
+    top-10 heavy hitters (CM never underestimates; the KMV entry is
+    its distinct-count sibling).
+
+    Scale shape: the build is one groupBy over (row, bucket) — 256
+    cells regardless of user count; the readout joins each DISTINCT
+    user's 4 cells against those 256 rows (broadcastable always); the
+    exact side is the ordinary per-user count whose top-10 is
+    TakeOrderedAndProject. Everything is integer; the md5 row-hashes
+    are the engine-portable idiom.
+
+    Each event lands in exactly one bucket per hash row, so the
+    (row, bucket) cell counts ARE the per-row counters — the 4-row
+    union needs no normalization."""
+    ev = table(spark, sf_dir, "events")
+    j = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j")
+    hashed = ev.select("user_id", j).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("j"), F.col("user_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_WIDTH,
+    )
+    counters = hashed.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    est = (
+        hashed.select("user_id", "j", "bucket")
+        .distinct()
+        .join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        truth.join(est, "user_id")
+        .select("user_id", "true_count", "cm_estimate")
+        .orderBy(F.desc("true_count"), "user_id")
+        .limit(CM_TOPK)
+    )

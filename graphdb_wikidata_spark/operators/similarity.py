@@ -1451,3 +1451,117 @@ def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("z_score"), "vec_id")
         .limit(OUTLIER_TOPK)
     )
+
+
+MRL_DIMS = 32  # truncated prefix length (of 64)
+
+
+def _mrl_oracle(nq: int = N_RECALL_QUERIES, k: int = RECALL_K, d: int = MRL_DIMS) -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < {nq}),
+    p0 AS (SELECT q.qid, e.vec_id,
+                  generate_subscripts(e.embedding, 1) AS i,
+                  unnest(e.embedding)::DOUBLE AS x, q.qe AS qe
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.qid),
+    p AS (SELECT qid, vec_id, i, x, qe[i]::DOUBLE AS y FROM p0),
+    full_sim AS (
+        SELECT qid, vec_id,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+                   AS sim
+        FROM p GROUP BY qid, vec_id),
+    trunc_sim AS (
+        SELECT qid, vec_id,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+                   AS sim
+        FROM p WHERE i <= {d} GROUP BY qid, vec_id),
+    full_top AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, vec_id) AS rk
+            FROM full_sim) WHERE rk <= {k}),
+    trunc_top AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, vec_id) AS rk
+            FROM trunc_sim) WHERE rk <= {k})
+    SELECT f.qid, count(t.vec_id) AS n_overlap,
+           round(count(t.vec_id) / {k}.0, 2) AS recall_at_k
+    FROM full_top f
+    LEFT JOIN trunc_top t ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid ORDER BY f.qid
+    """
+
+
+@register("embedding_mrl_truncation_recall", _mrl_oracle())
+def embedding_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: recall@10 of exact
+    search using only the FIRST 32 of 64 dimensions against exact
+    search on the full vector, per probe query. This is the
+    store-half-the-bytes experiment every embedding pipeline runs
+    before committing to a truncated index (MRL-trained models pack
+    meaning into prefixes; this measures how much THIS corpus's
+    embeddings actually do) — the storage-side sibling of the int8
+    quantization entry, with the same evaluate-before-you-commit role
+    as embedding_ann_recall.
+
+    Scale shape: identical to embedding_ann_recall — a constant probe
+    sample broadcast against the corpus, ONE exploded pass feeding
+    both similarity aggregates (the truncated one just filters the
+    dimension index — no second scan of the vectors), rank windows
+    per qid, and a qid-keyed overlap join of two nq*k-row relations.
+
+    Determinism: both similarity columns round to 6dp before ranking,
+    ranks tie-break on vec_id."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_RECALL_QUERIES).select(
+            F.col("vec_id").alias("qid"), _as_double("embedding").alias("qe")
+        )
+    )
+    emb = _as_double("embedding")
+    pairs = e.join(q, e.vec_id != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(dot(emb, F.col("qe")) / (norm(emb) * norm(F.col("qe"))), 6).alias(
+            "sim_full"
+        ),
+        F.round(
+            dot(F.slice(emb, 1, MRL_DIMS), F.slice(F.col("qe"), 1, MRL_DIMS))
+            / (
+                norm(F.slice(emb, 1, MRL_DIMS))
+                * norm(F.slice(F.col("qe"), 1, MRL_DIMS))
+            ),
+            6,
+        ).alias("sim_trunc"),
+    )
+    w_full = Window.partitionBy("qid").orderBy(F.desc("sim_full"), "vec_id")
+    w_trunc = Window.partitionBy("qid").orderBy(F.desc("sim_trunc"), "vec_id")
+    full_top = (
+        pairs.withColumn("rk", F.row_number().over(w_full))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("qid", "vec_id")
+    )
+    trunc_top = (
+        pairs.withColumn("rk", F.row_number().over(w_trunc))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("qid", F.col("vec_id").alias("t_vec_id"))
+    )
+    return (
+        full_top.join(
+            trunc_top,
+            (full_top.qid == trunc_top.qid)
+            & (full_top.vec_id == trunc_top.t_vec_id),
+            "left",
+        )
+        .groupBy(full_top.qid.alias("qid"))
+        .agg(
+            F.count("t_vec_id").alias("n_overlap"),
+            F.round(F.count("t_vec_id") / F.lit(float(RECALL_K)), 2).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("qid")
+    )

@@ -302,7 +302,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     vol = _revenue()
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -368,7 +368,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "0.5"
     ).cast("decimal(3,2)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == F.col("n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -558,10 +558,8 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(
-            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
-        )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -606,7 +604,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(pa, li.l_partkey == pa.pa_partkey)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
@@ -667,7 +665,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
@@ -708,10 +706,11 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp availqty) and the spec's 0.5x-availqty threshold becomes
     1.2x the mean per-supplier promo quantity (SF-invariant).
 
-    Shape: inner IN = broadcast part filter into the date-banded fact;
+    Shape: inner IN = the PROMO part filter joined into the
+    date-banded fact (part is SF-scaled — AQE picks the strategy);
     one suppkey aggregate; the scalar threshold is a 1-row broadcast;
-    the outer IN compiles to a (broadcastable) semi join against the
-    region's suppliers. Quantities are integer-valued doubles — exact
+    the outer IN compiles to a semi join against the region's
+    suppliers. Quantities are integer-valued doubles — exact
     sums, identical thresholds in both engines."""
     promo = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
         "p_partkey"
@@ -721,7 +720,7 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
     qty = (
-        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        li.join(promo, li.l_partkey == promo.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("promo_qty"))
     )
