@@ -16,11 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 # the DuckDB oracle each round. Round 6's window: (a) entries whose CODE
 # changed this round (fresh evidence regardless of age), then (b) the new
 # round-6 operators. The VERDICT r05 task-3 stale-cohort rotation was the
-# original plan for slots 31-49, but round 6 ultimately created 51
+# original plan for slots 31-49, but round 6 ultimately created 54
 # never-evidenced operators against a 50-slot window — and first evidence
 # outranks re-confirmation, so the stale r01/r02 cohort (which has hard
 # green rows, merely old ones) yields every contested slot and leads round
-# 7's front-load instead (full ledger at the bottom). Seven new entries
+# 7's front-load instead (full ledger at the bottom). Ten new entries
 # that could not fit are listed in DEFERRED_FIRST_EVIDENCE with the
 # in-window sibling that covers each one's kernel meanwhile. The
 # builder-side sims (DRIVER_SIM_r06*.txt) cover ALL entries at two scale
@@ -112,10 +112,10 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # ROTATION LEDGER (evidence age after round 6, assuming this window
     # lands green): r06 x 50 (the above), r05 x 44, r04 x 46, r03 x 41,
     # r02 x 29 + r01 x 11 (the stale cohort this round's new-op volume
-    # displaced — round 6 created 51 never-evidenced operators against
+    # displaced — round 6 created 54 never-evidenced operators against
     # a 50-slot window, so re-confirmation lost every contested slot),
-    # plus the 8 DEFERRED first-evidence rows below. Round 7
-    # front-loads (1) the 8 deferred rows plus the three evicted
+    # plus the 10 DEFERRED first-evidence rows below. Round 7
+    # front-loads (1) the 10 deferred rows plus the three evicted
     # changed rows (events_linreg_trend, stream_cusum_alerts,
     # stream_running_totals), (2) the r01 cohort
     # (distinct_op, doc_fingerprint, embedding_centroid_norm,
@@ -130,15 +130,15 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # sparql_values_undef, sparql_describe, media_frame_sample,
     # dedup_ngram_jaccard, sparql_path_sequence, sparql_path_negated,
     # sparql_ps_pq_chain, sparql_qualifier_join, sparql_graph_empty) —
-    # 8 + 3 + 11 + 29 = 51: one over round 7's 50 slots, so the last
-    # r02 row spills to round 8's head along with the r03 cohort, r04
-    # in round 9.
+    # 10 + 3 + 11 + 29 = 53: three over round 7's 50 slots, so the
+    # last three r02 rows spill to round 8's head along with the r03
+    # cohort, r04 in round 9.
 )
 
 # Never-evidenced entries WITHOUT a slot in this round's window — the
-# overflow of a 51-new-op round over a 50-slot window. Each is deferred
+# overflow of a 54-new-op round over a 50-slot window. Each is deferred
 # (not dropped) because an IN-WINDOW entry exercises the same kernel
-# this round, and all seven lead round 7's front-load:
+# this round, and all ten lead round 7's front-load:
 #   tpch_q12_shipmode_priority — integer CASE-sum over a date-banded
 #       orderkey join; windowed siblings tpch_q4_priority_exists /
 #       tpch_q13_custdist cover the join+conditional-count shape.

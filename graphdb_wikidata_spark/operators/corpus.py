@@ -782,13 +782,14 @@ def corpus_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_ts"))
     src_tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     corp = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
-    n_total = tok.count()
+    n = tok.agg(F.count(F.lit(1)).alias("n_total"))
     p = F.col("n_ts").cast("double") / F.col("n_s")
-    q = F.col("n_t").cast("double") / F.lit(float(n_total))
+    q = F.col("n_t").cast("double") / F.col("n_total")
     term = F.round(p * F.log(p / q), 9).cast("decimal(20,9)")
     return (
         per_src.join(src_tot, "source")
         .join(corp, "token")
+        .join(F.broadcast(n))
         .select("source", F.col("n_s"), term.alias("term"))
         .groupBy("source", "n_s")
         .agg(F.round(F.sum("term").cast("double"), 6).alias("kl_divergence"))

@@ -303,21 +303,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "simhash_signature",
-    """
-    WITH tok AS (SELECT DISTINCT doc_id, t.tok
-                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                       FROM documents) t(doc_id, tok)),
+# the ONE simhash oracle CTE chain both signature and band-pairing
+# entries share — an edit to the hash width / bit rule here changes
+# both oracles together (the _byte_hist single-kernel discipline)
+_SIMHASH_CTE = """
+    tok AS (SELECT DISTINCT doc_id, t.tok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents) t(doc_id, tok)),
     th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
     bits AS (SELECT doc_id, b.b,
                     sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
              FROM th, generate_series(0, 31) b(b)
-             GROUP BY doc_id, b.b)
-    SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
-    """,
+             GROUP BY doc_id, b.b),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id)
+"""
+
+
+@register(
+    "simhash_signature",
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig",
 )
 def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over the distinct-token set (md5-derived token
@@ -849,20 +856,6 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_HAMMING_K = 3
-_SIMHASH_CTE = """
-    tok AS (SELECT DISTINCT doc_id, t.tok
-            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                  FROM documents) t(doc_id, tok)),
-    th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
-    bits AS (SELECT doc_id, b.b,
-                    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-             FROM th, generate_series(0, 31) b(b)
-             GROUP BY doc_id, b.b),
-    sig AS (SELECT doc_id,
-                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
-                        AS BIGINT) AS simhash
-            FROM bits GROUP BY doc_id)
-"""
 
 
 @register(

@@ -1360,7 +1360,6 @@ def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    us_per_h = F.lit(3_600_000_000)
     durs = (
         u.join(conv, "user_id", "left")
         .select(

@@ -385,7 +385,7 @@ def media_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(8)
     )
     + """
-        FROM documents),
+        FROM documents WHERE length(text) > 0),
     codes AS (
         SELECT media_id,
                """
@@ -395,8 +395,7 @@ def media_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     + """ AS phash_code
         FROM hist)
-    SELECT phash_code, count(*) AS n_media,
-           count(DISTINCT media_id) AS n_distinct
+    SELECT phash_code, count(*) AS n_media
     FROM codes GROUP BY phash_code HAVING count(*) >= 2
     ORDER BY phash_code
     """,
@@ -422,7 +421,10 @@ def media_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     total), exact in both engines; the oracle recomputes it per
     CHARACTER via ascii()//32, which coincides with the byte kernel
     because the synthetic payloads are pure ASCII (same documented
-    assumption as media_byte_hist_counts)."""
+    assumption as media_byte_hist_counts). Empty payloads are excluded
+    on BOTH sides — they have no byte distribution to sign, and the
+    engines would otherwise disagree (numpy's empty histogram is all
+    zeros; DuckDB's char-split of '' is [''])."""
 
     def fn(batches):
         for pdf in batches:
@@ -434,15 +436,14 @@ def media_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             code = (bits << np.arange(8, dtype=np.int64)).sum(axis=1)
             yield pd.DataFrame({"media_id": pdf["media_id"], "phash_code": code})
 
-    codes = media_table(spark, sf_dir).mapInPandas(
-        fn, schema="media_id bigint, phash_code bigint"
+    codes = (
+        media_table(spark, sf_dir)
+        .filter(F.octet_length("payload") > 0)
+        .mapInPandas(fn, schema="media_id bigint, phash_code bigint")
     )
     return (
         codes.groupBy("phash_code")
-        .agg(
-            F.count(F.lit(1)).alias("n_media"),
-            F.countDistinct("media_id").alias("n_distinct"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_media"))
         .filter(F.col("n_media") >= 2)
         .orderBy("phash_code")
     )

@@ -1206,9 +1206,13 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.filter(F.col("bucket") == 0)
     train_tok = train.select("lang", F.explode("toks").alias("token"))
     cls = train_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("tot_c"))
-    n_total = train.count()
+    # both model-wide scalars stay in-plan as 1-row aggregates joined by
+    # broadcast (no eager driver-side counts before the measured plan)
+    n = train.agg(F.count(F.lit(1)).alias("n_total"))
+    vocab = train_tok.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("vocab_v")
+    )
     prior = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    vocab_v = train_tok.select("token").distinct().count()
     tc = train_tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
     test_tok = test.select(
         "doc_id", F.col("lang").alias("true_lang"), F.explode("toks").alias("token")
@@ -1221,22 +1225,23 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["cand_lang", "token"],
             "left",
         )
+        .join(F.broadcast(vocab))
         .groupBy("doc_id", "true_lang", "cand_lang")
         .agg(
             F.sum(
                 F.round(
                     F.log(
                         (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-                        / (F.col("tot_c") + F.lit(vocab_v))
+                        / (F.col("tot_c") + F.col("vocab_v"))
                     ),
                     9,
                 ).cast("decimal(20,9)")
             ).alias("loglik")
         )
     )
-    pr = prior.select(
+    pr = prior.join(F.broadcast(n)).select(
         F.col("lang").alias("cand_lang"),
-        F.round(F.log(F.col("n_docs").cast("double") / F.lit(n_total)), 9)
+        F.round(F.log(F.col("n_docs").cast("double") / F.col("n_total")), 9)
         .cast("decimal(20,9)")
         .alias("logprior"),
     )
@@ -1315,10 +1320,12 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = table(spark, sf_dir, "documents")
+    # array_distinct already dedupes tokens within a doc, and rows from
+    # different docs differ by doc_id — no row-level distinct needed
     dt = d.select(
         "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    ).distinct()
-    n_docs = d.count()
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     cls = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
     tok = (
         dt.groupBy("token")
@@ -1331,13 +1338,14 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     n11 = F.col("n11").cast("double")
     n_c = F.col("n_c").cast("double")
     df_ = F.col("df").cast("double")
-    N = F.lit(float(n_docs))
+    N = F.col("n_docs")
     num = n11 * (N - n_c - df_ + n11) - (df_ - n11) * (n_c - n11)
     chi2 = F.round(N * num * num / (n_c * (N - n_c) * df_ * (N - df_)), 4)
     w = Window.partitionBy("lang").orderBy(F.desc("chi2"), "token")
     return (
         cell.join(F.broadcast(cls), "lang")
         .join(tok, "token")
+        .join(F.broadcast(n))
         .select("lang", "token", chi2.alias("chi2"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= CHI2_TOPK)
@@ -1460,7 +1468,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pr")
     ).select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
-    n_grams = grams.count()
+    n = grams.agg(F.count(F.lit(1)).cast("double").alias("n_grams"))
     uni1 = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     uni2 = grams.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
     bi = (
@@ -1471,7 +1479,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi = F.round(
         F.log(
             F.col("c12").cast("double")
-            * F.lit(float(n_grams))
+            * F.col("n_grams")
             / (F.col("c1").cast("double") * F.col("c2"))
         ),
         4,
@@ -1479,6 +1487,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bi.join(uni1, "w1")
         .join(uni2, "w2")
+        .join(F.broadcast(n))
         .select("w1", "w2", F.col("c12").alias("n_pair"), pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOPK)
