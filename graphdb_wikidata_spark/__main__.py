@@ -70,6 +70,15 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe.add_argument("--max-records", type=int, default=None,
                         help="rows per parquet shard (default sinks.DEFAULT_SHARD_RECORDS)")
 
+    p_an = sub.add_parser(
+        "analyze",
+        help="write a corpus-health report over an sf-dir: per-source KL "
+        "drift, per-doc readability, chi2 keywords per language, and "
+        "event heavy hitters, each as a parquet relation",
+    )
+    p_an.add_argument("--sf-dir", required=True, help="directory with the testdata tables")
+    p_an.add_argument("-o", "--out", required=True, help="output report directory")
+
     args = ap.parse_args(argv)
     if args.mode is None:
         ap.print_help()
@@ -103,6 +112,29 @@ def main(argv: list[str] | None = None) -> int:
         sinks.write_training_shards(packed, args.out, **kw)
         n = spark.read.parquet(args.out).count()
         print(f"wrote {args.out}: {n} packed documents")
+        return 0
+
+    if args.mode == "analyze":
+        import json as _json
+        import os as _os
+
+        from .operators.corpus import QUERIES as CORPUS_QUERIES
+        from .operators.events import QUERIES as EVENT_QUERIES
+        from .operators.text import QUERIES as TEXT_QUERIES
+
+        sections = {
+            "source_drift": CORPUS_QUERIES["corpus_source_kl_drift"],
+            "readability": TEXT_QUERIES["text_readability"],
+            "keywords": TEXT_QUERIES["text_chi2_keywords"],
+            "heavy_hitters": EVENT_QUERIES["events_count_min_heavy_hitters"],
+        }
+        summary = {}
+        for name, fn in sections.items():
+            df = fn(spark, args.sf_dir)
+            path = _os.path.join(args.out, name)
+            df.write.mode("overwrite").parquet(path)
+            summary[name] = spark.read.parquet(path).count()
+        print(_json.dumps({"report_dir": args.out, "rows": summary}))
         return 0
 
     if args.mode == "create-index":

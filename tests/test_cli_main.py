@@ -63,3 +63,21 @@ def test_cli_pipeline(spark, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() > 0
     assert set(back.columns) >= {"doc_id", "n_tokens", "pack_id"}
+
+
+def test_cli_analyze(spark, tmp_path, capsys):
+    import json
+
+    from graphdb_wikidata_spark.__main__ import main
+
+    out = str(tmp_path / "report")
+    rc = main(["analyze", "--sf-dir", "/root/testdata/sf0.001", "-o", out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["report_dir"] == out
+    # every section wrote a non-empty relation
+    for section in ("source_drift", "readability", "keywords", "heavy_hitters"):
+        assert summary["rows"][section] > 0
+        assert spark.read.parquet(f"{out}/{section}").count() == summary["rows"][section]
+    drift = spark.read.parquet(f"{out}/source_drift")
+    assert set(drift.columns) == {"source", "n_tokens", "kl_divergence"}
