@@ -25,10 +25,14 @@ SF = "/root/testdata/sf0.001"
 WINDOW = 50  # the driver hashes the first 50 registry entries
 
 
-def test_windowed_entries_expose_only_scalar_columns(spark):
+def test_all_entries_expose_only_scalar_columns(spark):
+    # EVERY registry entry, not just the current window: entries rotate
+    # into future windows, and a list/struct column is a guaranteed red
+    # row whenever that happens (schema derivation is analysis-only, so
+    # checking all of them costs no execution)
     queries = all_queries()
     bad = {}
-    for name in list(queries)[:WINDOW]:
+    for name in queries:
         df = queries[name](spark, SF)
         nonscalar = [
             f.name
@@ -37,7 +41,7 @@ def test_windowed_entries_expose_only_scalar_columns(spark):
         ]
         if nonscalar:
             bad[name] = nonscalar
-    assert not bad, f"windowed entries with canonicalizer-unsafe columns: {bad}"
+    assert not bad, f"entries with canonicalizer-unsafe columns: {bad}"
 
 
 def test_no_oracle_projects_hugeint_or_decimal():
