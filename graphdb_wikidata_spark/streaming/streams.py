@@ -30,9 +30,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..rounding import round_half_up
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """The events table as a file-source stream (one parquet today; a
     directory of arriving files in production).
+
+    ``path`` overrides the source location (e.g. a multi-part copy for
+    multi-batch replay tests); ``max_files_per_trigger`` caps files per
+    micro-batch, forcing a multi-batch availableNow replay.
 
     The stream schema is taken from the batch reader, so whichever way
     the testdata generation stored ``ts`` — TIMESTAMP(NANOS) (arrives
@@ -41,9 +50,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     is) — the stream sees the same event-time column as the batch
     twin it is cross-checked against."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
+    path = path or os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isdir(path):
         # Spark-written dataset: events.parquet IS a directory of part
         # files — stream it directly (a glob filter on the parent would
@@ -456,6 +467,80 @@ def cusum_alerts_stream(events: DataFrame) -> DataFrame:
         _cusum_fn,
         outputStructType=_CUSUM_SCHEMA,
         stateStructType=_CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Space-Saving streaming top-k (Metwally et al.) — bounded-state heavy
+# hitters per event type. Registry queue: gets its recursive-CTE oracle
+# and a driver-window slot in round 7; this round it is pytest-gated
+# (the Space-Saving guarantees + determinism, tests/test_stream_topk.py).
+# ---------------------------------------------------------------------------
+
+TOPK_K = 10
+
+_TOPK_SCHEMA = (
+    "event_type string, rank int, user_id bigint, est_count bigint, n_seen bigint"
+)
+_TOPK_STATE = "users array<bigint>, counts array<bigint>, n_seen bigint"
+
+
+def _topk_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Space-Saving summary for one event type: at most K counters; a
+    new user evicts the minimum counter and INHERITS its count + 1 —
+    the classic one-pass bound (est >= true; any user with true count
+    > N/K is guaranteed present). Rows are processed in (ts, event_id)
+    order so the sequential result is replay-deterministic; eviction
+    ties break on the smallest user id, also deterministic."""
+    if state.exists:
+        users, counts, n_seen = state.get
+        users, counts = list(users), list(counts)
+    else:
+        users, counts, n_seen = [], [], 0
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    for u in batch["user_id"].astype("int64"):
+        u = int(u)
+        if u in users:
+            counts[users.index(u)] += 1
+        elif len(users) < TOPK_K:
+            users.append(u)
+            counts.append(1)
+        else:
+            mn = min(counts)
+            # deterministic eviction: among min-count entries, the
+            # smallest user id goes
+            victim = min(u2 for u2, c in zip(users, counts) if c == mn)
+            i = users.index(victim)
+            users[i], counts[i] = u, mn + 1
+    n_seen += len(batch)
+    state.update((users, counts, n_seen))
+    order = sorted(range(len(users)), key=lambda i: (-counts[i], users[i]))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(order),
+            "rank": list(range(1, len(order) + 1)),
+            "user_id": [users[i] for i in order],
+            "est_count": [counts[i] for i in order],
+            "n_seen": [n_seen] * len(order),
+        }
+    )
+
+
+def topk_hitters(events: DataFrame) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: K counters per event
+    type, total state K x |types| regardless of user cardinality — the
+    structure a firehose uses where running_user_totals' per-user state
+    would grow with the key population. The batch Count-Min entry
+    (events_count_min_heavy_hitters) is the mergeable-sketch sibling;
+    Space-Saving additionally keeps the candidate ids in-state, so the
+    top-k readout needs no second pass over the data."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _topk_fn,
+        outputStructType=_TOPK_SCHEMA,
+        stateStructType=_TOPK_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
