@@ -1492,3 +1492,102 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOPK)
     )
+
+
+BPE_TRAIN_ROUNDS = 5
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, distributed: the full iterative merge
+    loop, not just the first-merge statistic (bpe_pair_counts). Each
+    round counts adjacent symbol pairs over the corpus-weighted word
+    relation, picks the most frequent pair (total-ordered tie-break),
+    and applies the merge corpus-wide; the learned merge table IS the
+    tokenizer.
+
+    Registry queue: gets its oracle + driver-window slot in round 7
+    (the merge application is a plain space-delimited string replace,
+    chosen precisely because DuckDB's replace() has the identical
+    greedy left-to-right non-overlap semantics — the unrolled-rounds
+    oracle is mechanical); this round it is pytest-gated
+    (tests/test_bpe_trainer.py).
+
+    Scale shape: the corpus collapses ONCE to the (word, freq) vocab
+    relation — all training passes run over vocab rows, never raw
+    docs (the standard trick: BPE statistics are word-frequency
+    weighted, so distinct words suffice). Each round is one
+    higher-order pair explode + partial-agg groupBy + a 1-row argmax
+    collect (constant rounds x 1 row, the k-means/MMR scalar
+    contract) + a map-only replace. State between rounds is the vocab
+    relation, localCheckpoint'ed like every iterative kernel.
+
+    Determinism: integer pair counts; argmax breaks ties on
+    (count desc, left asc, right asc); merge application is greedy
+    left-to-right non-overlapping — identical on replay and across
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # seed symbols: the word as space-joined characters
+        .select(
+            F.concat_ws(" ", F.split(F.col("word"), "")).alias("syms"), "freq"
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        toks = F.split(F.col("syms"), " ")
+        pairs = words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("pr"),
+            "freq",
+        ).filter(F.size(toks) >= 2)
+        top = (
+            pairs.groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merges.append((rnd, l, r, l + r, cnt))
+        # merge semantics: replace() TO FIXPOINT on the space-delimited
+        # symbol string. A single replace() call misses back-to-back
+        # merge sites (the match consumes the trailing space the next
+        # site needs as its leading delimiter), so the merge repeats
+        # until the string stops changing — deterministic, engine-
+        # portable (DuckDB's replace() is the same greedy left-to-right
+        # non-overlap), and bounded by merges-per-word (<= len/2) inner
+        # iterations over the VOCAB-sized relation
+        def _total_syms(df):
+            # fixpoint detector: a merge strictly shrinks the total
+            # symbol count, so equal totals mean no site was merged
+            return df.agg(F.sum(F.size(F.split("syms", " "))).alias("n")).collect()[0].n
+
+        before = _total_syms(words)
+        while True:
+            merged_syms = F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("syms"), F.lit(" ")),
+                    F.lit(f" {l} {r} "),
+                    F.lit(f" {l}{r} "),
+                )
+            )
+            words = words.select(merged_syms.alias("syms"), "freq").localCheckpoint()
+            after = _total_syms(words)
+            if after == before:
+                break
+            before = after
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, merged string, pair_count bigint"
+    )
