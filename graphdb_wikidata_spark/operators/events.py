@@ -1626,3 +1626,76 @@ def events_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("true_count"), "user_id")
         .limit(CM_TOPK)
     )
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing of daily event
+    volume per type: level and trend recursions over the day series,
+    plus the one-step-ahead forecast — the classic capacity-planning
+    smoother one notch up from the plain EWMA (which has no trend
+    term and lags ramps).
+
+    Registry queue: gets a recursive-CTE oracle + a window slot in
+    round 7 (the recursion is the CUSUM oracle pattern over the DAILY
+    relation — bounded by the observation span, so the CTE is cheap);
+    this round it is pytest-gated (tests/test_holt_trend.py).
+
+    Scale shape: events collapse to the (type, day, count) rollup in
+    one partial-agg pass — the sequential recursion runs over THAT
+    bounded relation (days x types rows) inside one grouped kernel,
+    the same repartition + in-partition-sequential design as the CUSUM
+    segment kernel. Initialization: level = first day's count, trend =
+    second minus first (standard two-point init).
+
+    Determinism: the recursion is a fixed left-to-right float
+    trajectory over rows sorted by day (ties impossible — day is the
+    group key); emitted values round HALF_UP like every kernel since
+    the ADVICE r05 rounding fix."""
+    from ..rounding import round_half_up
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values("day", kind="mergesort").reset_index(drop=True)
+        level, trend = None, None
+        out_level, out_trend, out_fc = [], [], []
+        for _, row in pdf.iterrows():
+            y = float(row["n"])
+            if level is None:
+                level, trend = y, 0.0
+            else:
+                if trend == 0.0 and len(out_level) == 1:
+                    # two-point trend init
+                    trend = y - level
+                fc = level + trend
+                new_level = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * fc
+                trend = HOLT_BETA * (new_level - level) + (1 - HOLT_BETA) * trend
+                level = new_level
+            out_level.append(round_half_up(level, 4))
+            out_trend.append(round_half_up(trend, 4))
+            out_fc.append(round_half_up(level + trend, 4))
+        pdf["level"] = out_level
+        pdf["trend"] = out_trend
+        pdf["forecast_next"] = out_fc
+        return pdf[["event_type", "day", "n", "level", "trend", "forecast_next"]]
+
+    return (
+        daily.repartition("event_type")
+        .groupBy("event_type")
+        .applyInPandas(
+            fn,
+            schema="event_type string, day string, n bigint, "
+            "level double, trend double, forecast_next double",
+        )
+        .orderBy("event_type", "day")
+    )
