@@ -132,7 +132,13 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     # sparql_ps_pq_chain, sparql_qualifier_join, sparql_graph_empty) —
     # 10 + 3 + 11 + 29 = 53: three over round 7's 50 slots, so the
     # last three r02 rows spill to round 8's head along with the r03
-    # cohort, r04 in round 9.
+    # cohort, r04 in round 9. ALSO QUEUED for round-7 registration
+    # (implemented + pytest-gated this round, need oracles + slots):
+    # streams.topk_hitters (Space-Saving streaming top-k),
+    # text.bpe_train_merges (iterative BPE trainer),
+    # events.holt_linear_trend (Holt level+trend smoothing),
+    # multimodal.media_cdc_chunk_census (content-defined chunking),
+    # text.unigram_lm_tokenizer (unigram-LM tokenizer hard-EM).
 )
 
 # Never-evidenced entries WITHOUT a slot in this round's window — the

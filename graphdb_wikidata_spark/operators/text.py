@@ -1591,3 +1591,177 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, left string, right string, merged string, pair_count bigint"
     )
+
+
+UNI_ROUNDS = 2
+UNI_MAX_PIECE = 4
+UNI_MIN_FREQ = 5
+UNI_VOCAB_CAP = 2000
+
+
+def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (the SentencePiece model family):
+    seed a candidate piece vocabulary from frequent substrings, then
+    hard-EM rounds — Viterbi-segment every word under the current
+    piece log-probabilities (E), re-estimate the probabilities from
+    segmentation usage (M). Where BPE greedily GROWS merges, the
+    unigram model starts over-complete and lets EM concentrate mass on
+    the useful pieces; it is the second of the two tokenizer families
+    a corpus pipeline trains in-situ.
+
+    Registry queue: round 7 (oracle: the Viterbi DP unrolls over <=
+    word-length positions against the piece CTE — mechanical but
+    large; a rows-only check is the fallback). This round it is
+    pytest-gated (tests/test_unigram_tokenizer.py: segmentations
+    concatenate exactly, hard-EM likelihood is non-decreasing,
+    determinism).
+
+    Scale shape: the corpus collapses ONCE to the (word, freq) vocab
+    relation; candidate pieces are a higher-order substring explode
+    over it (bounded by len<=UNI_MAX_PIECE), capped to UNI_VOCAB_CAP
+    by a total-ordered top-k — the piece table is therefore
+    CONSTANT-bounded and broadcast to the Viterbi kernel as a plain
+    dict (tokenizer vocabularies are bounded by design; this is the
+    k-means-centroid broadcast contract, not a data-sized collect).
+    Each EM round is one Arrow-batched mapInPandas over vocab rows +
+    one partial-agg usage count.
+
+    Determinism: piece scores are ln(freq/total) rounded half-up to
+    9dp each round; Viterbi ties break on (fewer pieces, then the
+    lexicographically smaller piece sequence); chars always stay in
+    the vocabulary so every word remains segmentable."""
+    from ..rounding import round_half_up
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
+    )
+    toks = F.col("word")
+    # candidate pieces: all substrings length 1..UNI_MAX_PIECE
+    subs = words.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(toks)),
+                    lambda i: F.transform(
+                        F.sequence(
+                            i,
+                            F.least(
+                                i + F.lit(UNI_MAX_PIECE - 1), F.length(toks)
+                            ),
+                        ),
+                        lambda j: toks.substr(i, j - i + 1),
+                    ),
+                )
+            )
+        ).alias("piece"),
+        "freq",
+    )
+    pieces = (
+        subs.groupBy("piece")
+        .agg(F.sum("freq").alias("pfreq"))
+        .filter(
+            (F.length("piece") == 1) | (F.col("pfreq") >= UNI_MIN_FREQ)
+        )
+        .orderBy(F.desc("pfreq"), "piece")
+        .limit(UNI_VOCAB_CAP)
+    )
+
+    def _scores(rows):
+        total = sum(c for _, c in rows)
+        return {
+            p: round_half_up(__import__("math").log(c / total), 9) for p, c in rows
+        }
+
+    score = _scores([(r.piece, int(r.pfreq)) for r in pieces.collect()])
+    # char fallbacks must always be present for segmentability
+    chars = {
+        r.piece
+        for r in pieces.filter(F.length("piece") == 1).collect()
+    }
+
+    def viterbi_factory(piece_score):
+        bscore = spark.sparkContext.broadcast(piece_score)
+
+        def fn(batches):
+            import math
+
+            import pandas as pd
+
+            sc = bscore.value
+            floor = min(sc.values()) - 10.0  # unseen-char fallback penalty
+            for pdf in batches:
+                out_w, out_f, out_p, out_n = [], [], [], []
+                for w, fr in zip(pdf["word"], pdf["freq"]):
+                    n = len(w)
+                    # dp[i] = (best_score, best_npieces, best_seq) for w[:i]
+                    dp = [(-math.inf, 0, [])] * (n + 1)
+                    dp[0] = (0.0, 0, [])
+                    for i in range(1, n + 1):
+                        best = (-math.inf, 0, [])
+                        for L in range(1, min(UNI_MAX_PIECE, i) + 1):
+                            piece = w[i - L : i]
+                            s = sc.get(piece)
+                            if s is None:
+                                if L > 1:
+                                    continue
+                                s = floor
+                            prev = dp[i - L]
+                            if prev[0] == -math.inf:
+                                continue
+                            cand = (prev[0] + s, prev[1] + 1, prev[2] + [piece])
+                            if (
+                                cand[0] > best[0]
+                                or (
+                                    cand[0] == best[0]
+                                    and (
+                                        cand[1] < best[1]
+                                        or (cand[1] == best[1] and cand[2] < best[2])
+                                    )
+                                )
+                            ):
+                                best = cand
+                        dp[i] = best
+                    seq = dp[n][2]
+                    for p in seq:
+                        out_w.append(w)
+                        out_f.append(fr)
+                        out_p.append(p)
+                        out_n.append(dp[n][0])
+                yield pd.DataFrame(
+                    {"word": out_w, "freq": out_f, "piece": out_p, "nll": out_n}
+                )
+
+        return fn
+
+    usage = None
+    for _ in range(UNI_ROUNDS):
+        seg = words.mapInPandas(
+            viterbi_factory(score),
+            schema="word string, freq bigint, piece string, nll double",
+        )
+        usage = (
+            seg.groupBy("piece").agg(F.sum("freq").alias("used")).localCheckpoint()
+        )
+        rows = [(r.piece, int(r.used)) for r in usage.collect()]
+        # keep char fallbacks alive with +1 smoothing so rare chars
+        # never drop out of the segmentable alphabet
+        kept = {p: c for p, c in rows}
+        for ch in chars:
+            kept.setdefault(ch, 0)
+        score = _scores([(p, c + 1) for p, c in kept.items()])
+    return (
+        usage.join(
+            spark.createDataFrame(
+                [(p, s) for p, s in score.items()], "piece string, log_prob double"
+            ),
+            "piece",
+        )
+        .select("piece", "used", F.round("log_prob", 6).alias("log_prob"))
+        .orderBy(F.desc("used"), "piece")
+        .limit(50)
+    )
