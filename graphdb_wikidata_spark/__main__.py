@@ -130,10 +130,14 @@ def main(argv: list[str] | None = None) -> int:
         }
         summary = {}
         for name, fn in sections.items():
-            df = fn(spark, args.sf_dir)
+            # localCheckpoint materializes the section ONCE; the write
+            # and the row count then both read the checkpointed blocks
+            # instead of recomputing or re-reading the parquet just
+            # written (ADVICE r06: the write+re-read doubled IO)
+            df = fn(spark, args.sf_dir).localCheckpoint()
             path = _os.path.join(args.out, name)
             df.write.mode("overwrite").parquet(path)
-            summary[name] = spark.read.parquet(path).count()
+            summary[name] = df.count()
         print(_json.dumps({"report_dir": args.out, "rows": summary}))
         return 0
 

@@ -1669,13 +1669,15 @@ def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("day", kind="mergesort").reset_index(drop=True)
         level, trend = None, None
         out_level, out_trend, out_fc = [], [], []
-        for _, row in pdf.iterrows():
+        for i, row in pdf.iterrows():
             y = float(row["n"])
-            if level is None:
+            if i == 0:
                 level, trend = y, 0.0
             else:
-                if trend == 0.0 and len(out_level) == 1:
-                    # two-point trend init
+                if i == 1:
+                    # two-point trend init — keyed to the row INDEX, not
+                    # a trend==0.0 float sentinel (ADVICE r06: an equal
+                    # first pair would silently skip the init)
                     trend = y - level
                 fc = level + trend
                 new_level = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * fc

@@ -113,9 +113,15 @@ def embedding_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def centroids_by_label(corpus: DataFrame) -> DataFrame:
     """Per-label mean vector -> (label, centroid array<double>). The
     coarse quantizer of IVF: one narrow shuffle of (label, pos, sum)
-    partials; centroid count ~ cells, never corpus-sized."""
+    partials; centroid count ~ cells, never corpus-sized.
+
+    Centroid dims round to KMEANS_ROUND (7dp) like every trained
+    centroid in this module (ADVICE r06): F.avg is accumulation-order
+    sensitive at ~1e-15, and an unrounded centroid fed into a
+    probe-cell ranking can flip the probed cell between engines,
+    cascading into every downstream recall/top-k row."""
     p = corpus.select("label", F.posexplode(_as_double("embedding")).alias("pos", "val"))
-    c = p.groupBy("label", "pos").agg(F.avg("val").alias("cv"))
+    c = p.groupBy("label", "pos").agg(F.round(F.avg("val"), KMEANS_ROUND).alias("cv"))
     return c.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
@@ -139,11 +145,14 @@ def ivf_topk(
     qnorm = math.sqrt(sum(x * x for x in q))
     qcol = F.array(*[F.lit(x) for x in q])
     cents = centroids_by_label(corpus)
+    # csim rounds to 6dp BEFORE the probe ranking (ADVICE r06): the
+    # dot-product accumulation order differs between engines, and the
+    # probe argmax must see identical tie sets
     scored = cents.select(
         "label",
-        (dot(F.col("centroid"), qcol) / (norm(F.col("centroid")) * F.lit(qnorm))).alias(
-            "csim"
-        ),
+        F.round(
+            dot(F.col("centroid"), qcol) / (norm(F.col("centroid")) * F.lit(qnorm)), 6
+        ).alias("csim"),
     )
     probed = [
         r["label"]
@@ -166,13 +175,14 @@ def ivf_topk(
     p AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
                  unnest(embedding)::DOUBLE AS val
           FROM embeddings WHERE vec_id <> 0),
-    c AS (SELECT label, pos, avg(val) AS cv FROM p GROUP BY label, pos),
+    c AS (SELECT label, pos, round(avg(val), 7) AS cv FROM p GROUP BY label, pos),
     cq AS (SELECT c.label,
                   sum(cv * qe[pos]::DOUBLE) AS dotp,
                   sqrt(sum(cv * cv)) AS nc,
                   sqrt(sum((qe[pos]::DOUBLE) ^ 2)) AS nq
            FROM c, q GROUP BY c.label),
-    probe AS (SELECT label FROM cq ORDER BY dotp / (nc * nq) DESC, label LIMIT 2),
+    probe AS (SELECT label FROM cq
+              ORDER BY round(dotp / (nc * nq), 6) DESC, label LIMIT 2),
     e AS (SELECT vec_id, embedding FROM embeddings
           WHERE vec_id <> 0 AND label IN (SELECT label FROM probe)),
     p0 AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS i,
@@ -984,7 +994,7 @@ def _ann_recall_oracle(
     p AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
                  unnest(embedding)::DOUBLE AS val
           FROM embeddings),
-    c AS (SELECT label, pos, avg(val) AS cv FROM p GROUP BY label, pos),
+    c AS (SELECT label, pos, round(avg(val), 7) AS cv FROM p GROUP BY label, pos),
     cq AS (SELECT q.qid, c.label,
                   round(sum(cv * qe[pos]::DOUBLE)
                         / (sqrt(sum(cv * cv))
@@ -1185,17 +1195,22 @@ def embedding_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pool is the brute-force top-20 (TakeOrdered, the
     knn_topk kernel) and is k-BOUNDED — the pairwise diversity matrix
-    is pool², 400 rows, computed once as a bounded broadcast self-join
-    (never corpus x corpus). The greedy loop is inherently sequential
-    in k: each of the 5 steps is one Spark job whose argmax collects
-    exactly ONE row (a constant-bounded scalar collect, same contract
-    as k-means' nprobe/convergence collects); candidate re-scoring
-    stays distributed.
+    is pool², 400 rows, computed once as a bounded self-join (never
+    corpus x corpus). The greedy loop is inherently sequential in k,
+    but the WHOLE K-step loop runs inside ONE single-partition
+    mapInPandas kernel over the (pool + pairwise) relation (VERDICT
+    r06 #5): the relation is constant-bounded (pool rows, each
+    carrying its pool-sized neighbor-sim list), so one Arrow batch
+    holds everything the greedy argmax chain needs and the K driver
+    round-trips of the collect-per-step formulation disappear.
 
     Determinism: all similarities and every MMR score are rounded to
-    6dp BEFORE each argmax, ties break on vec_id, and the oracle
-    unrolls the same greedy steps as CTEs (the k-means-oracle
-    discipline), so both engines walk identical selection paths."""
+    6dp BEFORE each argmax (round_half_up = F.round = DuckDB round),
+    ties break on vec_id, and the oracle unrolls the same greedy steps
+    as CTEs (the k-means-oracle discipline), so both engines walk
+    identical selection paths. A pool smaller than MMR_K ends the
+    greedy loop early and emits fewer rows, exactly like the oracle's
+    empty s_i CTEs (ADVICE r06)."""
     e = table(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     q = [float(x) for x in qvec]
@@ -1212,46 +1227,74 @@ def embedding_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = pool.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))
     y = pool.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))
-    pw = (
-        x.join(y, F.col("a") != F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.round(
-                dot(F.col("ea"), F.col("eb"))
-                / (norm(F.col("ea")) * norm(F.col("eb"))),
-                6,
-            ).alias("s"),
-        )
-        .localCheckpoint()
+    pw = x.join(y, F.col("a") != F.col("b")).select(
+        "a",
+        "b",
+        F.round(
+            dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb"))),
+            6,
+        ).alias("s"),
     )
-    lam, mu = F.lit(MMR_LAMBDA), F.lit(round(1 - MMR_LAMBDA, 1))
-    picks = []
-    for rank in range(1, MMR_K + 1):
-        if not picks:
-            cand = pool.select(
-                "vec_id", F.round(lam * F.col("simq"), 6).alias("mmr_score")
+    # one relation holds everything the greedy chain needs: each pool
+    # member with its query sim and its pool-sized neighbor-sim list
+    rel = (
+        pool.select("vec_id", "simq")
+        .join(
+            pw.groupBy("a").agg(
+                F.collect_list(F.struct("b", "s")).alias("nbrs")
+            ),
+            pool.vec_id == F.col("a"),
+            "left",
+        )
+        .select("vec_id", "simq", "nbrs")
+        .coalesce(1)
+    )
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 1)
+    k = MMR_K
+
+    def greedy(batches):
+        import pandas as pd
+
+        from ..rounding import round_half_up
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        cand: dict[int, float] = {}
+        sims: dict[int, dict[int, float]] = {}
+        for vid, simq, nbrs in zip(pdf["vec_id"], pdf["simq"], pdf["nbrs"]):
+            vid = int(vid)
+            cand[vid] = float(simq)
+            sims[vid] = (
+                {int(n["b"]): float(n["s"]) for n in nbrs}
+                if nbrs is not None
+                else {}
             )
-        else:
-            sel_ids = [p[1] for p in picks]
-            ms = (
-                pw.filter(F.col("b").isin(sel_ids))
-                .groupBy("a")
-                .agg(F.max("s").alias("ms"))
-            )
-            cand = (
-                pool.filter(~F.col("vec_id").isin(sel_ids))
-                .join(ms, pool.vec_id == ms.a)
-                .select(
-                    "vec_id",
-                    F.round(lam * F.col("simq") - mu * F.col("ms"), 6).alias(
-                        "mmr_score"
-                    ),
-                )
-            )
-        top = cand.orderBy(F.desc("mmr_score"), "vec_id").limit(1).collect()[0]
-        picks.append((rank, top.vec_id, top.mmr_score))
-    return spark.createDataFrame(picks, "rank int, vec_id bigint, mmr_score double")
+        selected: list[int] = []
+        out_rank, out_vid, out_score = [], [], []
+        for rank in range(1, k + 1):
+            best = None
+            for vid, simq in cand.items():
+                if vid in selected:
+                    continue
+                if not selected:
+                    score = round_half_up(lam * simq, 6)
+                else:
+                    ms = max(sims[vid][s] for s in selected)
+                    score = round_half_up(lam * simq - mu * ms, 6)
+                if best is None or (-score, vid) < (-best[1], best[0]):
+                    best = (vid, score)
+            if best is None:
+                break  # pool exhausted before K picks (ADVICE r06)
+            selected.append(best[0])
+            out_rank.append(rank)
+            out_vid.append(best[0])
+            out_score.append(best[1])
+        yield pd.DataFrame(
+            {"rank": out_rank, "vec_id": out_vid, "mmr_score": out_score}
+        )
+
+    return rel.mapInPandas(
+        greedy, schema="rank int, vec_id bigint, mmr_score double"
+    )
 
 
 KNN_VOTE_K = 5
@@ -1378,7 +1421,7 @@ OUTLIER_TOPK = 20
     WITH p AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
                       unnest(embedding)::DOUBLE AS val
                FROM embeddings),
-    c AS (SELECT label, pos, avg(val) AS cv FROM p GROUP BY label, pos),
+    c AS (SELECT label, pos, round(avg(val), 7) AS cv FROM p GROUP BY label, pos),
     d AS (SELECT p.vec_id, p.label,
                  round(sqrt(sum((p.val - c.cv) ^ 2)), 6) AS dist
           FROM p JOIN c ON c.label = p.label AND c.pos = p.pos
@@ -1419,7 +1462,9 @@ def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both sides."""
     e = table(spark, sf_dir, "embeddings")
     p = e.select("vec_id", "label", F.posexplode(_as_double("embedding")).alias("pos", "val"))
-    c = p.groupBy("label", "pos").agg(F.avg("val").alias("cv"))
+    # centroid dims round like KMEANS_ROUND (ADVICE r06) — see
+    # centroids_by_label for why unrounded averages are a hash hazard
+    c = p.groupBy("label", "pos").agg(F.round(F.avg("val"), KMEANS_ROUND).alias("cv"))
     d = (
         p.join(c, ["label", "pos"])
         .groupBy("vec_id", "label")
