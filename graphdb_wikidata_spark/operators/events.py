@@ -1632,6 +1632,41 @@ HOLT_ALPHA = 0.5
 HOLT_BETA = 0.3
 
 
+@register(
+    "events_holt_linear_trend",
+    f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+    numbered AS (
+        SELECT event_type, day, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily),
+    holt AS (
+        SELECT event_type, day, n, rn,
+               n::DOUBLE AS level, 0.0::DOUBLE AS trend
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT event_type, day, n, rn,
+               {HOLT_ALPHA} * n + {1 - HOLT_ALPHA} * (plevel + tin) AS level,
+               {HOLT_BETA} * (({HOLT_ALPHA} * n + {1 - HOLT_ALPHA} * (plevel + tin))
+                              - plevel) + {1 - HOLT_BETA} * tin AS trend
+        FROM (
+            SELECT o.event_type, o.day, o.n, o.rn, h.level AS plevel,
+                   CASE WHEN o.rn = 2 THEN o.n::DOUBLE - h.level
+                        ELSE h.trend END AS tin
+            FROM holt h
+            JOIN numbered o
+              ON o.event_type = h.event_type AND o.rn = h.rn + 1))
+    SELECT event_type, day, n,
+           round(level, 4) AS level,
+           round(trend, 4) AS trend,
+           round(level + trend, 4) AS forecast_next
+    FROM holt ORDER BY event_type, day
+    """,
+)
 def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear (double-exponential) smoothing of daily event
     volume per type: level and trend recursions over the day series,
@@ -1639,10 +1674,14 @@ def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoother one notch up from the plain EWMA (which has no trend
     term and lags ramps).
 
-    Registry queue: gets a recursive-CTE oracle + a window slot in
-    round 7 (the recursion is the CUSUM oracle pattern over the DAILY
-    relation — bounded by the observation span, so the CTE is cheap);
-    this round it is pytest-gated (tests/test_holt_trend.py).
+    Oracle (registered round 7): the recursion is the CUSUM-oracle
+    recursive-CTE pattern over the DAILY rollup — bounded by the
+    observation span, so the CTE is cheap. Both engines carry the
+    UNROUNDED (level, trend) state and evaluate the update with the
+    identical float dag (alpha*y + (1-alpha)*(level+trend_in), then
+    beta*(new_level-level) + (1-beta)*trend_in), so the trajectories
+    are bit-identical; emission rounds HALF_UP to 4dp on both sides.
+    Pytest gate: tests/test_holt_trend.py.
 
     Scale shape: events collapse to the (type, day, count) rollup in
     one partial-agg pass — the sequential recursion runs over THAT
@@ -1653,9 +1692,13 @@ def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the recursion is a fixed left-to-right float
     trajectory over rows sorted by day (ties impossible — day is the
-    group key); emitted values round HALF_UP like every kernel since
-    the ADVICE r05 rounding fix."""
-    from ..rounding import round_half_up
+    group key). Emission rounds with round_like_duckdb, NOT
+    round_half_up: integer counts times the finite-decimal 0.5/0.3
+    coefficients make the real-arithmetic trajectory land on exact
+    4dp boundaries SYSTEMATICALLY, where the shortest-repr HALF_UP and
+    DuckDB's multiply-then-std::round disagree (caught at sf0.001:
+    level 13.83885 exactly — see rounding.round_like_duckdb)."""
+    from ..rounding import round_like_duckdb
 
     ev = table(spark, sf_dir, "events")
     daily = (
@@ -1683,9 +1726,9 @@ def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 new_level = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * fc
                 trend = HOLT_BETA * (new_level - level) + (1 - HOLT_BETA) * trend
                 level = new_level
-            out_level.append(round_half_up(level, 4))
-            out_trend.append(round_half_up(trend, 4))
-            out_fc.append(round_half_up(level + trend, 4))
+            out_level.append(round_like_duckdb(level, 4))
+            out_trend.append(round_like_duckdb(trend, 4))
+            out_fc.append(round_like_duckdb(level + trend, 4))
         pdf["level"] = out_level
         pdf["trend"] = out_trend
         pdf["forecast_next"] = out_fc

@@ -483,6 +483,39 @@ def cdc_chunk_batch(payloads) -> list[list[tuple[int, int, str]]]:
     return out
 
 
+@register(
+    "media_cdc_chunk_census",
+    f"""
+    WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n
+               FROM documents),
+    cuts AS (
+        SELECT media_id, p + {CDC_WINDOW - 1} AS b
+        FROM m, LATERAL (SELECT unnest(range(1, greatest(n - {CDC_WINDOW - 2}, 1)))
+                         AS p) AS pos
+        WHERE p <= n - {CDC_WINDOW}
+          AND ({" + ".join(f"ord(substr(text, p + {k}, 1)) * {(k + 3) ** 2}" for k in range(CDC_WINDOW))}) % {CDC_MASK + 1} = 0),
+    bounds AS (
+        SELECT media_id, 0 AS b FROM m
+        UNION ALL SELECT media_id, b FROM cuts
+        UNION ALL SELECT media_id, n FROM m),
+    spans AS (
+        SELECT m.media_id, bounds.b AS s,
+               lead(bounds.b) OVER (PARTITION BY bounds.media_id
+                                    ORDER BY bounds.b) AS e,
+               m.text
+        FROM bounds JOIN m USING (media_id)),
+    chunks AS (
+        SELECT media_id, CAST(e - s AS INT) AS chunk_len,
+               md5(substr(text, s + 1, e - s)) AS digest
+        FROM spans WHERE e IS NOT NULL AND e > s)
+    SELECT digest, count(*) AS n_copies,
+           count(DISTINCT media_id) AS n_media,
+           max(chunk_len) AS chunk_len,
+           (count(*) - 1) * max(chunk_len) AS bytes_saved
+    FROM chunks GROUP BY digest HAVING count(*) >= 2
+    ORDER BY bytes_saved DESC, digest LIMIT 100
+    """,
+)
 def media_cdc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level dedup census over media payloads: content-defined
     chunks shared by more than one payload, with their total byte
@@ -490,11 +523,15 @@ def media_cdc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-level dedup (two near-identical videos/dumps share most
     chunks even when no exact-payload or near-dup pass fires).
 
-    Registry queue: round 7 decides between a rows-only driver check
-    and a bounded-window SQL oracle (the rolling hash is a fixed
-    convolution — expressible, but the unrolled CTE is large); this
-    round it is pytest-gated (tests/test_cdc_chunking.py: exact
-    reconstruction, shift resilience, determinism).
+    Oracle (registered round 7): the rolling hash is a FIXED 8-term
+    dot product per byte position, so the oracle expands it as eight
+    ord(substr(...)) terms per position over the payloads' source text
+    (media payloads are the UTF-8 bytes of all-ASCII document text, so
+    char positions == byte offsets and DuckDB md5(substr(...)) hashes
+    the same bytes as hashlib.md5 over the chunk slice); boundaries,
+    spans, and the census are plain SQL from there. Pytest gate:
+    tests/test_cdc_chunking.py (exact reconstruction, shift
+    resilience, determinism).
 
     Scale shape: chunking is the mapInPandas Arrow kernel over
     payloads (payloads never shuffle — only (digest, length) pairs

@@ -20,11 +20,44 @@ from decimal import ROUND_HALF_UP, Decimal
 
 
 def round_half_up(x: float, ndigits: int) -> float:
-    """Round like Spark ``F.round``/DuckDB ``round``: decimal HALF_UP
-    (away from zero on ties) at ``ndigits``, via the double's shortest
-    decimal representation. NaN/inf pass through unchanged."""
+    """Round like Spark ``F.round``: decimal HALF_UP (away from zero on
+    ties) at ``ndigits``, via the double's shortest decimal
+    representation. NaN/inf pass through unchanged.
+
+    DuckDB's ``round(DOUBLE, n)`` agrees with this everywhere EXCEPT
+    when ``x`` sits within an ulp of an exact ``d.ddd5`` boundary: the
+    shortest repr sees e.g. ``13.838849999999999`` and rounds DOWN,
+    while DuckDB computes ``std::round(x * 10^n) / 10^n`` whose product
+    re-rounds to exactly ``138388.5`` and goes UP. For kernels whose
+    REAL-arithmetic values are finite decimals (integer inputs times
+    0.5/0.3-style coefficients — Holt), those boundaries occur
+    systematically, not at measure zero; such kernels must emit
+    ``round_like_duckdb`` instead (round-7 Holt fix). Kernels rounding
+    sums/ratios of arbitrary floats (CUSUM, EWMA, cosine sims) keep
+    this helper — their boundary probability is ~0 and F.round parity
+    matters for the JVM-side columns they're hashed against."""
     x = float(x)
     if not math.isfinite(x):
         return x
     q = Decimal(1).scaleb(-ndigits)
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def round_like_duckdb(x: float, ndigits: int) -> float:
+    """Round exactly like DuckDB ``round(DOUBLE, n)``:
+    ``std::round(x * 10^n) / 10^n`` with ``std::round`` = half away
+    from zero evaluated on the PRODUCT double (so a product that lands
+    exactly on ``.5`` — systematic when the real value is a finite
+    decimal — goes away from zero, even when the pre-product double
+    sat just below the boundary). Fuzz-verified bit-exact against
+    DuckDB over random + adversarial boundary values."""
+    x = float(x)
+    if not math.isfinite(x):
+        return x
+    p = 10.0 ** ndigits
+    v = x * p
+    f = math.floor(v)
+    diff = v - f
+    if diff > 0.5 or (diff == 0.5 and v > 0):
+        f += 1
+    return f / p

@@ -234,6 +234,90 @@ def stream_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topk_hitters_oracle(k: int = 10) -> str:
+    # Sequential replay of the Space-Saving summary as a recursive CTE:
+    # one recursion step per event (per type, all types advancing in
+    # lockstep), state carried as the (users, counts) list pair. The
+    # update arm mirrors streams._topk_fn exactly: found -> increment;
+    # room -> append with count 1; full -> evict the smallest-user_id
+    # holder of the minimum count, the newcomer inheriting min+1. The
+    # ordered relation is MATERIALIZED so the recursion's per-step join
+    # doesn't recompute the row_number window every iteration (3.8x).
+    return f"""
+    WITH RECURSIVE ordered AS MATERIALIZED (
+        SELECT event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    totals AS (SELECT event_type, max(rn) AS n_seen
+               FROM ordered GROUP BY event_type),
+    ss AS (
+        SELECT event_type, CAST(0 AS BIGINT) AS rn,
+               []::BIGINT[] AS users, []::BIGINT[] AS counts
+        FROM totals
+        UNION ALL
+        SELECT event_type, rn,
+               CASE WHEN pos > 0 THEN users
+                    WHEN len(users) < {k} THEN list_append(users, u)
+                    ELSE list_transform(users, (x, i) ->
+                         CASE WHEN i = vidx THEN u ELSE x END)
+               END AS users,
+               CASE WHEN pos > 0 THEN list_transform(counts, (c, i) ->
+                         CASE WHEN i = pos THEN c + 1 ELSE c END)
+                    WHEN len(users) < {k}
+                         THEN list_append(counts, CAST(1 AS BIGINT))
+                    ELSE list_transform(counts, (c, i) ->
+                         CASE WHEN i = vidx THEN mn + 1 ELSE c END)
+               END AS counts
+        FROM (
+            SELECT s.event_type, o.rn, s.users, s.counts,
+                   o.user_id AS u,
+                   list_position(s.users, o.user_id) AS pos,
+                   list_min(s.counts) AS mn,
+                   list_position(
+                       s.users,
+                       list_min(list_transform(
+                           list_filter(list_zip(s.users, s.counts),
+                                       z -> z[2] = list_min(s.counts)),
+                           z -> z[1]))) AS vidx
+            FROM ss s JOIN ordered o
+              ON o.event_type = s.event_type AND o.rn = s.rn + 1) AS step),
+    final AS (
+        SELECT s.event_type, s.users, s.counts, t.n_seen
+        FROM ss s JOIN totals t
+          ON t.event_type = s.event_type AND s.rn = t.n_seen),
+    flat AS (
+        SELECT event_type, n_seen,
+               unnest(users) AS user_id, unnest(counts) AS est_count
+        FROM final)
+    SELECT event_type,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY est_count DESC, user_id)
+                AS INT) AS rank,
+           user_id, est_count, n_seen
+    FROM flat
+    """
+
+
+@register("stream_topk_hitters", _topk_hitters_oracle())
+def stream_topk_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-Saving streaming top-k (streams.topk_hitters): K=10
+    counters per event type, bounded state regardless of user
+    cardinality. The single-file replay processes each type's rows
+    once in (ts, event_id) order, so the final summary is the exact
+    sequential Space-Saving state — which the oracle replays
+    step-by-step as a recursive CTE (the CUSUM oracle discipline,
+    lifted from a float to the bounded counter-list state)."""
+    from .streams import topk_hitters
+
+    return run_available_now(
+        topk_hitters(events_stream(spark, sf_dir)),
+        output_mode="update",
+        last_update_keys=["event_type", "rank"],
+        emission_ordinal="n_seen",
+    )
+
+
 def _cusum_oracle() -> str:
     from ..operators.events import ORACLES as EVENTS_ORACLES
 

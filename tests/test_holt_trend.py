@@ -11,7 +11,7 @@ from graphdb_wikidata_spark.operators.events import (
     HOLT_BETA,
     holt_linear_trend,
 )
-from graphdb_wikidata_spark.rounding import round_half_up
+from graphdb_wikidata_spark.rounding import round_like_duckdb
 from graphdb_wikidata_spark.tables import table
 
 from tests.conftest import SF_SMOKE
@@ -47,9 +47,9 @@ def test_holt_matches_independent_recursion(spark):
                 trend = HOLT_BETA * (new_level - level) + (1 - HOLT_BETA) * trend
                 level = new_level
             expect[(et, day)] = (
-                round_half_up(level, 4),
-                round_half_up(trend, 4),
-                round_half_up(level + trend, 4),
+                round_like_duckdb(level, 4),
+                round_like_duckdb(trend, 4),
+                round_like_duckdb(level + trend, 4),
             )
     for r in rows:
         assert (r.level, r.trend, r.forecast_next) == expect[(r.event_type, r.day)], (
