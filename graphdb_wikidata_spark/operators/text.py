@@ -1497,6 +1497,61 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_ROUNDS = 5
 
 
+def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled BPE training: per round, an adjacent-pair count CTE, a
+    1-row argmax CTE, and a recursive replace-to-fixpoint CTE (the
+    per-word fixpoint keyed by the word's spaceless reconstruction —
+    merging never changes it). DuckDB replace() shares Spark's greedy
+    left-to-right non-overlap semantics, so the fixpoint states match
+    row for row; the pair counts are integers and the argmax breaks
+    ties (cnt DESC, l, r) identically on both engines."""
+    parts = []
+    for r in range(1, rounds + 1):
+        prev = f"v{r - 1}"
+        pat = (
+            f"' ' || (SELECT lft FROM a{r}) || ' ' || (SELECT rgt FROM a{r}) || ' '"
+        )
+        rep = f"' ' || (SELECT mrg FROM a{r}) || ' '"
+        parts.append(
+            f"""
+    p{r} AS MATERIALIZED (
+        SELECT l, r2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq, toks[i] AS l, toks[i + 1] AS r2
+            FROM (SELECT string_split(syms, ' ') AS toks, freq FROM {prev}) AS t,
+                 LATERAL (SELECT unnest(range(1, len(toks))) AS i) AS pos)
+        GROUP BY l, r2),
+    a{r} AS MATERIALIZED (SELECT l AS lft, r2 AS rgt, l || r2 AS mrg, cnt
+             FROM p{r} ORDER BY cnt DESC, l, r2 LIMIT 1),
+    f{r} AS (
+        SELECT syms, freq, 0 AS it FROM {prev}
+        UNION ALL
+        SELECT trim(replace(' ' || syms || ' ', {pat}, {rep})), freq, it + 1
+        FROM f{r}
+        WHERE position({pat} IN ' ' || syms || ' ') > 0),
+    v{r} AS MATERIALIZED (
+        SELECT syms, freq FROM (
+            SELECT syms, freq,
+                   row_number() OVER (PARTITION BY replace(syms, ' ', '')
+                                      ORDER BY it DESC) AS rk
+            FROM f{r}) AS ranked WHERE rk = 1)"""
+        )
+    out = "\n    UNION ALL ".join(
+        f"""SELECT CAST({r} AS INT) AS round, lft AS "left", rgt AS "right",
+               mrg AS merged, cnt AS pair_count FROM a{r}"""
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH RECURSIVE w AS (
+        SELECT word, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents) AS s
+        WHERE word <> '' GROUP BY word),
+    v0 AS MATERIALIZED (SELECT array_to_string(string_split(word, ''), ' ') AS syms, freq
+           FROM w),{",".join(parts)}
+    SELECT * FROM ({out}) AS merges ORDER BY round
+    """
+
+
+@register("bpe_train_merges", _bpe_train_oracle())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING, distributed: the full iterative merge
     loop, not just the first-merge statistic (bpe_pair_counts). Each
@@ -1505,12 +1560,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     and applies the merge corpus-wide; the learned merge table IS the
     tokenizer.
 
-    Registry queue: gets its oracle + driver-window slot in round 7
-    (the merge application is a plain space-delimited string replace,
-    chosen precisely because DuckDB's replace() has the identical
-    greedy left-to-right non-overlap semantics — the unrolled-rounds
-    oracle is mechanical); this round it is pytest-gated
-    (tests/test_bpe_trainer.py).
+    Oracle (registered round 7): the merge application is a plain
+    space-delimited string replace, chosen precisely because DuckDB's
+    replace() has the identical greedy left-to-right non-overlap
+    semantics — see _bpe_train_oracle for the unrolled rounds (pair
+    count -> argmax -> recursive replace-to-fixpoint per round).
+    Pytest gate: tests/test_bpe_trainer.py.
 
     Scale shape: the corpus collapses ONCE to the (word, freq) vocab
     relation — all training passes run over vocab rows, never raw
@@ -1607,6 +1662,120 @@ UNI_MIN_FREQ = 5
 UNI_VOCAB_CAP = 2000
 
 
+
+
+# --- unigram-LM oracle -----------------------------------------------------
+# The Viterbi DP as a recursive CTE: one recursion step per word
+# position, each row carrying the last UNI_MAX_PIECE dp slots as
+# (score, n_pieces, chr(1)-joined seq) structs so the L=1..4
+# back-references live in the working row; _uni_best2 is the
+# (score desc, fewer pieces, lex-smaller seq) candidate fold. Word
+# relations here are vocab-sized (the oracle runs at test SFs only).
+
+_UNI_STRUCT_T = "STRUCT(s DOUBLE, np INTEGER, sq VARCHAR)"
+
+
+def _uni_best2(a: str, b: str) -> str:
+    return f"""CASE WHEN {a} IS NULL THEN {b} WHEN {b} IS NULL THEN {a}
+         WHEN struct_extract({b}, 's') > struct_extract({a}, 's')
+           OR (struct_extract({b}, 's') = struct_extract({a}, 's')
+               AND (struct_extract({b}, 'np') < struct_extract({a}, 'np')
+                    OR (struct_extract({b}, 'np') = struct_extract({a}, 'np')
+                        AND struct_extract({b}, 'sq') < struct_extract({a}, 'sq'))))
+         THEN {b} ELSE {a} END"""
+
+
+def _uni_cand(L: int, sc: str, fl: str) -> str:
+    prev = {1: "d3", 2: "d2", 3: "d1", 4: "d0"}[L]
+    piece = f"substr(word, i + 2 - {L}, {L})"
+    look = f"(SELECT sc FROM {sc} t WHERE t.piece = {piece})"
+    score = f"coalesce({look}, (SELECT f FROM {fl}))" if L == 1 else look
+    guard = f"{prev} IS NOT NULL" if L == 1 else f"{prev} IS NOT NULL AND {look} IS NOT NULL"
+    return f"""CASE WHEN {guard} THEN struct_pack(
+            s := struct_extract({prev}, 's') + {score},
+            np := struct_extract({prev}, 'np') + 1,
+            sq := CASE WHEN struct_extract({prev}, 'sq') = '' THEN {piece}
+                       ELSE struct_extract({prev}, 'sq') || chr(1) || {piece} END)
+        END"""
+
+
+def _uni_viterbi(tag: str, sc: str, fl: str) -> str:
+    cands = ",\n               ".join(
+        f"{_uni_cand(L, sc, fl)} AS c{L}" for L in range(1, UNI_MAX_PIECE + 1)
+    )
+    return f"""
+    vit{tag} AS (
+        SELECT word, freq, 0 AS i,
+               CAST(NULL AS {_UNI_STRUCT_T}) AS d0,
+               CAST(NULL AS {_UNI_STRUCT_T}) AS d1,
+               CAST(NULL AS {_UNI_STRUCT_T}) AS d2,
+               struct_pack(s := CAST(0.0 AS DOUBLE), np := 0, sq := '') AS d3
+        FROM w
+        UNION ALL
+        SELECT word, freq, i, d0, d1, d2,
+               {_uni_best2(_uni_best2("c1", "c2"), _uni_best2("c3", "c4"))} AS d3
+        FROM (
+            SELECT word, freq, i + 1 AS i, d1 AS d0, d2 AS d1, d3 AS d2,
+               {cands}
+            FROM vit{tag} WHERE i < length(word)) AS stp),
+    seg{tag} AS (
+        SELECT word, freq,
+               unnest(string_split(struct_extract(d3, 'sq'), chr(1))) AS piece
+        FROM vit{tag} WHERE i = length(word)),
+    usage{tag} AS MATERIALIZED (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS used
+        FROM seg{tag} GROUP BY piece),
+    kept{tag} AS MATERIALIZED (
+        SELECT coalesce(u.piece, c.piece) AS piece,
+               coalesce(u.used, 0) + 1 AS c
+        FROM usage{tag} u FULL JOIN chars c ON c.piece = u.piece)"""
+
+
+def _unigram_oracle() -> str:
+    return f"""
+    WITH RECURSIVE w AS MATERIALIZED (
+        SELECT word, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents) AS s
+        WHERE word <> '' GROUP BY word),
+    subs AS (
+        SELECT substr(word, p, L) AS piece, freq
+        FROM w,
+             LATERAL (SELECT unnest(range(1, length(word) + 1)) AS p) AS a,
+             LATERAL (SELECT unnest(range(1, {UNI_MAX_PIECE + 1})) AS L) AS b
+        WHERE p + L - 1 <= length(word)),
+    pieces AS MATERIALIZED (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS pfreq FROM subs
+        GROUP BY piece
+        HAVING length(piece) = 1 OR sum(freq) >= {UNI_MIN_FREQ}
+        ORDER BY pfreq DESC, piece LIMIT {UNI_VOCAB_CAP}),
+    chars AS MATERIALIZED (SELECT piece FROM pieces WHERE length(piece) = 1),
+    sc1 AS MATERIALIZED (
+        SELECT piece,
+               round(ln(pfreq::DOUBLE
+                        / (SELECT CAST(sum(pfreq) AS DOUBLE) FROM pieces)), 9)
+                   AS sc
+        FROM pieces),
+    fl1 AS MATERIALIZED (SELECT min(sc) - 10.0 AS f FROM sc1),
+    {_uni_viterbi('1', 'sc1', 'fl1')},
+    sc2 AS MATERIALIZED (
+        SELECT piece,
+               round(ln(c::DOUBLE
+                        / (SELECT CAST(sum(c) AS DOUBLE) FROM kept1)), 9) AS sc
+        FROM kept1),
+    fl2 AS MATERIALIZED (SELECT min(sc) - 10.0 AS f FROM sc2),
+    {_uni_viterbi('2', 'sc2', 'fl2')},
+    sc3 AS MATERIALIZED (
+        SELECT piece,
+               round(ln(c::DOUBLE
+                        / (SELECT CAST(sum(c) AS DOUBLE) FROM kept2)), 9) AS sc
+        FROM kept2)
+    SELECT u.piece, u.used, round(s3.sc, 6) AS log_prob
+    FROM usage2 u JOIN sc3 s3 ON s3.piece = u.piece
+    ORDER BY u.used DESC, u.piece LIMIT 50
+    """
+
+
+@register("unigram_lm_tokenizer", _unigram_oracle())
 def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (the SentencePiece model family):
     seed a candidate piece vocabulary from frequent substrings, then
@@ -1617,12 +1786,17 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the useful pieces; it is the second of the two tokenizer families
     a corpus pipeline trains in-situ.
 
-    Registry queue: round 7 (oracle: the Viterbi DP unrolls over <=
-    word-length positions against the piece CTE — mechanical but
-    large; a rows-only check is the fallback). This round it is
-    pytest-gated (tests/test_unigram_tokenizer.py: segmentations
-    concatenate exactly, hard-EM likelihood is non-decreasing,
-    determinism).
+    Oracle (registered round 7, hashing piece/used/log_prob — the
+    VERDICT r06 bar): the Viterbi DP is a recursive CTE over the word
+    positions, each row carrying the last UNI_MAX_PIECE dp slots as
+    structs (score, piece-count, chr(1)-joined segmentation) so the
+    L=1..4 back-references stay in the working row; the best-candidate
+    fold replicates the (score desc, fewer pieces, lex-smaller seq)
+    tie-break as a nested struct CASE. Both hard-EM rounds, the usage
+    re-estimates, and the +1-smoothing re-score are plain SQL around
+    the two Viterbi CTEs — see _unigram_oracle. Pytest gate:
+    tests/test_unigram_tokenizer.py (segmentations concatenate
+    exactly, hard-EM likelihood is non-decreasing, determinism).
 
     Scale shape: the corpus collapses ONCE to the (word, freq) vocab
     relation; candidate pieces are a higher-order substring explode
@@ -1634,11 +1808,12 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each EM round is one Arrow-batched mapInPandas over vocab rows +
     one partial-agg usage count.
 
-    Determinism: piece scores are ln(freq/total) rounded half-up to
-    9dp each round; Viterbi ties break on (fewer pieces, then the
-    lexicographically smaller piece sequence); chars always stay in
-    the vocabulary so every word remains segmentable."""
-    from ..rounding import round_half_up
+    Determinism: piece scores are ln(freq/total) rounded to 9dp each
+    round with round_like_duckdb (bit-equal to the oracle's round());
+    Viterbi ties break on (fewer pieces, then the lexicographically
+    smaller piece sequence); chars always stay in the vocabulary so
+    every word remains segmentable."""
+    from ..rounding import round_like_duckdb
 
     d = table(spark, sf_dir, "documents")
     words = (
@@ -1680,9 +1855,13 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _scores(rows):
+        # round_like_duckdb, not round_half_up: these scores must equal
+        # the oracle's round(ln(c/total), 9) bit for bit, and DuckDB's
+        # round is the multiply-then-std::round form (see rounding.py)
         total = sum(c for _, c in rows)
         return {
-            p: round_half_up(__import__("math").log(c / total), 9) for p, c in rows
+            p: round_like_duckdb(__import__("math").log(c / total), 9)
+            for p, c in rows
         }
 
     score = _scores([(r.piece, int(r.pfreq)) for r in pieces.collect()])
@@ -1765,11 +1944,16 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         usage.join(
             spark.createDataFrame(
-                [(p, s) for p, s in score.items()], "piece string, log_prob double"
+                # 6dp re-round driver-side with the SAME DuckDB-form
+                # rounding as the 9dp scores: a 9dp value ending in
+                # ...500 is an exact 6dp boundary where F.round (repr
+                # HALF_UP) and DuckDB round (multiply form) disagree
+                [(p, round_like_duckdb(s, 6)) for p, s in score.items()],
+                "piece string, log_prob double",
             ),
             "piece",
         )
-        .select("piece", "used", F.round("log_prob", 6).alias("log_prob"))
+        .select("piece", "used", "log_prob")
         .orderBy(F.desc("used"), "piece")
         .limit(50)
     )
