@@ -340,3 +340,65 @@ def test_malformed_binding_cell_silent_unit_solution(eng, monkeypatch):
               SERVICE <http://bad.example/sparql> { ?o rdfs:label ?name }
             }"""
         )
+
+
+class _Misbehaving(BaseHTTPRequestHandler):
+    """Endpoint whose response is set per test: (status, body bytes)."""
+
+    status = 200
+    body = b"{}"
+
+    def do_POST(self):  # noqa: N802 - http.server API
+        self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        self.send_response(type(self).status)
+        self.send_header("Content-Type", "application/sparql-results+json")
+        self.send_header("Content-Length", str(len(type(self).body)))
+        self.end_headers()
+        self.wfile.write(type(self).body)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def bad_endpoint():
+    srv = HTTPServer(("127.0.0.1", 0), _Misbehaving)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}/sparql"
+    srv.shutdown()
+
+
+@pytest.mark.parametrize(
+    "status,body",
+    [
+        (404, b"not here"),
+        (500, b"boom"),
+        (503, b"try later"),
+        (200, b"this is not json"),
+        (200, b'{"head": {"vars": ["x"]}, "results"'),  # truncated JSON
+        (200, b'{"head": {"vars": ["x"]}}'),  # missing results key
+        (200, b'{"results": {"bindings": "nope"}}'),  # wrong bindings type
+    ],
+)
+def test_non200_and_malformed_payload_matrix(eng, bad_endpoint, status, body):
+    """VERDICT r06 #8: the remote SERVICE path is the engine's only
+    network IO — every non-200 status and malformed-payload shape must
+    surface as FederationError (so SILENT degrades to the unit
+    solution) rather than leaking urllib/json internals."""
+    _Misbehaving.status, _Misbehaving.body = status, body
+    eng.allow_remote_services(True)
+    with pytest.raises(federation.FederationError):
+        eng.sql(
+            f"SELECT ?x WHERE {{ SERVICE <{bad_endpoint}> {{ ?x wdt:P9 ?y . }} }}"
+        )
+    # SILENT: same failure becomes the unit solution joined with local rows
+    rows = eng.sql(
+        f"""
+        SELECT ?s ?x WHERE {{
+          ?s wdt:P1 ?o .
+          SERVICE SILENT <{bad_endpoint}> {{ ?o wdt:P9 ?x . }}
+        }}"""
+    ).collect()
+    assert sorted(r["s"]["e"] for r in rows) == [1, 3, 5]
+    assert all(r["x"] is None for r in rows)
