@@ -21,8 +21,19 @@ from tests.oracle_harness import compare
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    # deliberately vanilla: the driver owns this session, not us
-    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    # deliberately vanilla: the driver owns this session, not us. The
+    # one exception: the builder-side sf0.1 sweep (241 queries in one
+    # session, which the real driver never does — its gate runs at
+    # sf0.01) ran out of the default 1g driver heap around query ~200
+    # in round 7; SIM_DRIVER_MEM opts the extended sweep into a larger
+    # heap without changing the vanilla default.
+    import os
+
+    builder = SparkSession.builder.master("local[8]").appName("driver-sim")
+    mem = os.environ.get("SIM_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     df = entry_mod.entry(spark)
