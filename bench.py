@@ -197,6 +197,17 @@ def main() -> None:
         # orders means 10x pairs, not 100x (a superlinear probe here
         # means the HAVING prune or the in-row pair expansion broke)
         "market_basket_pairs",
+        # round 7 registrations: Space-Saving must stay linear (K
+        # counters per type regardless of user cardinality), the BPE
+        # trainer near-flat (all passes run over the distinct-word
+        # vocab relation, which a 10x corpus barely grows), CDC
+        # chunking payload-linear (Arrow kernel, digests-only shuffle),
+        # and Holt near-flat (the recursion runs over the (type, day)
+        # rollup, which 10x volume does not grow)
+        "stream_topk_hitters",
+        "bpe_train_merges",
+        "media_cdc_chunk_census",
+        "events_holt_linear_trend",
     ]
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         try:
