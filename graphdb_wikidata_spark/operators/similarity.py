@@ -1205,12 +1205,18 @@ def embedding_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips of the collect-per-step formulation disappear.
 
     Determinism: all similarities and every MMR score are rounded to
-    6dp BEFORE each argmax (round_half_up = F.round = DuckDB round),
-    ties break on vec_id, and the oracle unrolls the same greedy steps
-    as CTEs (the k-means-oracle discipline), so both engines walk
-    identical selection paths. A pool smaller than MMR_K ends the
-    greedy loop early and emits fewer rows, exactly like the oracle's
-    empty s_i CTEs (ADVICE r06)."""
+    6dp BEFORE each argmax, ties break on vec_id, and the oracle
+    unrolls the same greedy steps as CTEs (the k-means-oracle
+    discipline), so both engines walk identical selection paths. The
+    kernel's score rounding is round_like_duckdb, NOT round_half_up:
+    lam*simq - mu*ms over already-6dp-rounded sims is a finite
+    7-decimal real, so ~10% of candidate scores sit exactly on a 6dp
+    boundary — the systematic regime-divergence class rounding.py
+    documents (the Holt bug), and the oracle rounds with DuckDB's
+    multiply form. A pool smaller than MMR_K ends the greedy loop
+    early and emits fewer rows, exactly like the oracle's empty s_i
+    CTEs (ADVICE r06); an entirely empty pool yields zero rows rather
+    than crashing the kernel on an empty Arrow batch."""
     e = table(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     q = [float(x) for x in qvec]
@@ -1255,9 +1261,16 @@ def embedding_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def greedy(batches):
         import pandas as pd
 
-        from ..rounding import round_half_up
+        from ..rounding import round_like_duckdb
 
-        pdf = pd.concat(list(batches), ignore_index=True)
+        dfs = [b for b in batches if len(b)]
+        if not dfs:
+            # empty pool (corpus had only the query vector): emit the
+            # empty relation instead of crashing pd.concat on an empty
+            # iterator (round-7 review)
+            yield pd.DataFrame({"rank": [], "vec_id": [], "mmr_score": []})
+            return
+        pdf = pd.concat(dfs, ignore_index=True)
         cand: dict[int, float] = {}
         sims: dict[int, dict[int, float]] = {}
         for vid, simq, nbrs in zip(pdf["vec_id"], pdf["simq"], pdf["nbrs"]):
@@ -1276,10 +1289,10 @@ def embedding_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if vid in selected:
                     continue
                 if not selected:
-                    score = round_half_up(lam * simq, 6)
+                    score = round_like_duckdb(lam * simq, 6)
                 else:
                     ms = max(sims[vid][s] for s in selected)
-                    score = round_half_up(lam * simq - mu * ms, 6)
+                    score = round_like_duckdb(lam * simq - mu * ms, 6)
                 if best is None or (-score, vid) < (-best[1], best[0]):
                     best = (vid, score)
             if best is None:

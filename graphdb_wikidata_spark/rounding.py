@@ -49,15 +49,23 @@ def round_like_duckdb(x: float, ndigits: int) -> float:
     from zero evaluated on the PRODUCT double (so a product that lands
     exactly on ``.5`` — systematic when the real value is a finite
     decimal — goes away from zero, even when the pre-product double
-    sat just below the boundary). Fuzz-verified bit-exact against
-    DuckDB over random + adversarial boundary values."""
+    sat just below the boundary). Fuzz-verified BIT-exact (signed
+    zeros included) against DuckDB over random + adversarial boundary
+    values on both sides of zero — see tests/test_rounding_contract.py.
+
+    The tie test runs on ``abs(v)``: ``a - floor(a)`` is exact for all
+    non-negative doubles (``a`` itself when ``floor`` is 0, Sterbenz
+    otherwise), whereas ``v - floor(v)`` for ``v`` in (-1, 0) computes
+    ``v + 1`` and can round onto exactly 0.5 for the double just above
+    -0.5 — misrounding one value per scale (round-7 review). And a
+    negative value rounding to zero must return -0.0, like std::round,
+    or the driver's dtype-sensitive hash sees a sign-bit mismatch."""
     x = float(x)
     if not math.isfinite(x):
         return x
     p = 10.0 ** ndigits
-    v = x * p
-    f = math.floor(v)
-    diff = v - f
-    if diff > 0.5 or (diff == 0.5 and v > 0):
+    a = abs(x) * p
+    f = math.floor(a)
+    if a - f >= 0.5:
         f += 1
-    return f / p
+    return math.copysign(f / p, x)

@@ -234,7 +234,7 @@ def stream_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _topk_hitters_oracle(k: int = 10) -> str:
+def _topk_hitters_oracle(k: int) -> str:
     # Sequential replay of the Space-Saving summary as a recursive CTE:
     # one recursion step per event (per type, all types advancing in
     # lockstep), state carried as the (users, counts) list pair. The
@@ -299,7 +299,10 @@ def _topk_hitters_oracle(k: int = 10) -> str:
     """
 
 
-@register("stream_topk_hitters", _topk_hitters_oracle())
+from .streams import TOPK_K as _TOPK_K  # noqa: E402 - oracle/kernel constant must be shared
+
+
+@register("stream_topk_hitters", _topk_hitters_oracle(_TOPK_K))
 def stream_topk_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-Saving streaming top-k (streams.topk_hitters): K=10
     counters per event type, bounded state regardless of user

@@ -8,13 +8,17 @@
 
 They disagree exactly when a value sits within an ulp of a decimal
 boundary (systematic for finite-decimal kernels like Holt); these tests
-pin each helper bit-exact against its engine so a regression in either
-direction — or an engine upgrade changing semantics — fails loudly.
-"""
+pin each helper BIT-exact against its engine — signed zeros included
+(float ``==`` treats -0.0 == +0.0, but the driver's dtype-sensitive
+hash does not; the round-7 review caught both a +0.0-for--0.0 return
+and a misround at the one double per scale just above -0.5, so the
+corpus probes both sides of zero and those exact edges)."""
 
 from __future__ import annotations
 
+import math
 import random
+import struct
 
 import duckdb
 import pytest
@@ -22,17 +26,35 @@ import pytest
 from graphdb_wikidata_spark.rounding import round_half_up, round_like_duckdb
 
 
+def _bits(v: float) -> bytes:
+    return struct.pack("<d", v)
+
+
 def _vals(n_random: int = 5000, n_boundary: int = 5000) -> list[float]:
     rng = random.Random(20240816)
     vals = [rng.uniform(-1e6, 1e6) for _ in range(n_random)]
-    # adversarial: exact decimal-boundary neighborhoods
-    vals += [round(rng.uniform(-1000, 1000), 5) + 5e-5 for _ in range(n_boundary)]
-    vals += [13.838849999999999, -0.00005, 0.00005, 2.5, -2.5, 2.00005, -2.00005, 0.0]
+    # adversarial: exact decimal-boundary neighborhoods, BOTH signs
+    vals += [
+        round(rng.uniform(-1000, 1000), 5) + sign * 5e-5
+        for sign in (1, -1)
+        for _ in range(n_boundary // 2)
+    ]
+    vals += [
+        13.838849999999999,  # the Holt sf0.001 boundary value
+        -0.00005, 0.00005, 2.5, -2.5, 2.00005, -2.00005, 0.0, -0.0,
+        -3e-05, 3e-05,  # negative-to-zero: must return -0.0 like std::round
+        math.nextafter(-0.5, 0), math.nextafter(0.5, 1),
+    ]
+    # the one double per scale whose (-1,0) tie computation misrounds
+    # under the v - floor(v) formulation
+    for nd in (0, 2, 4, 6, 9):
+        p = 10.0 ** nd
+        vals += [math.nextafter(-0.5, 0) / p, -0.5 / p, 0.5 / p]
     return vals
 
 
 @pytest.mark.parametrize("nd", [0, 2, 4, 6, 9])
-def test_round_like_duckdb_matches_duckdb(nd):
+def test_round_like_duckdb_matches_duckdb_bit_exact(nd):
     vals = _vals()
     con = duckdb.connect()
     duck = con.execute(
@@ -40,7 +62,8 @@ def test_round_like_duckdb_matches_duckdb(nd):
     ).fetchall()
     con.close()
     for v, (d,) in zip(vals, duck):
-        assert d == round_like_duckdb(v, nd), (v, nd, d, round_like_duckdb(v, nd))
+        got = round_like_duckdb(v, nd)
+        assert _bits(d) == _bits(got), (v, nd, repr(d), repr(got))
 
 
 def test_round_half_up_matches_spark_f_round(spark):
@@ -60,3 +83,8 @@ def test_the_regimes_disagree_on_the_holt_boundary():
     v = 13.838849999999999  # real-arithmetic trajectory value 13.83885
     assert round_half_up(v, 4) == 13.8388
     assert round_like_duckdb(v, 4) == 13.8389
+
+
+def test_negative_zero_is_preserved():
+    assert _bits(round_like_duckdb(-3e-05, 4)) == _bits(-0.0)
+    assert _bits(round_like_duckdb(3e-05, 4)) == _bits(0.0)
