@@ -474,9 +474,10 @@ def cusum_alerts_stream(events: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Space-Saving streaming top-k (Metwally et al.) — bounded-state heavy
-# hitters per event type. Registry queue: gets its recursive-CTE oracle
-# and a driver-window slot in round 7; this round it is pytest-gated
-# (the Space-Saving guarantees + determinism, tests/test_stream_topk.py).
+# hitters per event type. Registered as stream_topk_hitters (round 7)
+# with a step-by-step recursive-CTE replay oracle (streaming/entry.py);
+# the Space-Saving guarantees + replay determinism are additionally
+# pinned by tests/test_stream_topk.py.
 # ---------------------------------------------------------------------------
 
 TOPK_K = 10
