@@ -104,3 +104,48 @@ def test_holt_oracle_survives_init_edges_and_sign_changes(spark, adversarial_dir
     name = "events_holt_linear_trend"
     ok, msg = compare(QUERIES[name](spark, adversarial_dir), ORACLES[name], adversarial_dir)
     assert ok, msg
+
+
+def _mk_embeddings_dir(tmp_path, n_vecs: int) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(n_vecs, 8).astype("float32")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(n_vecs)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+    from graphdb_wikidata_spark.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        if t != "embeddings":
+            os.symlink(
+                os.path.join(SF_SMOKE, f"{t}.parquet"),
+                os.path.join(d, f"{t}.parquet"),
+            )
+    return d
+
+
+@pytest.mark.parametrize("n_vecs,expect_rows", [(1, 0), (3, 2), (4, 3)])
+def test_mmr_small_and_empty_pools_match_oracle(
+    spark, tmp_path_factory, n_vecs, expect_rows
+):
+    """Pool smaller than MMR_K: both engines emit one row per available
+    candidate and stop; a corpus holding only the query vector emits
+    zero rows (the empty-Arrow-batch guard from the round-7 review)
+    instead of crashing the kernel."""
+    from graphdb_wikidata_spark.operators.similarity import ORACLES, QUERIES
+
+    d = _mk_embeddings_dir(tmp_path_factory.mktemp(f"adv_emb{n_vecs}"), n_vecs)
+    name = "embedding_mmr_diverse_topk"
+    sdf = QUERIES[name](spark, d)
+    assert sdf.count() == expect_rows
+    ok, msg = compare(QUERIES[name](spark, d), ORACLES[name], d)
+    assert ok, msg
