@@ -99,7 +99,12 @@ def test_upcoming_window_pays_evidence_debt(hist):
     )
     assert not reconf, (
         f"window re-confirms younger entries while older evidence waits "
-        f"outside (entry, its_evidence_round): {reconf}"
+        f"outside (entry, its_evidence_round): {reconf}. NOTE: this fires "
+        f"by design at the START of a round, as soon as the new "
+        f"CORRECTNESS_r*.json lands and last round's window becomes "
+        f"'younger' than the spillover — rotate PRIORITY_ENTRIES per the "
+        f"ledger in operators/__init__.py (and update CHANGED_ROWS) as "
+        f"the round's first action to go green."
     )
     # every CHANGED_ROWS exemption must actually be in the window —
     # exempting an entry without re-evidencing it would be a loophole
