@@ -263,6 +263,22 @@ def _flags_of(args: tuple[Expr, ...], idx: int) -> str | None:
     return None
 
 
+def _regex_pattern_dyn(pattern: Column, flags_val: Column) -> Column:
+    """Column-valued flags (a variable or computed expression): the
+    same ismx/q inline-flag translation as _regex_pattern, built as a
+    runtime string expression instead of at compile time — previously
+    a non-literal flags argument was silently ignored (round-7
+    conformance review)."""
+    inline = F.regexp_replace(flags_val, "[^ismx]", "")
+    pat = F.when(
+        flags_val.contains("q"),
+        F.concat(F.lit("\\Q"), pattern, F.lit("\\E")),
+    ).otherwise(pattern)
+    return F.when(
+        inline != "", F.concat(F.lit("(?"), inline, F.lit(")"), pat)
+    ).otherwise(pat)
+
+
 # ---- custom (extension) functions by IRI --------------------------------
 # The reference declares this hook and panics (interpreter.rs:655-659,
 # calc_engine.rs:2930); here it is real: register a Column builder (or
@@ -376,13 +392,19 @@ def build_function(name: str, args: list[Column], raw_args: tuple[Expr, ...]) ->
     if n == "ISNUMERIC":
         return _bool_result(is_num(a))
     if n == "IRI" or n == "URI":
-        # runtime IRI construction: recognize entity IRIs, else keep str
+        # runtime IRI construction: an argument that is ALREADY an IRI
+        # passes through unchanged (§17.4.2.8 — str_val of an entity
+        # term is NULL, so without this branch IRI(?s) destroyed bound
+        # IRIs; round-7 conformance review); else recognize entity
+        # IRIs in the string, else keep str
         sv = str_val(a)
         ent = F.regexp_extract(sv, r"[/#]([QPL])(\d+)$", 1)
         num_ = F.regexp_extract(sv, r"[/#]([QPL])(\d+)$", 2)
-        return F.when(
-            ent != "", make_term(t="entity", k=ent, e=num_.try_cast("long"))
-        ).otherwise(_plain(sv))
+        return (
+            F.when(a["t"].isin("entity", "stmt"), a)
+            .when(ent != "", make_term(t="entity", k=ent, e=num_.try_cast("long")))
+            .otherwise(_plain(sv))
+        )
     if n == "STRLANG":
         return make_term(t="mono", s=str_val(args[0]), lang=str_val(args[1]))
     if n == "STRDT":
@@ -407,49 +429,86 @@ def build_function(name: str, args: list[Column], raw_args: tuple[Expr, ...]) ->
     if n == "STRLEN":
         return _int_result(F.length(str_val(a)).cast("long"))
     if n == "SUBSTR":
-        start = num(args[1]).cast("int")
+        # fn:substring semantics (round-7 conformance review), NOT
+        # Spark substring: positions p with round(start) <= p <
+        # round(start) + round(len), 1-based — so start 0 with length 3
+        # yields chars 1..2, a negative start is a clipped window from
+        # position 1 (never a from-the-end suffix), and fractional
+        # arguments round half-toward-+inf instead of truncating
+        sv = str_val(a)
+        start_r = F.floor(num(args[1]) + F.lit(0.5)).cast("long")
         if len(args) > 2:
-            return _str_result(a, F.substring(str_val(a), start, num(args[2]).cast("int")))
-        return _str_result(a, F.substring(str_val(a), start, F.lit(1 << 30)))
+            end_excl = start_r + F.floor(num(args[2]) + F.lit(0.5)).cast("long")
+        else:
+            end_excl = F.lit(1 << 40).cast("long")
+        eff_start = F.greatest(start_r, F.lit(1).cast("long"))
+        eff_len = F.greatest(end_excl - eff_start, F.lit(0).cast("long"))
+        return _str_result(
+            a,
+            F.substring(
+                sv,
+                eff_start.cast("int"),
+                F.least(eff_len, F.lit(1 << 30).cast("long")).cast("int"),
+            ),
+        )
     if n == "UCASE":
         return _str_result(a, F.upper(str_val(a)))
     if n == "LCASE":
         return _str_result(a, F.lower(str_val(a)))
-    if n == "STRSTARTS":
-        return _bool_result(str_val(args[0]).startswith(str_val(args[1])))
-    if n == "STRENDS":
-        return _bool_result(str_val(args[0]).endswith(str_val(args[1])))
-    if n == "CONTAINS":
-        return _bool_result(str_val(args[0]).contains(str_val(args[1])))
-    if n == "STRBEFORE":
-        s1, s2 = str_val(args[0]), str_val(args[1])
-        pos = F.instr(s1, s2)
-        res = F.when(s2 == "", F.lit("")).when(pos > 0, F.substring(s1, 1, pos - 1)).otherwise(
-            F.lit("")
+    if n in ("STRSTARTS", "STRENDS", "CONTAINS", "STRBEFORE", "STRAFTER"):
+        # §17.4.3.1 argument compatibility (round-7 conformance
+        # review): arg2 must be a simple/xsd:string literal, or carry
+        # the SAME lang tag as arg1 — anything else is a type error
+        # (no otherwise -> NULL term -> row-dropping error), e.g.
+        # STRSTARTS("abc"@en, "b"@cy) errors instead of comparing
+        # lexical forms
+        t1, t2 = a, args[1]
+        s1, s2 = str_val(t1), str_val(t2)
+        compat = (t2["t"] == "str") | (
+            (t2["t"] == "mono") & (t1["t"] == "mono") & (t2["lang"] == t1["lang"])
         )
-        return _str_result(a, res)
-    if n == "STRAFTER":
-        s1, s2 = str_val(args[0]), str_val(args[1])
+        if n == "STRSTARTS":
+            return F.when(compat, _bool_result(s1.startswith(s2)))
+        if n == "STRENDS":
+            return F.when(compat, _bool_result(s1.endswith(s2)))
+        if n == "CONTAINS":
+            return F.when(compat, _bool_result(s1.contains(s2)))
         pos = F.instr(s1, s2)
-        res = (
-            F.when(s2 == "", s1)
-            .when(pos > 0, F.substring(s1, pos + F.length(s2), F.lit(1 << 30)))
-            .otherwise(F.lit(""))
+        matched = (s2 == "") | (pos > 0)
+        if n == "STRBEFORE":
+            res = F.when(s2 == "", F.lit("")).otherwise(F.substring(s1, 1, pos - 1))
+        else:  # STRAFTER
+            res = F.when(s2 == "", s1).otherwise(
+                F.substring(s1, pos + F.length(s2), F.lit(1 << 30))
+            )
+        # a MATCH carries arg1's lang tag (strbefore("abc"@en, "") ->
+        # ""@en); NO match yields the empty SIMPLE literal, never a
+        # tagged one (strbefore("abc"@en, "z") -> "", §17.4.3.4)
+        return F.when(compat & matched, _str_result(t1, res)).when(
+            compat & ~matched, _plain(F.lit(""))
         )
-        return _str_result(a, res)
     if n == "ENCODE_FOR_URI":
-        # url_encode is form-encoding; fix the two RFC 3986 deltas
+        # url_encode is form-encoding; fix the three RFC 3986 deltas
+        # ('*' is NOT unreserved, but java URLEncoder keeps it —
+        # fn:encode-for-uri requires %2A; round-7 conformance review)
         enc = F.regexp_replace(F.url_encode(str_val(a)), r"\+", "%20")
         enc = F.regexp_replace(enc, r"%7E", "~")
+        enc = F.regexp_replace(enc, r"\*", "%2A")
         return _plain(enc)
     if n == "CONCAT":
         # strings only; any non-string arg nulls the result (ref 1861)
         return _plain(F.concat(*[str_val(x) for x in args]))
     if n == "REGEX":
-        pat = _regex_pattern(str_val(args[1]), _flags_of(raw_args, 2))
+        if len(raw_args) > 2 and _flags_of(raw_args, 2) is None:
+            pat = _regex_pattern_dyn(str_val(args[1]), str_val(args[2]))
+        else:
+            pat = _regex_pattern(str_val(args[1]), _flags_of(raw_args, 2))
         return _bool_result(F.regexp_like(str_val(args[0]), pat))
     if n == "REPLACE":
-        pat = _regex_pattern(str_val(args[1]), _flags_of(raw_args, 3))
+        if len(raw_args) > 3 and _flags_of(raw_args, 3) is None:
+            pat = _regex_pattern_dyn(str_val(args[1]), str_val(args[3]))
+        else:
+            pat = _regex_pattern(str_val(args[1]), _flags_of(raw_args, 3))
         return _str_result(a, F.regexp_replace(str_val(args[0]), pat, str_val(args[2])))
 
     # ---- numerics
@@ -643,7 +702,11 @@ class ExprCompiler:
                 c = ebv(self.col(e.args[0]))
                 with self._no_bind():
                     t_br, f_br = self.col(e.args[1]), self.col(e.args[2])
-                return self._bound(F.when(c, t_br).otherwise(f_br))
+                # NO otherwise: an errored condition (NULL EBV — unbound
+                # var, non-boolean-coercible term) must propagate as an
+                # error per §17.4.1.2, not silently pick the else branch
+                # (round-7 conformance review)
+                return self._bound(F.when(c, t_br).when(~c, f_br))
             if n == "COALESCE":
                 with self._no_bind():
                     args = [self.col(x) for x in e.args]

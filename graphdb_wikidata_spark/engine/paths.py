@@ -458,6 +458,30 @@ def compile_path(compiler, op: PathPattern) -> DataFrame:
                 # ?x path ?x — same variable both ends: closure pairs
                 # whose endpoints coincide
                 df = df.filter(F.col(s2.name).eqNullSafe(F.col(o2.name))).drop(o2.name)
+            # zero-length self-matches for bound endpoints, per catalog
+            # graph — §18.5 ZeroLengthPath matches any term regardless
+            # of graph membership (round-7 conformance review; mirrors
+            # the zero_or_more BFS self-rows above)
+            zl = op.path.kind in ("zero_or_one", "zero_or_more")
+            if zl and isinstance(op.s, Term) and isinstance(op.o, Term) and op.s == op.o:
+                graphs = _graph_catalog(compiler)
+                if graphs:
+                    unit = compiler.spark.createDataFrame(
+                        [(iri,) for iri in graphs], f"{_G} string"
+                    )
+                    df = df.unionByName(unit).dropDuplicates([_G])
+            elif (
+                op.path.kind == "zero_or_one"
+                and (isinstance(op.s, Term) ^ isinstance(op.o, Term))
+            ):
+                graphs = _graph_catalog(compiler)
+                if graphs:
+                    src = lit_term(op.s if isinstance(op.s, Term) else op.o)
+                    out_name = (o2 if isinstance(op.s, Term) else s2).name
+                    self_rows = compiler.spark.createDataFrame(
+                        [(iri,) for iri in graphs], f"{_G} string"
+                    ).select(src.alias(out_name), F.col(_G))
+                    df = df.unionByName(self_rows).dropDuplicates([out_name, _G])
 
         # flat graph key -> the graph variable's term binding
         df = df.withColumn(
@@ -471,7 +495,17 @@ def compile_path(compiler, op: PathPattern) -> DataFrame:
         return df
 
     s = op.s if isinstance(op.s, Var) else _fresh()
-    o = op.o if isinstance(op.o, Var) else _fresh()
+    # `?x path ?x` — the repeated endpoint variable gets a FRESH second
+    # column (the GRAPH branch above always did this; without it the
+    # pair scan collapses to one ambiguous column and composite paths
+    # crash or see only self-loops — round-7 conformance review); the
+    # original variable is re-equated after the pairs are built
+    o = (
+        op.o
+        if isinstance(op.o, Var)
+        and (not isinstance(op.s, Var) or op.o.name != op.s.name)
+        else _fresh()
+    )
 
     # closure with exactly one bound endpoint: BFS from that endpoint
     # over the one-step relation instead of materializing the global
@@ -494,10 +528,31 @@ def compile_path(compiler, op: PathPattern) -> DataFrame:
             reached = reached.unionByName(self_row).dropDuplicates([out_var])
         return reached
 
+    # zero-length path with BOTH endpoints the same bound term: §18.5's
+    # ZeroLengthPath matches any term, in or out of the graph, so the
+    # solution is unconditionally the unit relation — `ASK { <c> <p>*
+    # <c> }` is true even when <c> never appears in the data (round-7
+    # conformance review; the one-bound-endpoint BFS branch above
+    # already adds its self row unconditionally)
+    zero_len = op.path.kind in ("zero_or_one", "zero_or_more")
+    if zero_len and isinstance(op.s, Term) and isinstance(op.o, Term) and op.s == op.o:
+        return compiler.spark.range(1).select()
+
     df = _pairs(compiler, op.path, s, o)
 
     if not isinstance(op.s, Var):
         df = df.filter(F.col(s.name).eqNullSafe(lit_term(op.s))).drop(s.name)
     if not isinstance(op.o, Var):
         df = df.filter(F.col(o.name).eqNullSafe(lit_term(op.o))).drop(o.name)
+    if isinstance(op.s, Var) and isinstance(op.o, Var) and op.s.name == op.o.name:
+        # repeated endpoint variable: keep pairs whose ends coincide
+        df = df.filter(F.col(s.name).eqNullSafe(F.col(o.name))).drop(o.name)
+    if zero_len and (isinstance(op.s, Term) ^ isinstance(op.o, Term)):
+        # zero_or_one with one bound endpoint (zero_or_more goes
+        # through the BFS branch above): the bound term reaches itself
+        # regardless of graph membership — union the self row
+        src = lit_term(op.s if isinstance(op.s, Term) else op.o)
+        out_name = (o if isinstance(op.s, Term) else s).name
+        self_row = compiler.spark.range(1).select(src.alias(out_name))
+        df = df.unionByName(self_row).dropDuplicates([out_name])
     return df
