@@ -15,97 +15,92 @@ from pyspark.sql import DataFrame, SparkSession
 # The external correctness gate hashes the FIRST 50 registry entries against
 # the DuckDB oracle each round.
 #
-# ROUND 7 IS THE EVIDENCE-DEBT ROUND (VERDICT r06 next-round #1): no new
-# operator waves — the entire window pays down stale and missing driver
-# evidence, exactly as the verdict prescribed:
-#   (a) the 5 round-6 queue operators, registered with real oracles this
-#       round (first driver evidence),
-#   (b) the 10 DEFERRED_FIRST_EVIDENCE rows from round 6 (never windowed),
-#   (c) the 3 changed rows evicted from round 6's window
-#       (events_linreg_trend, stream_cusum_alerts, stream_running_totals),
-#   (d) the full r01 cohort (11 entries whose only driver evidence is r1),
-#   (e) the 21 oldest r02 entries (ledger order).
-# 5 + 10 + 3 + 11 + 21 = 50. The rotation-age invariant is now ENFORCED by
+# ROUND 8 WINDOW (rotated per VERDICT r07 next-round #1, honestly re-planned
+# per VERDICT r07 "What's wrong" #2: the r7 ledger wrongly claimed the sparql
+# function-family entries were already scheduled here — they were not; the
+# round-8 conformance fixes put them in CHANGED_ROWS, displacing 9 r03 rows):
+#   (a) 11 CHANGED_ROWS — code changed since last evidence, fresh evidence
+#       for changed code (see CHANGED_ROWS below for per-entry justification),
+#   (b) the 8 r02 spillover rows (oldest evidence in the registry, age 6),
+#   (c) the first 31 of the 40-entry r03 cohort (CORRECTNESS_r03 ledger
+#       order, filtered to entries whose latest evidence is still r3).
+# 11 + 8 + 31 = 50. The rotation-age invariant is ENFORCED by
 # tests/test_rotation_policy.py, which parses the shipped CORRECTNESS_r*.json
 # history and fails the suite if a registered entry goes never-evidenced or
 # over the age budget while a younger entry holds a window slot.
 PRIORITY_ENTRIES: tuple[str, ...] = (
-    # -- (a) round-6 queue operators, first registration + first evidence:
-    "stream_topk_hitters",
-    "bpe_train_merges",
-    "unigram_lm_tokenizer",
-    "events_holt_linear_trend",
-    "media_cdc_chunk_census",
-    # -- (b) round-6 deferred first-evidence rows:
-    "embedding_outlier_distance",
-    "events_count_min_heavy_hitters",
-    "embedding_mrl_truncation_recall",
-    "tpch_q12_shipmode_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_revenue",
-    "events_percent_change_wow",
-    "events_power_users_percentile",
-    "text_feature_hashing",
-    "text_readability",
-    # -- (c) the three changed rows evicted from round 6's window:
-    "events_linreg_trend",
-    "stream_cusum_alerts",
-    "stream_running_totals",
-    # -- (d) the r01 cohort (only driver evidence is round 1):
-    "distinct_op",
-    "doc_fingerprint",
-    "embedding_centroid_norm",
-    "embedding_knn_topk",
-    "events_funnel_steps",
-    "events_range_join_counts",
-    "events_rollup_multires",
-    "events_tumbling",
-    "lang_id_heuristic",
-    "tfidf_rarest_term",
-    "token_count_regex",
-    # -- (e) the 21 oldest r02 entries (ledger order from round 6):
-    "embedding_lsh_buckets",
-    "media_catalog",
-    "sparql_filter_agg",
-    "sparql_group_concat",
-    "sparql_lateral",
-    "sparql_minus",
-    "sparql_subselect",
-    "sparql_wds_lookup",
+    # -- (a) CHANGED_ROWS (11): similarity rows changed in r7, sparql
+    #    function families changed by the r8 spec-conformance fixes,
+    #    bpe probe fold + cdc ascii guard changed in r8:
+    "embedding_ivf_topk",
+    "embedding_ann_recall",
+    "embedding_mmr_diverse_topk",
+    "sparql_expr_calc",
     "sparql_string_funcs",
     "sparql_numeric_funcs",
     "sparql_date_funcs",
     "sparql_hash_funcs",
     "sparql_term_funcs",
-    "sparql_expr_calc",
-    "sparql_ask",
-    "sparql_reduced",
-    "graph_bfs_chain",
-    "sparql_exists",
-    "sparql_not_exists",
-    "sparql_union",
-    "sparql_values_undef",
-    # ROTATION LEDGER (evidence age after round 7, assuming this window
-    # lands green): every registered entry has driver evidence, max age
-    # = r03 (the 41-entry r03 cohort plus round 8's head). ROUND 8
-    # WINDOW, in order: (1) the 3 similarity rows whose CODE changed in
-    # round 7 under ADVICE r06 (embedding_ivf_topk, embedding_ann_recall
-    # — centroid dims now round to KMEANS_ROUND and the probe csim to
-    # 6dp on both engines — and embedding_mmr_diverse_topk, whose greedy
-    # loop became a single-partition mapInPandas kernel; oracles for all
-    # three verified green at sf0.001/0.01 this round, and the in-window
-    # embedding_outlier_distance exercises the same rounded-centroid
-    # kernel meanwhile), (2) the 8 r02 spillover rows
-    # (sparql_describe, media_frame_sample, dedup_ngram_jaccard,
-    # sparql_path_sequence, sparql_path_negated, sparql_ps_pq_chain,
-    # sparql_qualifier_join, sparql_graph_empty), (3) the first 39 of
-    # the 41-entry r03 cohort; the remaining 2 r03 rows lead round 9
-    # with the r04 cohort. Age invariant going forward: no registered
-    # entry's latest driver evidence older than 4 rounds
-    # (tests/test_rotation_policy.py enforces both rules mechanically).
+    "bpe_train_merges",
+    "media_cdc_chunk_census",
+    # -- (b) the 8 r02 spillover rows (age 6, oldest in the registry):
+    "sparql_describe",
+    "media_frame_sample",
+    "dedup_ngram_jaccard",
+    "sparql_path_sequence",
+    "sparql_path_negated",
+    "sparql_ps_pq_chain",
+    "sparql_qualifier_join",
+    "sparql_graph_empty",
+    # -- (c) the first 31 of the 40-entry r03 cohort (ledger order):
+    "stream_sliding_avg",
+    "sparql_custom_func",
+    "sparql_custom_agg",
+    "sparql_service_federated",
+    "dedup_clusters",
+    "decontaminate_ngrams",
+    "quality_gopher_rules",
+    "events_cohort_retention",
+    "embedding_quantize_int8",
+    "pack_sequences_budget",
+    "sample_stratified_hash",
+    "corpus_quality_pack",
+    "agg_stats_suite",
+    "agg_percentiles",
+    "media_byte_hist_counts",
+    "sparql_agg_distinct",
+    "sparql_bnode_list",
+    "sparql_bound_if",
+    "sparql_concat_case",
+    "sparql_coord_terms",
+    "sparql_count_optional",
+    "sparql_having_sample",
+    "sparql_in_filter",
+    "sparql_int_cross_type",
+    "sparql_label_lookup",
+    "sparql_lang_funcs",
+    "sparql_optional_filter",
+    "sparql_quantity_terms",
+    "sparql_regex_uri",
+    "sparql_spo_union_forms",
+    "sparql_sum_distinct",
+    # ROTATION LEDGER (evidence age after round 8, assuming this window
+    # lands green): max age = r04. ROUND 9 WINDOW, in order: (1) any
+    # rows whose code changes in round 8 after this ledger freezes,
+    # (2) the 9 r03 spillover rows displaced by this round's
+    # conformance-fix CHANGED_ROWS (stream_dedup_exact,
+    # stream_session_stats, sparql_join_compat, sparql_optional_compat,
+    # sparql_minus_optional, sparql_path_zero_or_one, sparql_stmt_bind,
+    # stream_tumbling_counts, graph_pagerank_chain), (3) the r04 cohort
+    # to fill the remaining ~41 slots (CORRECTNESS_r04 ledger order).
+    # Age invariant going forward: no registered entry's latest driver
+    # evidence older than the derived bound ceil(241/50)+2 = 7 rounds
+    # (tests/test_rotation_policy.py enforces this mechanically); after
+    # r9 the worst age is r05 and the window returns to steady-state
+    # oldest-first rotation.
 )
 
-# Round 6's never-evidenced overflow — all ten hold window slots above.
+# Round 6's never-evidenced overflow — paid off in round 7's window.
 # Kept as an explicit (now empty) ledger so the rotation test can assert
 # no entry is ever deferred without a named in-window kernel sibling.
 DEFERRED_FIRST_EVIDENCE: tuple[str, ...] = ()
@@ -115,15 +110,36 @@ DEFERRED_FIRST_EVIDENCE: tuple[str, ...] = ()
 # re-confirmation — tests/test_rotation_policy.py exempts exactly these
 # from the oldest-first precedence rule and requires each to hold a
 # window slot. Re-justify every round:
-#   events_linreg_trend   — r6 HAVING guard + shared-moment rewrite,
-#                           evicted from r6's window for the wave-10 ops
-#   stream_cusum_alerts   — r6 kernel refactor (trajectory indirection,
-#                           HALF_UP rounding, closed-form flag), evicted
-#   stream_running_totals — same r6 harness+rounding change, evicted
+#   embedding_ivf_topk / embedding_ann_recall — r7 ADVICE r06 fix:
+#       centroid dims round to KMEANS_ROUND, probe csim rounds to 6dp
+#       on both engines; evidenced last at r5/r6 over the old kernel
+#   embedding_mmr_diverse_topk — r7 rebuild: the K-step greedy chain
+#       became ONE single-partition mapInPandas kernel (VERDICT r06 #5)
+#   sparql_expr_calc / sparql_string_funcs / sparql_numeric_funcs /
+#   sparql_date_funcs / sparql_hash_funcs / sparql_term_funcs — r8
+#       spec-conformance fixes to the shared expression layer: error
+#       terms become fully-NULL structs so COALESCE skips them
+#       (§17.4.1.3), arithmetic follows the XPath promotion table
+#       (int op int stays int; int/0 errors; double/0 gives INF/NaN),
+#       SUBSTR/REGEX-flags/§17.4.3.1-compat error propagation
+#       (ADVICE r07); oracles updated to the spec-correct semantics
+#   bpe_train_merges — r8: remaining-sites probe folded into the
+#       checkpoint action (VERDICT r07 #7), one job per inner iteration
+#   media_cdc_chunk_census — r8: ASCII guard in the chunk kernel so a
+#       non-ASCII corpus fails loudly instead of silently diverging
+#       from the char-position oracle (ADVICE r07)
 CHANGED_ROWS: tuple[str, ...] = (
-    "events_linreg_trend",
-    "stream_cusum_alerts",
-    "stream_running_totals",
+    "embedding_ivf_topk",
+    "embedding_ann_recall",
+    "embedding_mmr_diverse_topk",
+    "sparql_expr_calc",
+    "sparql_string_funcs",
+    "sparql_numeric_funcs",
+    "sparql_date_funcs",
+    "sparql_hash_funcs",
+    "sparql_term_funcs",
+    "bpe_train_merges",
+    "media_cdc_chunk_census",
 )
 
 
