@@ -17,6 +17,17 @@ RULE B (oldest-first precedence): if evidenced entries are left out of
     exemption list is ``CHANGED_ROWS`` in operators/__init__ and must
     be re-justified in the ledger every round.
 
+    SPENT-WINDOW EXEMPTION (VERDICT r07 what's-wrong #1): when the
+    newest shipped CORRECTNESS window is exactly PRIORITY_ENTRIES, the
+    window is *spent*, not *planned* — the round just ended and its own
+    evidence must not be read as "younger re-confirmation". RULE A/B
+    are vacuous on a spent window; what matters then is that nobody
+    starts building the next round on top of it. So in spent mode the
+    check becomes: no commit may touch graphdb_wikidata_spark/ after
+    the commit that landed the newest CORRECTNESS artifact, and the
+    package working tree must be clean — i.e. fire on "started round
+    N+1 without rotating", not on "round N finished".
+
 RULE C (derived age bound): with oldest-first scheduling the worst-case
     evidence age is ceil(registry / 50) + 2 rounds; assert no entry
     exceeds it.
@@ -34,11 +45,48 @@ import json
 import math
 import os
 import re
+import subprocess
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW_SLOTS = 50
+
+
+def _newest_correctness_file() -> str:
+    files = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda f: int(re.search(r"r(\d+)", os.path.basename(f)).group(1)),
+    )
+    return files[-1]
+
+
+def _git(*args: str) -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", *args], cwd=REPO, capture_output=True, text=True, timeout=30
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    return out.stdout if out.returncode == 0 else None
+
+
+def _package_work_since_artifact(artifact: str) -> list[str] | None:
+    """Commits touching the package after the newest CORRECTNESS
+    artifact landed, plus any dirty package files — the 'started round
+    N+1 without rotating' signal. None when git can't answer (no repo,
+    artifact uncommitted): benign, the spent window just passes."""
+    rel = os.path.basename(artifact)
+    landed = _git("log", "--format=%H", "-1", "--", rel)
+    if not landed or not landed.strip():
+        return None
+    since = _git(
+        "log", "--format=%h %s", f"{landed.strip()}..HEAD", "--", "graphdb_wikidata_spark"
+    )
+    dirty = _git("status", "--porcelain", "--", "graphdb_wikidata_spark")
+    work = [ln for ln in (since or "").splitlines() if ln.strip()]
+    work += [ln for ln in (dirty or "").splitlines() if ln.strip()]
+    return work
 
 
 def _history() -> dict[str, list[int]]:
@@ -91,6 +139,23 @@ def test_upcoming_window_pays_evidence_debt(hist):
     assert len(PRIORITY_ENTRIES) == WINDOW_SLOTS
     assert len(set(PRIORITY_ENTRIES)) == WINDOW_SLOTS, "duplicate window slots"
     window = set(PRIORITY_ENTRIES)
+
+    newest = _newest_correctness_file()
+    if set(json.load(open(newest))) == window:
+        # SPENT window: the round just ended and the driver landed this
+        # exact window's evidence. RULE A/B are vacuous here; instead
+        # fire if someone started building the next round without
+        # rotating first.
+        work = _package_work_since_artifact(newest)
+        assert not work, (
+            f"package source changed after {os.path.basename(newest)} "
+            f"landed while PRIORITY_ENTRIES is still the SPENT window — "
+            f"rotate PRIORITY_ENTRIES per the ledger in "
+            f"operators/__init__.py (and update CHANGED_ROWS) as the "
+            f"round's first action. Offending work: {work}"
+        )
+        return
+
     prior = {k: max(v) for k, v in hist.items() if k in registry}
     never, reconf = _violations(registry, window, prior, set(CHANGED_ROWS))
     assert not never, (
@@ -99,12 +164,9 @@ def test_upcoming_window_pays_evidence_debt(hist):
     )
     assert not reconf, (
         f"window re-confirms younger entries while older evidence waits "
-        f"outside (entry, its_evidence_round): {reconf}. NOTE: this fires "
-        f"by design at the START of a round, as soon as the new "
-        f"CORRECTNESS_r*.json lands and last round's window becomes "
-        f"'younger' than the spillover — rotate PRIORITY_ENTRIES per the "
-        f"ledger in operators/__init__.py (and update CHANGED_ROWS) as "
-        f"the round's first action to go green."
+        f"outside (entry, its_evidence_round): {reconf} — rotate "
+        f"PRIORITY_ENTRIES per the ledger in operators/__init__.py (and "
+        f"update CHANGED_ROWS)."
     )
     # every CHANGED_ROWS exemption must actually be in the window —
     # exempting an entry without re-evidencing it would be a loophole
@@ -127,6 +189,19 @@ def test_age_bound_holds(hist):
     assert not over, (
         f"entries outside the window exceed the derived age bound "
         f"({budget} rounds): {over}"
+    )
+
+
+def test_spent_checker_sees_package_work_after_artifact():
+    """The spent-window branch has teeth: round-8 package commits land
+    AFTER the r07 artifact in this repo's history, so had the window
+    not been rotated, the spent check would have fired on them."""
+    work = _package_work_since_artifact(os.path.join(REPO, "CORRECTNESS_r07.json"))
+    if work is None:
+        pytest.skip("git history unavailable")
+    assert work, (
+        "expected the round-8 package commits after CORRECTNESS_r07.json "
+        "to be visible to the spent-window checker"
     )
 
 
