@@ -279,7 +279,8 @@ def sparql_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 5000000 + s_suppkey AS s,
            'http://www.w3.org/2001/XMLSchema#integer' AS dt,
-           'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' AS dtm
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' AS dtm,
+           'iri-has-no-datatype' AS dtf
     FROM supplier
     """,
 )
@@ -287,10 +288,12 @@ def sparql_term_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATATYPE (todo! in ref, calc_engine.rs:1271) + STRDT (todo!,
     1326) round-trip + STRLANG + strict sameTerm identity
     (calc_engine.rs:1039-1044): STRDT(STR(x), xsd:integer) must be
-    sameTerm-identical to the int term it came from."""
+    sameTerm-identical to the int term it came from. Round-8
+    coverage: DATATYPE of an IRI term is a type ERROR (NULL struct,
+    not a typed husk) that COALESCE skips (?dtf)."""
     df = _engine(spark, sf_dir).sql(
         """
-        SELECT ?s ?dt ?dtm WHERE {
+        SELECT ?s ?dt ?dtm ?dtf WHERE {
           ?s wdt:P16 ?v . ?s wdt:P13 ?name .
           BIND(DATATYPE(?v) AS ?dt)
           BIND(DATATYPE(?name) AS ?dtm)
@@ -298,10 +301,11 @@ def sparql_term_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
           FILTER(sameTerm(?v, ?rv))
           BIND(STRLANG("x", "en") AS ?sl)
           FILTER(LANG(?sl) = "en")
+          BIND(COALESCE(DATATYPE(?s), "iri-has-no-datatype") AS ?dtf)
         }
         """
     )
-    return df.select(_e("s"), _s("dt"), _s("dtm"))
+    return df.select(_e("s"), _s("dt"), _s("dtm"), _s("dtf"))
 
 
 @register(
@@ -587,25 +591,29 @@ def sparql_service_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(n_name) AS h1,
            sha256(n_name) AS h2,
            upper(n_name) AS up,
-           CAST(length(n_name) AS BIGINT) AS len
+           CAST(length(n_name) AS BIGINT) AS len,
+           'iri-unhashable' AS hf
     FROM nation
     """,
 )
 def sparql_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function layer through the full SPARQL pipeline: MD5 /
-    SHA256 / UCASE / STRLEN over the nation label term edges."""
+    SHA256 / UCASE / STRLEN over the nation label term edges. Round-8
+    coverage: MD5 of an IRI term is a type ERROR (NULL struct) that
+    COALESCE skips (?hf, §17.4.1.3)."""
     df = _engine(spark, sf_dir).sql(
         """
-        SELECT ?n ?h1 ?h2 ?up ?len WHERE {
+        SELECT ?n ?h1 ?h2 ?up ?len ?hf WHERE {
           ?n wdt:P3 ?r . ?n ?p ?name . FILTER(isLiteral(?name))
           BIND(MD5(?name) AS ?h1)
           BIND(SHA256(?name) AS ?h2)
           BIND(UCASE(?name) AS ?up)
           BIND(STRLEN(?name) AS ?len)
+          BIND(COALESCE(MD5(?n), "iri-unhashable") AS ?hf)
         }
         """
     )
-    return df.select(_e("n"), _s("h1"), _s("h2"), _s("up"), _i("len"))
+    return df.select(_e("n"), _s("h1"), _s("h2"), _s("up"), _i("len"), _s("hf"))
 
 
 @register(
@@ -614,18 +622,24 @@ def sparql_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 2000000 + o_orderkey AS o,
            round(o_totalprice * 2 - 5, 2) AS adj,
            CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size,
-           coalesce(NULL, o_orderstatus) AS st
+           coalesce(NULL, o_orderstatus) AS st,
+           CAST(length(o_orderstatus) * 3 + 1 AS BIGINT) AS sl,
+           CAST(-1 AS BIGINT) AS fb
     FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
     """,
 )
 def sparql_expr_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arithmetic, IF, COALESCE and IN through the SPARQL expression
     compiler (reference calculate_expression, calc_engine.rs:993-1183;
-    float-only arithmetic deliberately replaced by SQL numeric typing,
-    SURVEY §2.2)."""
+    the ref's float-only arithmetic replaced by the XPath promotion
+    table per SURVEY §2.2 + the round-8 conformance fix). New round-8
+    coverage the driver hash pins: STRLEN-fed int arithmetic STAYS int
+    (?sl), and COALESCE skips an ERRORED argument — ?missing * 2 is a
+    type error, not unbound-NULL, and §17.4.1.3 still falls through to
+    the fallback (?fb)."""
     df = _engine(spark, sf_dir).sql(
         """
-        SELECT ?o ?adj ?size ?st WHERE {
+        SELECT ?o ?adj ?size ?st ?sl ?fb WHERE {
           ?o wdt:P4 ?price .
           ?o wdt:P5 ?status .
           ?o wdt:P6 ?prio .
@@ -633,6 +647,8 @@ def sparql_expr_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
           BIND(?price * 2 - 5 AS ?adj)
           BIND(IF(?price > 200000, "big", "small") AS ?size)
           BIND(COALESCE(?missing, ?status) AS ?st)
+          BIND(STRLEN(?status) * 3 + 1 AS ?sl)
+          BIND(COALESCE(?missing * 2, 0 - 1) AS ?fb)
         }
         """
     )
@@ -641,6 +657,8 @@ def sparql_expr_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("adj")["d"], 2).alias("adj"),
         _s("size"),
         _s("st"),
+        _i("sl"),
+        _i("fb"),
     )
 
 
@@ -652,22 +670,30 @@ def sparql_expr_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
            split_part(c_name, '#', 1) AS before_hash,
            split_part(c_name, '#', 2) AS after_hash,
            regexp_replace(c_name, '0+', '-', 'g') AS squashed,
-           (c_name LIKE '%#%') AS has_hash
+           (c_name LIKE '%#%') AS has_hash,
+           substr(c_name, 2, length(c_name) - 2) AS mid,
+           'erred' AS sub_err
     FROM customer
     """,
 )
 def sparql_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUBSTR/STRBEFORE/STRAFTER/REPLACE/CONTAINS through the engine
-    over the customer label edges (names are 'Customer#...')."""
+    over the customer label edges (names are 'Customer#...'). Round-8
+    coverage the driver hash pins: int-arithmetic-fed SUBSTR windows
+    (?mid — start and length are int expressions, staying int under
+    XPath promotion), and SUBSTR with an ERRORED length propagates the
+    error so COALESCE falls through (?sub_err, ADVICE r07)."""
     df = _engine(spark, sf_dir).sql(
         """
-        SELECT ?c ?pre ?before_hash ?after_hash ?squashed ?has_hash WHERE {
+        SELECT ?c ?pre ?before_hash ?after_hash ?squashed ?has_hash ?mid ?sub_err WHERE {
           ?c wdt:P2 ?n . ?c ?p ?name . FILTER(isLiteral(?name))
           BIND(SUBSTR(?name, 1, 8) AS ?pre)
           BIND(STRBEFORE(?name, "#") AS ?before_hash)
           BIND(STRAFTER(?name, "#") AS ?after_hash)
           BIND(REPLACE(?name, "0+", "-") AS ?squashed)
           BIND(CONTAINS(?name, "#") AS ?has_hash)
+          BIND(SUBSTR(?name, 1 + 1, STRLEN(?name) - 2) AS ?mid)
+          BIND(COALESCE(SUBSTR(?name, 1, ?missing), "erred") AS ?sub_err)
         }
         """
     )
@@ -678,6 +704,8 @@ def sparql_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _s("after_hash"),
         _s("squashed"),
         F.col("has_hash")["b"].alias("has_hash"),
+        _s("mid"),
+        _s("sub_err"),
     )
 
 
@@ -687,26 +715,33 @@ def sparql_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 2000000 + o_orderkey AS o,
            CAST(year(o_orderdate) AS BIGINT) AS y,
            CAST(month(o_orderdate) AS BIGINT) AS m,
-           CAST(day(o_orderdate) AS BIGINT) AS dd
+           CAST(day(o_orderdate) AS BIGINT) AS dd,
+           CAST(year(o_orderdate) - 1900 AS BIGINT) AS age,
+           'no-tz' AS tzf
     FROM orders WHERE year(o_orderdate) = 1997
     """,
 )
 def sparql_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """YEAR/MONTH/DAY over time terms (order dates as Wikidata-style
     day-precision Gregorian time values, P10) + a FILTER on the
-    extracted year — oracle coverage for the time-term pipeline."""
+    extracted year — oracle coverage for the time-term pipeline.
+    Round-8 coverage: YEAR-fed int subtraction stays int under XPath
+    promotion (?age), and TZ of a NON-time term is a type error that
+    COALESCE skips (?tzf)."""
     df = _engine(spark, sf_dir).sql(
         """
-        SELECT ?o ?y ?m ?dd WHERE {
+        SELECT ?o ?y ?m ?dd ?age ?tzf WHERE {
           ?o wdt:P10 ?d .
           BIND(YEAR(?d) AS ?y)
           BIND(MONTH(?d) AS ?m)
           BIND(DAY(?d) AS ?dd)
           FILTER(?y = 1997)
+          BIND(?y - 1900 AS ?age)
+          BIND(COALESCE(TZ(?o), "no-tz") AS ?tzf)
         }
         """
     )
-    return df.select(_e("o"), _i("y"), _i("m"), _i("dd"))
+    return df.select(_e("o"), _i("y"), _i("m"), _i("dd"), _i("age"), _s("tzf"))
 
 
 @register(
@@ -1250,7 +1285,9 @@ def sparql_having_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(o_totalprice + 0.5) AS r,
            ceil(-o_totalprice) AS c,
            floor(o_totalprice) AS f,
-           round(abs(-o_totalprice), 2) AS a
+           round(abs(-o_totalprice), 2) AS a,
+           3.5 AS q,
+           CAST(-1 AS BIGINT) AS dz
     FROM orders WHERE o_orderstatus = 'P'
     """,
 )
@@ -1258,15 +1295,20 @@ def sparql_numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABS/ROUND/CEIL/FLOOR with SPARQL tie semantics — ROUND rounds
     ties toward +inf (floor(x+0.5), SURVEY §2.7), spelled out the same
     way in the oracle so the deviation from SQL half-away-from-zero is
-    pinned on negatives too (CEIL over a negated bind)."""
+    pinned on negatives too (CEIL over a negated bind). Round-8 XPath
+    promotion coverage: 7/2 is op:numeric-divide -> 3.5 (never integer
+    division), and 1/0 is an ERROR that COALESCE skips (§17.4.1.3) —
+    the driver hash pins both."""
     df = _engine(spark, sf_dir).sql(
         """
-        SELECT ?o ?r ?c ?f ?a WHERE {
+        SELECT ?o ?r ?c ?f ?a ?q ?dz WHERE {
           ?o wdt:P4 ?price . ?o wdt:P5 "P" .
           BIND(ROUND(?price) AS ?r)
           BIND(CEIL(-?price) AS ?c)
           BIND(FLOOR(?price) AS ?f)
           BIND(ABS(-?price) AS ?a)
+          BIND(7 / 2 AS ?q)
+          BIND(COALESCE(1 / 0, 0 - 1) AS ?dz)
         }
         """
     )
@@ -1276,6 +1318,8 @@ def sparql_numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _d("c"),
         _d("f"),
         F.round(F.col("a")["d"], 2).alias("a"),
+        _d("q"),
+        _i("dz"),
     )
 
 
@@ -1364,15 +1408,15 @@ def sparql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sparql_int_cross_type",
     """
     SELECT 5000000 + s_suppkey AS s, s_nationkey AS k,
-           CAST(s_nationkey + 1 AS DOUBLE) AS k2
+           CAST(s_nationkey + 1 AS BIGINT) AS k2
     FROM supplier WHERE s_nationkey = 7
     """,
 )
 def sparql_int_cross_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int terms + '=' cross-type numeric equality (int term vs double
-    literal, calc_engine.rs:2938-2944); arithmetic on ints returns SQL
-    numeric (documented deviation from the reference's float-only
-    arithmetic, SURVEY §2.2)."""
+    literal, calc_engine.rs:2938-2944); int + int STAYS int under the
+    XPath promotion table (round-8 conformance fix — previously
+    promoted to double, the documented-then-retired deviation)."""
     df = _engine(spark, sf_dir).sql(
         """
         SELECT ?s ?k ?k2 WHERE {
@@ -1382,7 +1426,7 @@ def sparql_int_cross_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         """
     )
-    return df.select(_e("s"), _i("k"), _d("k2"))
+    return df.select(_e("s"), _i("k"), _i("k2"))
 
 
 @register(

@@ -15,8 +15,19 @@ Semantics preserved / deviations (each flagged in SURVEY §2.7):
 - STR returns the real lexical form (the reference returns the
   datatype IRI — a bug, calc_engine.rs:1233); STRLEN counts chars (ref
   counts bytes); UCASE/LCASE are full Unicode (ref ASCII-only); ROUND
-  ties go toward +inf per SPARQL (floor(x+0.5)); arithmetic is double
-  (ref promotes everything to f32).
+  ties go toward +inf per SPARQL (floor(x+0.5)).
+- Arithmetic follows the XPath promotion table (round-8 conformance
+  fix; the ref promotes everything to f32, calc_engine.rs:2946-2986):
+  int op int stays int (overflow -> error via try_* ops), any double
+  operand promotes to double, '/' on two ints is xsd:decimal per
+  §17.4 op:numeric-divide (represented as double — the term model has
+  no decimal branch) with /0 an ERROR, while double division by zero
+  follows IEEE 754 (INF / -INF / NaN).
+- ERROR TERMS ARE NULL STRUCTS (round-8 conformance fix): every
+  function/operator error yields a fully-NULL term struct, never a
+  typed struct with a NULL payload, so COALESCE (plain F.coalesce)
+  skips errored arguments per §17.4.1.3 and BOUND/EBV see errors
+  uniformly.
 """
 
 from __future__ import annotations
@@ -220,28 +231,40 @@ def cmp_terms(a: Column, b: Column, op: str) -> Column:
 # --------------------------------------------------------------------------
 
 
+# Result constructors gate on the payload being non-NULL: a NULL
+# payload means the computation errored (type error, unbound input,
+# overflow), and an error must be a fully-NULL struct — F.when with no
+# otherwise — so COALESCE can skip it (§17.4.1.3) and downstream
+# consumers see one uniform error representation (round-8 conformance
+# fix; previously errors were typed structs with NULL payloads, which
+# F.coalesce could not skip).
+
+
 def _str_result(inp: Column, new_s: Column) -> Column:
     """String-function result: preserves the lang tag of lang-tagged
-    inputs (SPARQL), else a plain string."""
+    inputs (SPARQL), else a plain string; NULL payload -> error."""
     return F.when(
-        inp["t"] == "mono", make_term(t="mono", s=new_s, lang=inp["lang"])
-    ).otherwise(make_term(t="str", k="string", s=new_s))
+        new_s.isNotNull(),
+        F.when(inp["t"] == "mono", make_term(t="mono", s=new_s, lang=inp["lang"])).otherwise(
+            make_term(t="str", k="string", s=new_s)
+        ),
+    )
 
 
 def _plain(new_s: Column) -> Column:
-    return make_term(t="str", k="string", s=new_s)
+    return F.when(new_s.isNotNull(), make_term(t="str", k="string", s=new_s))
 
 
 def _num_result(x: Column) -> Column:
-    return make_term(t="double", d=x)
+    return F.when(x.isNotNull(), make_term(t="double", d=x))
 
 
 def _int_result(x: Column) -> Column:
-    return make_term(t="int", i=x)
+    return F.when(x.isNotNull(), make_term(t="int", i=x))
 
 
 def _bool_result(x: Column) -> Column:
-    return make_term(t="bool", b=x)
+    return F.when(x.isNotNull(), make_term(t="bool", b=x))
 
 
 def _regex_pattern(pattern: Column, flags: str | None) -> Column:
@@ -268,15 +291,19 @@ def _regex_pattern_dyn(pattern: Column, flags_val: Column) -> Column:
     same ismx/q inline-flag translation as _regex_pattern, built as a
     runtime string expression instead of at compile time — previously
     a non-literal flags argument was silently ignored (round-7
-    conformance review)."""
+    conformance review). A NULL flags value (unbound variable, errored
+    expression) propagates as an error — NULL pattern -> NULL regex
+    result (ADVICE r07), consistent with the IF/STRSTARTS error
+    discipline."""
     inline = F.regexp_replace(flags_val, "[^ismx]", "")
     pat = F.when(
         flags_val.contains("q"),
         F.concat(F.lit("\\Q"), pattern, F.lit("\\E")),
     ).otherwise(pattern)
     return F.when(
-        inline != "", F.concat(F.lit("(?"), inline, F.lit(")"), pat)
-    ).otherwise(pat)
+        flags_val.isNotNull(),
+        F.when(inline != "", F.concat(F.lit("(?"), inline, F.lit(")"), pat)).otherwise(pat),
+    )
 
 
 # ---- custom (extension) functions by IRI --------------------------------
@@ -406,16 +433,22 @@ def build_function(name: str, args: list[Column], raw_args: tuple[Expr, ...]) ->
             .otherwise(_plain(sv))
         )
     if n == "STRLANG":
-        return make_term(t="mono", s=str_val(args[0]), lang=str_val(args[1]))
+        sl, ll = str_val(args[0]), str_val(args[1])
+        # non-string lexical form or tag -> error (NULL struct)
+        return F.when(sl.isNotNull() & ll.isNotNull(), make_term(t="mono", s=sl, lang=ll))
     if n == "STRDT":
         lex, dt = str_val(args[0]), str_val(args[1])
+        # a lexical form that doesn't parse in the target datatype is
+        # an error here (the term model cannot hold ill-typed
+        # literals — documented deviation); each branch gates on its
+        # parsed payload so errors are NULL structs, not typed husks
         return (
-            F.when(dt.contains("integer"), make_term(t="int", i=lex.try_cast("long")))
+            F.when(dt.contains("integer"), _int_result(lex.try_cast("long")))
             .when(
                 dt.contains("double") | dt.contains("decimal") | dt.contains("float"),
-                make_term(t="double", d=lex.try_cast("double")),
+                _num_result(lex.try_cast("double")),
             )
-            .when(dt.contains("boolean"), make_term(t="bool", b=lex.try_cast("boolean")))
+            .when(dt.contains("boolean"), _bool_result(lex.try_cast("boolean")))
             .otherwise(_plain(lex))
         )
     if n == "BNODE":
@@ -437,18 +470,27 @@ def build_function(name: str, args: list[Column], raw_args: tuple[Expr, ...]) ->
         # arguments round half-toward-+inf instead of truncating
         sv = str_val(a)
         start_r = F.floor(num(args[1]) + F.lit(0.5)).cast("long")
+        valid = start_r.isNotNull()
         if len(args) > 2:
-            end_excl = start_r + F.floor(num(args[2]) + F.lit(0.5)).cast("long")
+            len_r = F.floor(num(args[2]) + F.lit(0.5)).cast("long")
+            end_excl = start_r + len_r
+            valid = valid & len_r.isNotNull()
         else:
             end_excl = F.lit(1 << 40).cast("long")
         eff_start = F.greatest(start_r, F.lit(1).cast("long"))
         eff_len = F.greatest(end_excl - eff_start, F.lit(0).cast("long"))
-        return _str_result(
-            a,
-            F.substring(
-                sv,
-                eff_start.cast("int"),
-                F.least(eff_len, F.lit(1 << 30).cast("long")).cast("int"),
+        # a non-numeric/unbound start or length is an ERROR that must
+        # propagate (fn:substring via F.greatest would otherwise skip
+        # the NULL and yield the full string — ADVICE r07)
+        return F.when(
+            valid,
+            _str_result(
+                a,
+                F.substring(
+                    sv,
+                    eff_start.cast("int"),
+                    F.least(eff_len, F.lit(1 << 30).cast("long")).cast("int"),
+                ),
             ),
         )
     if n == "UCASE":
@@ -457,15 +499,18 @@ def build_function(name: str, args: list[Column], raw_args: tuple[Expr, ...]) ->
         return _str_result(a, F.lower(str_val(a)))
     if n in ("STRSTARTS", "STRENDS", "CONTAINS", "STRBEFORE", "STRAFTER"):
         # §17.4.3.1 argument compatibility (round-7 conformance
-        # review): arg2 must be a simple/xsd:string literal, or carry
-        # the SAME lang tag as arg1 — anything else is a type error
-        # (no otherwise -> NULL term -> row-dropping error), e.g.
-        # STRSTARTS("abc"@en, "b"@cy) errors instead of comparing
-        # lexical forms
+        # review): arg1 must itself be a string literal, and arg2 must
+        # be a simple/xsd:string literal or carry the SAME lang tag as
+        # arg1 — anything else is a type error (no otherwise -> NULL
+        # term -> row-dropping error), e.g. STRSTARTS("abc"@en, "b"@cy)
+        # errors instead of comparing lexical forms, and STRSTARTS(42,
+        # "4") errors instead of passing arg2-only validation
+        # (ADVICE r07)
         t1, t2 = a, args[1]
         s1, s2 = str_val(t1), str_val(t2)
-        compat = (t2["t"] == "str") | (
-            (t2["t"] == "mono") & (t1["t"] == "mono") & (t2["lang"] == t1["lang"])
+        compat = (
+            t1["t"].isin("str", "mono")
+            & ((t2["t"] == "str") | ((t2["t"] == "mono") & (t2["lang"] == t1["lang"])))
         )
         if n == "STRSTARTS":
             return F.when(compat, _bool_result(s1.startswith(s2)))
@@ -559,17 +604,22 @@ def build_function(name: str, args: list[Column], raw_args: tuple[Expr, ...]) ->
         )
     if n == "TIMEZONE" or n == "TZ":
         tz = a["time"]["tz"]
-        return _plain(
-            F.when(tz.isNull(), F.lit(""))
-            .when(tz == 0, F.lit("Z"))
-            .otherwise(
-                F.concat(
-                    F.when(tz < 0, "-").otherwise("+"),
-                    F.lpad((F.abs(tz) / 60).cast("int").cast("string"), 2, "0"),
-                    F.lit(":"),
-                    F.lpad((F.abs(tz) % 60).cast("string"), 2, "0"),
+        # TZ of a non-time term is a type error (round-8: gate on the
+        # term class, else an entity/unbound argument returned "")
+        return F.when(
+            a["t"] == "time",
+            _plain(
+                F.when(tz.isNull(), F.lit(""))
+                .when(tz == 0, F.lit("Z"))
+                .otherwise(
+                    F.concat(
+                        F.when(tz < 0, "-").otherwise("+"),
+                        F.lpad((F.abs(tz) / 60).cast("int").cast("string"), 2, "0"),
+                        F.lit(":"),
+                        F.lpad((F.abs(tz) % 60).cast("string"), 2, "0"),
+                    )
                 )
-            )
+            ),
         )
 
     # ---- hashes
@@ -682,16 +732,55 @@ class ExprCompiler:
                 anyeq = anyeq | eq_terms(l, self.col(opt))
             return self._bound(_bool_result(~anyeq if e.negated else anyeq))
         if isinstance(e, EArith):
-            l, r = num(self.col(e.left)), num(self.col(e.right))
-            if e.op == "+":
-                return self._bound(_num_result(l + r))
-            if e.op == "-":
-                return self._bound(_num_result(l - r))
-            if e.op == "*":
-                return self._bound(_num_result(l * r))
-            return self._bound(_num_result(l / r))
+            # XPath promotion table (§17.4 operator mapping, round-8
+            # conformance fix): int op int stays int (overflow -> error
+            # via try_* under ANSI), any double operand promotes to
+            # double; '/' on two ints is op:numeric-divide on decimals
+            # (double here — no decimal branch in the term model) with
+            # division by zero an ERROR, while double division by zero
+            # follows IEEE 754 (INF/-INF/NaN). Spark's ANSI '/' throws
+            # DIVIDE_BY_ZERO even for doubles, so the IEEE branch is
+            # built explicitly and try_divide covers the rest.
+            # PERF: ONE struct with conditional fields, never a CASE
+            # over two make_term structs — a branch-per-struct CASE
+            # defeats Catalyst's extract-value simplification, so the
+            # downstream num()/["d"] access materialized the struct
+            # per row (measured 1.8x on sparql_tpch_q1's hot SUM).
+            lt, rt = self.col(e.left), self.col(e.right)
+            both_int = (lt["t"] == "int") & (rt["t"] == "int")
+            ld, rd = num(lt), num(rt)
+            if e.op in ("+", "-", "*"):
+                f_int = {"+": F.try_add, "-": F.try_subtract, "*": F.try_multiply}[e.op]
+                import operator
+
+                f_dbl = {"+": operator.add, "-": operator.sub, "*": operator.mul}[e.op]
+                i_val = F.when(both_int, f_int(lt["i"], rt["i"]))
+                d_val = F.when(~both_int, f_dbl(ld, rd))
+            else:
+                # gate the INF/NaN branches on rd == 0.0 so a NULL
+                # divisor (non-numeric operand) stays an error, not NaN
+                ieee = F.when(rd != 0.0, F.try_divide(ld, rd)).when(
+                    rd == 0.0,
+                    F.when(F.isnan(ld) | (ld == 0.0), F.lit(float("nan")))
+                    .when(ld > 0.0, F.lit(float("inf")))
+                    .when(ld < 0.0, F.lit(float("-inf"))),
+                )
+                # int/int is op:numeric-divide -> decimal-valued
+                # (double), /0 -> error (try_divide NULLs it)
+                i_val = F.lit(None).cast("bigint")
+                d_val = F.when(both_int, F.try_divide(ld, rd)).otherwise(ieee)
+            t_val = F.when(i_val.isNotNull(), F.lit("int")).when(
+                d_val.isNotNull(), F.lit("double")
+            )
+            return self._bound(
+                F.when(t_val.isNotNull(), make_term(t=t_val, i=i_val, d=d_val))
+            )
         if isinstance(e, ENeg):
-            return self._bound(_num_result(-num(self.col(e.arg))))
+            at = self.col(e.arg)
+            ni = F.when(at["t"] == "int", F.try_subtract(F.lit(0), at["i"]))
+            nd = F.when(at["t"] == "double", -at["d"])
+            nt = F.when(ni.isNotNull(), F.lit("int")).when(nd.isNotNull(), F.lit("double"))
+            return self._bound(F.when(nt.isNotNull(), make_term(t=nt, i=ni, d=nd)))
         if isinstance(e, EExists):
             if self.compile_exists is None:
                 raise NotImplementedError("EXISTS not supported in this context")
@@ -715,7 +804,36 @@ class ExprCompiler:
             return self._bound(build_function(e.name, args, e.args))
         raise NotImplementedError(f"expression {e!r}")
 
+    #: functions whose result term is statically xsd:boolean, so the
+    #: effective boolean value is just the `b` field (one reference to
+    #: the condition tree instead of ebv()'s eight — after predicate
+    #: pushdown substitutes let-bindings back into the filter, that 8x
+    #: was enough to blow whole-stage codegen past janino's 64 KB
+    #: method limit and silently fall back to interpreted eval)
+    _BOOL_FUNCS = frozenset(
+        {
+            "REGEX",
+            "LANGMATCHES",
+            "STRSTARTS",
+            "STRENDS",
+            "CONTAINS",
+            "ISIRI",
+            "ISURI",
+            "ISBLANK",
+            "ISLITERAL",
+            "ISNUMERIC",
+            "BOUND",
+        }
+    )
+
+    def _statically_bool(self, e: Expr) -> bool:
+        if isinstance(e, (ECmp, EBool, ENot, EIn, EExists)):
+            return True
+        return isinstance(e, EFunc) and e.name.upper() in self._BOOL_FUNCS
+
     def boolean(self, e: Expr) -> Column:
         """Compile to a filter predicate: EBV, NULL -> drop row."""
         c = self.col(e)
+        if self._statically_bool(e):
+            return F.coalesce(c["b"], F.lit(False))
         return F.coalesce(ebv(c), F.lit(False))
