@@ -453,7 +453,7 @@ CDC_WINDOW = 8
 CDC_MASK = 63  # boundary when rolling hash & mask == 0 -> ~64B avg chunks
 
 
-def cdc_chunk_batch(payloads) -> list[list[tuple[int, int, str]]]:
+def cdc_chunk_batch(payloads, *, ascii_guard: bool = False) -> list[list[tuple[int, int, str]]]:
     """Content-defined chunking of a batch of payloads: a polynomial
     rolling hash over a CDC_WINDOW-byte window marks a boundary
     wherever ``hash & CDC_MASK == 0``, so chunk boundaries depend on
@@ -468,6 +468,21 @@ def cdc_chunk_batch(payloads) -> list[list[tuple[int, int, str]]]:
     coef = (np.arange(CDC_WINDOW, dtype=np.int64) + 3) ** 2
     for b in payloads:
         arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        # ascii_guard: the media_cdc_chunk_census oracle equates char
+        # positions / ord() over the source text with this kernel's
+        # byte offsets / byte values — valid only while payloads are
+        # pure ASCII. The census passes ascii_guard=True to fail
+        # LOUDLY on the first non-ASCII payload instead of silently
+        # hash-diverging from the oracle (ADVICE r07); plain binary
+        # CDC callers leave it off — the algorithm itself is
+        # byte-based and content-agnostic.
+        if ascii_guard and arr.size and int(arr.max()) > 0x7F:
+            raise ValueError(
+                "cdc_chunk_batch: non-ASCII payload — byte offsets no "
+                "longer equal char positions, so the char-based census "
+                "oracle would silently diverge; extend the oracle to "
+                "byte semantics before chunking non-ASCII corpora"
+            )
         if len(arr) < CDC_WINDOW:
             out.append([(0, len(arr), hashlib.md5(b).hexdigest())] if len(arr) else [])
             continue
@@ -543,7 +558,9 @@ def media_cdc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             rows_id, rows_len, rows_digest = [], [], []
-            for mid, chunks in zip(pdf["media_id"], cdc_chunk_batch(pdf["payload"])):
+            for mid, chunks in zip(
+                pdf["media_id"], cdc_chunk_batch(pdf["payload"], ascii_guard=True)
+            ):
                 for _, ln, dg in chunks:
                     rows_id.append(mid)
                     rows_len.append(ln)
