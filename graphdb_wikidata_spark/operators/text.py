@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
@@ -1623,14 +1623,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # until no row still contains the pair — deterministic, engine-
         # portable (DuckDB's replace() is the same greedy left-to-right
         # non-overlap), and bounded by merges-per-word (<= len/2) inner
-        # iterations over the VOCAB-sized relation. The argmax already
-        # proved cnt > 0 sites exist, so the first replace always runs;
-        # afterwards the remaining-site probe is a tiny agg over the
-        # just-checkpointed vocab relation — no separate symbol-count
-        # pass, and no post-convergence replace (ADVICE r06 / VERDICT
-        # r06 #4: one materializing pass per inner iteration).
+        # iterations over the VOCAB-sized relation. The remaining-sites
+        # probe rides the SAME job that materializes the checkpoint via
+        # observe() — ONE job per inner iteration, no separate agg pass
+        # (VERDICT r07 #7; previously a tiny but separate .collect()
+        # after each checkpoint).
         pat = f" {l} {r} "
+        inner = 0
         while True:
+            inner += 1
             merged_syms = F.trim(
                 F.replace(
                     F.concat(F.lit(" "), F.col("syms"), F.lit(" ")),
@@ -1638,18 +1639,21 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(f" {l}{r} "),
                 )
             )
-            words = words.select(merged_syms.alias("syms"), "freq").localCheckpoint()
-            sites_left = (
-                words.agg(
+            obs = Observation(f"bpe_sites_r{rnd}_i{inner}")
+            words = (
+                words.select(merged_syms.alias("syms"), "freq")
+                .observe(
+                    obs,
                     F.sum(
                         F.when(
                             F.concat(F.lit(" "), F.col("syms"), F.lit(" ")).contains(pat),
                             1,
                         ).otherwise(0)
-                    ).alias("n")
-                ).collect()[0].n
+                    ).alias("n"),
+                )
+                .localCheckpoint()
             )
-            if not sites_left:
+            if not obs.get["n"]:
                 break
     return spark.createDataFrame(
         merges, "round int, left string, right string, merged string, pair_count bigint"
