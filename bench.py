@@ -55,6 +55,13 @@ HEADLINE = [
     "graph_pagerank_chain",
     "media_catalog",
     "stream_tumbling_counts",
+    # round-7 registrations promoted to the permanent headline set
+    # (VERDICT r07 #8) so regressions in the tokenizer/CDC/top-k
+    # kernels gate like the rest instead of sidecar-probe-only
+    "bpe_train_merges",
+    "unigram_lm_tokenizer",
+    "stream_topk_hitters",
+    "media_cdc_chunk_census",
 ]
 
 
