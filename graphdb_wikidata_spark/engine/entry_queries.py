@@ -1286,7 +1286,7 @@ def sparql_having_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            ceil(-o_totalprice) AS c,
            floor(o_totalprice) AS f,
            round(abs(-o_totalprice), 2) AS a,
-           3.5 AS q,
+           CAST(3.5 AS DOUBLE) AS q,
            CAST(-1 AS BIGINT) AS dz
     FROM orders WHERE o_orderstatus = 'P'
     """,
