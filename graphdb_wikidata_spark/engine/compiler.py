@@ -1175,38 +1175,86 @@ class Compiler:
     ) -> Column:
         from ..model.schema import make_term
 
+        from ..model.schema import TERM_T
+
         e = ec.col(spec.expr) if spec.expr is not None else None
         f = spec.func
+        err = F.lit(None).cast(TERM_T)
+        # §18.5.1.2 ListEval "retains errors": one errored/unbound
+        # element makes Sum/Avg/Min/Max/GroupConcat error -> the
+        # aggregate variable is UNBOUND for that group. The reference
+        # instead skips unusable elements (calc_engine.rs:507-585
+        # `_ => ()` arms; partial_cmp None => () in Min/Max) — the SQL
+        # NULL-skipping reading, deliberately fixed to spec here
+        # (tests/test_spec_conformance_r8_agg.py).
         if f == "count":
             if e is None:
                 c = F.count(F.lit(1))
             elif spec.distinct:
                 c = F.count_distinct(e)
             else:
-                c = F.count(e)
+                c = F.count(e)  # non-error elements (WG errata reading)
             return make_term(t="int", i=c).alias(spec.var)
         if f == "sum":
-            v = num(e)
-            c = F.sum_distinct(v) if spec.distinct else F.sum(v)
-            return make_term(t="double", d=c).alias(spec.var)
-        if f == "avg":
-            v = num(e)
-            c = F.avg(v)  # AVG DISTINCT: mean over distinct numeric values
+            v = self._shared_col(pre, num(e))
+            bad = F.max(v.isNull().cast("int")) == 1
+            anyd = F.max((e["t"] == "double").cast("int")) == 1
             if spec.distinct:
-                c = F.sum_distinct(v) / F.count_distinct(v)
-            return make_term(t="double", d=c).alias(spec.var)
-        if f == "min":
-            return F.min_by(e, self._shared_col(pre, sort_key(e))).alias(spec.var)
-        if f == "max":
-            return F.max_by(e, self._shared_col(pre, sort_key(e))).alias(spec.var)
+                sd, si = F.sum_distinct(v), F.sum_distinct(e["i"])
+            else:
+                # try_sum: xsd:integer overflow is an ERROR, not a wrap
+                sd, si = F.sum(v), F.try_sum(e["i"])
+            c = (
+                # Sum({}) = 0 (§18.5.1.5; only the global group can be empty)
+                F.when(F.count(F.lit(1)) == 0, make_term(t="int", i=F.lit(0)))
+                .when(bad, err)
+                # op:numeric-add promotion: all-int stays integer
+                .when(anyd, make_term(t="double", d=sd))
+                .when(si.isNotNull(), make_term(t="int", i=si))
+                # implicit NULL: int overflow under try_sum
+            )
+            return c.alias(spec.var)
+        if f == "avg":
+            v = self._shared_col(pre, num(e))
+            bad = F.max(v.isNull().cast("int")) == 1
+            a = F.avg(v)  # AVG DISTINCT: mean over distinct numeric values
+            if spec.distinct:
+                a = F.sum_distinct(v) / F.count_distinct(v)
+            c = (
+                # Avg({}) = 0 per §18.5.1.6 (an xsd:integer zero)
+                F.when(F.count(F.lit(1)) == 0, make_term(t="int", i=F.lit(0)))
+                .when(bad, err)
+                # double, not decimal: declared deviation (no decimal
+                # branch in TERM_T)
+                .otherwise(make_term(t="double", d=a))
+            )
+            return c.alias(spec.var)
+        if f in ("min", "max"):
+            # cross-type groups stay defined under the documented
+            # total-order deviation (sort_key); only errored/unbound
+            # ELEMENTS poison the aggregate (fn:min over error -> error)
+            bad = F.max(e.isNull().cast("int")) == 1
+            pick = F.min_by if f == "min" else F.max_by
+            c = pick(e, self._shared_col(pre, sort_key(e)))
+            return F.when(bad, err).otherwise(c).alias(spec.var)
         if f == "group_concat":
-            r = render(e)
+            r = self._shared_col(pre, render(e))
+            bad = F.max(r.isNull().cast("int")) == 1
             lst = F.collect_set(r) if spec.distinct else F.collect_list(r)
             # sorted for determinism (the reference concatenates in row
-            # order, which is only defined single-threaded)
-            return make_term(
-                t="str", k="string", s=F.array_join(F.array_sort(lst), spec.separator)
-            ).alias(spec.var)
+            # order, which is only defined single-threaded); empty
+            # global group falls through the NULL `bad` to "" (§18.5.1.7)
+            return (
+                F.when(bad, err)
+                .otherwise(
+                    make_term(
+                        t="str",
+                        k="string",
+                        s=F.array_join(F.array_sort(lst), spec.separator),
+                    )
+                )
+                .alias(spec.var)
+            )
         if f == "sample":
             return F.first(e, ignorenulls=True).alias(spec.var)
         from .expressions import CUSTOM_AGGREGATES, str_val

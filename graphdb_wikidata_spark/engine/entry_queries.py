@@ -269,9 +269,9 @@ def sparql_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         """
     )
-    # SUM yields a double term (documented deviation from the ref's f32
-    # promotion); the summed values are small ints so the cast is exact
-    return df.select(F.col("sd")["d"].cast("long").alias("sd"), _i("cd"))
+    # SUM over all-integer input stays xsd:integer (§18.5.1.5 via the
+    # op:numeric-add promotion table, round-8 aggregate conformance)
+    return df.select(F.col("sd")["i"].alias("sd"), _i("cd"))
 
 
 @register(

@@ -165,17 +165,28 @@ def sort_key(c: Column) -> Column:
     in MIN/MAX). We deviate to a deterministic total order grouped by
     type class, which is a superset: comparisons the reference defines
     order identically; incomparable pairs get a stable order instead
-    of depending on input order."""
+    of depending on input order.
+
+    Cross-CLASS ranks follow §15.1's normative order: unbound < blank
+    (no bnode term class is stored — BNODE() mints plain strings) <
+    IRIs (entity/stmt) < literals. Within the IRI class, entities
+    order by (kind, numeric id) rather than full-IRI codepoint order —
+    a declared deviation: the numeric key is fixed-width in the sort
+    shuffle where the rendered IRI string would be ~40 bytes/row, and
+    at 100 TB the ORDER BY / MIN-MAX sort width is the cost that
+    matters. Within-literal cross-datatype order (numeric < bool <
+    time < string < quantity) is implementation-defined per §15.1 and
+    kept stable here."""
     rank = (
         F.when(c.isNull(), 0)
-        .when(c["t"].isin("int", "double"), 1)
-        .when(c["t"] == "bool", 2)
-        .when(c["t"] == "time", 3)
-        .when(c["t"].isin("str", "mono"), 4)
-        .when(c["t"] == "qty", 5)
-        .when(c["t"] == "entity", 6)
-        .when(c["t"] == "stmt", 7)
-        .otherwise(9)
+        .when(c["t"] == "entity", 2)
+        .when(c["t"] == "stmt", 3)
+        .when(c["t"].isin("int", "double"), 4)
+        .when(c["t"] == "bool", 5)
+        .when(c["t"] == "time", 6)
+        .when(c["t"].isin("str", "mono"), 7)
+        .when(c["t"] == "qty", 8)
+        .otherwise(10)
     )
     d = (
         F.when(c["t"].isin("int", "double"), num(c))
