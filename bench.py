@@ -215,6 +215,16 @@ def main() -> None:
         "bpe_train_merges",
         "media_cdc_chunk_census",
         "events_holt_linear_trend",
+        # round 8 registrations: the HLL build must stay map-linear
+        # (256-cell shuffle regardless of input), the Bloom probe
+        # map-linear (one-row broadcast, no fact shuffle), winnowing
+        # corpus-linear (per-doc windows, no self-join), and blocked
+        # SNM candidate-linear (W neighbors per row regardless of
+        # block skew)
+        "events_hll_registers",
+        "bloom_semi_filter_probe",
+        "text_winnowing_fingerprints",
+        "dedup_sorted_neighborhood",
     ]
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         try:
@@ -308,6 +318,13 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     ref_1x = {k: (timings[k] if k in timings else probe_only_1x.get(k)) for k in probe}
     consistency = _consistency(timings, probe, skew, factor, ref_1x, retries)
+    # the round-8 headline set grew by 4 promoted kernels (VERDICT r07
+    # #8); this subtotal keeps the r1-r7 27-query set comparable
+    # across rounds so headline growth is not misread as regression
+    r7_set = [n for n in HEADLINE if n not in (
+        "bpe_train_merges", "unigram_lm_tokenizer",
+        "stream_topk_hitters", "media_cdc_chunk_census",
+    )]
     sidecar = {
         # full measurement provenance, too bulky for the driver's
         # 2000-char stdout tail (the r5 artifact was unparseable for
@@ -316,6 +333,9 @@ def main() -> None:
         # reference blocks
         "gc_sec": gc_sec,
         "consistency": consistency,
+        "headline_r7_comparable_subtotal": round(
+            sum(timings.get(n, 0.0) for n in r7_set), 3
+        ),
     }
     if probe:
         sidecar["scale_probe"] = {

@@ -19,19 +19,33 @@ from pyspark.sql import DataFrame, SparkSession
 # per VERDICT r07 "What's wrong" #2: the r7 ledger wrongly claimed the sparql
 # function-family entries were already scheduled here — they were not; the
 # round-8 conformance fixes put them in CHANGED_ROWS, displacing 9 r03 rows):
-#   (a) 11 CHANGED_ROWS — code changed since last evidence, fresh evidence
-#       for changed code (see CHANGED_ROWS below for per-entry justification),
+#   (a) 19 CHANGED_ROWS — code changed since last evidence, fresh evidence
+#       for changed code (see CHANGED_ROWS below for per-entry justification;
+#       the round-8 §18.5 aggregate-conformance fix added 5 entries
+#       mid-round and the §15.1 ORDER-class fix 3 more, displacing the
+#       last 8 unaffected r03 tail rows),
+#   (d) the 5 round-8 registrations (first evidence — never-evidenced
+#       entries may not wait outside the window),
 #   (b) the 8 r02 spillover rows (oldest evidence in the registry, age 6),
-#   (c) the first 31 of the 40-entry r03 cohort (CORRECTNESS_r03 ledger
-#       order, filtered to entries whose latest evidence is still r3).
-# 11 + 8 + 31 = 50. The rotation-age invariant is ENFORCED by
+#   (c) 19 of the 40-entry r03 cohort (CORRECTNESS_r03 ledger order,
+#       filtered to entries whose latest evidence is still r3; the
+#       aggregate/promotion-affected r03 rows keep their slots — they
+#       double as fresh-evidence-for-changed-code — and the displaced
+#       tail rows sparql_concat_case / sparql_coord_terms /
+#       sparql_in_filter / sparql_label_lookup / sparql_lang_funcs /
+#       sparql_optional_filter / sparql_regex_uri /
+#       sparql_spo_union_forms roll to round 9).
+# 19 + 5 + 8 + 18 = 50. The rotation-age invariant is ENFORCED by
 # tests/test_rotation_policy.py, which parses the shipped CORRECTNESS_r*.json
 # history and fails the suite if a registered entry goes never-evidenced or
 # over the age budget while a younger entry holds a window slot.
 PRIORITY_ENTRIES: tuple[str, ...] = (
-    # -- (a) CHANGED_ROWS (11): similarity rows changed in r7, sparql
+    # -- (a) CHANGED_ROWS (19): similarity rows changed in r7, sparql
     #    function families changed by the r8 spec-conformance fixes,
-    #    bpe probe fold + cdc ascii guard changed in r8:
+    #    bpe probe fold + cdc ascii guard changed in r8, the 5
+    #    out-of-window aggregate entries changed by the r8 §18.5
+    #    aggregate-conformance fix, and the 3 ORDER-BY entries changed
+    #    by the §15.1 cross-class rank fix:
     "embedding_ivf_topk",
     "embedding_ann_recall",
     "embedding_mmr_diverse_topk",
@@ -43,6 +57,24 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_term_funcs",
     "bpe_train_merges",
     "media_cdc_chunk_census",
+    "sparql_filter_agg",
+    "sparql_agg_suite",
+    "sparql_group_concat",
+    "sparql_subselect",
+    "sparql_tpch_q1",
+    "sparql_order_limit",
+    "sparql_orderby_expr",
+    "sparql_distinct_offset",
+    # -- (d) round-8 registrations (first evidence, RULE A: a new
+    #    entry may never wait outside the window): winnowing
+    #    fingerprints, HLL register sketch (batch + its streaming
+    #    merge twin), Bloom semi-filter admission accounting,
+    #    blocked sorted-neighborhood dedup
+    "text_winnowing_fingerprints",
+    "events_hll_registers",
+    "bloom_semi_filter_probe",
+    "dedup_sorted_neighborhood",
+    "stream_hll_registers",
     # -- (b) the 8 r02 spillover rows (age 6, oldest in the registry):
     "sparql_describe",
     "media_frame_sample",
@@ -52,7 +84,8 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_ps_pq_chain",
     "sparql_qualifier_join",
     "sparql_graph_empty",
-    # -- (c) the first 31 of the 40-entry r03 cohort (ledger order):
+    # -- (c) 18 of the 40-entry r03 cohort (ledger order; the last 13
+    #    unaffected tail rows rolled to round 9 — see header):
     "stream_sliding_avg",
     "sparql_custom_func",
     "sparql_custom_agg",
@@ -65,34 +98,29 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "pack_sequences_budget",
     "sample_stratified_hash",
     "corpus_quality_pack",
-    "agg_stats_suite",
-    "agg_percentiles",
-    "media_byte_hist_counts",
     "sparql_agg_distinct",
-    "sparql_bnode_list",
-    "sparql_bound_if",
-    "sparql_concat_case",
-    "sparql_coord_terms",
     "sparql_count_optional",
     "sparql_having_sample",
-    "sparql_in_filter",
     "sparql_int_cross_type",
-    "sparql_label_lookup",
-    "sparql_lang_funcs",
-    "sparql_optional_filter",
     "sparql_quantity_terms",
-    "sparql_regex_uri",
-    "sparql_spo_union_forms",
     "sparql_sum_distinct",
     # ROTATION LEDGER (evidence age after round 8, assuming this window
     # lands green): max age = r04. ROUND 9 WINDOW, in order: (1) any
     # rows whose code changes in round 8 after this ledger freezes,
-    # (2) the 9 r03 spillover rows displaced by this round's
-    # conformance-fix CHANGED_ROWS (stream_dedup_exact,
-    # stream_session_stats, sparql_join_compat, sparql_optional_compat,
-    # sparql_minus_optional, sparql_path_zero_or_one, sparql_stmt_bind,
-    # stream_tumbling_counts, graph_pagerank_chain), (3) the r04 cohort
-    # to fill the remaining ~41 slots (CORRECTNESS_r04 ledger order).
+    # (2) the 22 r03 spillover rows displaced by this round's
+    # conformance-fix CHANGED_ROWS and new registrations
+    # (stream_dedup_exact, stream_session_stats, sparql_join_compat,
+    # sparql_optional_compat, sparql_minus_optional,
+    # sparql_path_zero_or_one, sparql_stmt_bind, stream_tumbling_counts,
+    # graph_pagerank_chain, the 8 displaced by the §18.5 aggregate and
+    # §15.1 order fixes: sparql_concat_case, sparql_coord_terms,
+    # sparql_in_filter, sparql_label_lookup, sparql_lang_funcs,
+    # sparql_optional_filter, sparql_regex_uri, sparql_spo_union_forms,
+    # and the 5 displaced by the round-8 registrations:
+    # agg_percentiles, agg_stats_suite, media_byte_hist_counts,
+    # sparql_bnode_list, sparql_bound_if),
+    # (3) the r04 cohort to fill the remaining ~28 slots
+    # (CORRECTNESS_r04 ledger order).
     # Age invariant going forward: no registered entry's latest driver
     # evidence older than the derived bound ceil(241/50)+2 = 7 rounds
     # (tests/test_rotation_policy.py enforces this mechanically); after
@@ -128,6 +156,21 @@ DEFERRED_FIRST_EVIDENCE: tuple[str, ...] = ()
 #   media_cdc_chunk_census — r8: ASCII guard in the chunk kernel so a
 #       non-ASCII corpus fails loudly instead of silently diverging
 #       from the char-position oracle (ADVICE r07)
+#   sparql_filter_agg / sparql_agg_suite / sparql_group_concat /
+#   sparql_subselect / sparql_tpch_q1 / sparql_agg_distinct /
+#   sparql_count_optional / sparql_having_sample /
+#   sparql_quantity_terms / sparql_sum_distinct — r8 §18.5 aggregate
+#       conformance (review pass #3): an errored/unbound element makes
+#       Sum/Avg/Min/Max/GroupConcat error (unbound result) instead of
+#       being skipped; Sum follows op:numeric-add promotion (all-int
+#       stays xsd:integer); empty global Sum/Avg = 0, GroupConcat = "".
+#       The last 5 were already in-window from the r03 cohort; their
+#       slots now double as fresh-evidence-for-changed-code.
+#   sparql_order_limit / sparql_orderby_expr / sparql_distinct_offset —
+#       r8 §15.1 cross-class ORDER conformance: sort_key now ranks
+#       IRIs before literals (normative class order); these are the
+#       entries exercising engine ORDER BY (their single-class sort
+#       columns leave outputs unchanged, but the exercised code moved)
 CHANGED_ROWS: tuple[str, ...] = (
     "embedding_ivf_topk",
     "embedding_ann_recall",
@@ -140,6 +183,19 @@ CHANGED_ROWS: tuple[str, ...] = (
     "sparql_term_funcs",
     "bpe_train_merges",
     "media_cdc_chunk_census",
+    "sparql_filter_agg",
+    "sparql_agg_suite",
+    "sparql_group_concat",
+    "sparql_subselect",
+    "sparql_tpch_q1",
+    "sparql_agg_distinct",
+    "sparql_count_optional",
+    "sparql_having_sample",
+    "sparql_quantity_terms",
+    "sparql_sum_distinct",
+    "sparql_order_limit",
+    "sparql_orderby_expr",
+    "sparql_distinct_offset",
 )
 
 

@@ -1744,3 +1744,73 @@ def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+HLL_REGS = 256      # b = 8 bucket bits -> 2^8 registers
+HLL_RHO_HEX = 12    # 48 bits examined for the leading-zero run
+
+
+@register(
+    "events_hll_registers",
+    f"""
+    WITH h AS (
+        SELECT md5(user_id::VARCHAR) AS hx FROM events),
+    parts AS (
+        SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS register,
+               substr(hx, 3, {HLL_RHO_HEX}) AS tail
+        FROM h),
+    rho AS (
+        SELECT register,
+               4 * ({HLL_RHO_HEX} - len(ltrim(tail, '0')))
+               + CASE substr(ltrim(tail, '0'), 1, 1)
+                     WHEN '1' THEN 3
+                     WHEN '2' THEN 2 WHEN '3' THEN 2
+                     WHEN '4' THEN 1 WHEN '5' THEN 1
+                     WHEN '6' THEN 1 WHEN '7' THEN 1
+                     ELSE 0 END
+               + 1 AS rho
+        FROM parts)
+    SELECT register, max(rho) AS max_rho, count(*) AS n_hashes
+    FROM rho GROUP BY register
+    """,
+)
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register relation over the event-stream user ids:
+    md5 the key, route on the first 8 hash bits, and keep per register
+    the maximum rho (position of the first 1-bit in the next 48 bits).
+    The 256-row (register, max_rho) relation IS the HLL sketch — the
+    canonical mergeable distinct-count summary (union = cell-wise MAX
+    across shards/batches/days, the property KMV's k-smallest set
+    shares but counter sketches lack). The estimate readout
+    (alpha_256 * 256^2 / sum 2^-M_j) is driver-side arithmetic over
+    256 ints; this entry registers the sketch build itself so the
+    value hash pins every register.
+
+    rho is computed with pure string ops (leading-'0' trim over the
+    hex tail + a 16-way CASE on the first nonzero hex char), NOT
+    floor(log2): identical down to the last bit on both engines,
+    where log2's boundary ulps could differ. Scale shape: map-only
+    hash/route + one 256-cell partial agg — the shuffle carries at
+    most 256 rows per map partition regardless of input size.
+    Sibling of events_approx_distinct_kmv (KMV) and
+    events_count_min_heavy_hitters (frequency)."""
+    ev = table(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    tail = F.substring(hx, 3, HLL_RHO_HEX)
+    trimmed = F.expr(f"trim(LEADING '0' FROM substring(md5(CAST(user_id AS STRING)), 3, {HLL_RHO_HEX}))")
+    first = F.substring(trimmed, 1, 1)
+    bits = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = 4 * (HLL_RHO_HEX - F.length(trimmed)) + bits + 1
+    return (
+        ev.select(
+            F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"), F.count(F.lit(1)).alias("n_hashes"))
+    )

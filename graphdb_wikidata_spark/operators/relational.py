@@ -1360,3 +1360,115 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("totacctbal"),
     )
+
+
+BLOOM_M = 1 << 16   # filter bits
+BLOOM_K = 3         # hash functions
+
+
+@register(
+    "bloom_semi_filter_probe",
+    f"""
+    WITH bkeys AS (
+        SELECT p_partkey AS k FROM part WHERE p_size < 15),
+    bpos AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(j.j::VARCHAR || '_' || b.k::VARCHAR), 1, 8))::BIGINT
+                   % {BLOOM_M} AS p
+        FROM bkeys b CROSS JOIN generate_series(0, {BLOOM_K - 1}) j(j)),
+    probe AS (
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               (SELECT count(*) FROM generate_series(0, {BLOOM_K - 1}) j(j)
+                WHERE EXISTS (
+                    SELECT 1 FROM bpos WHERE bpos.p =
+                        ('0x' || substr(md5(j.j::VARCHAR || '_' || l_partkey::VARCHAR), 1, 8))::BIGINT
+                            % {BLOOM_M})) AS nhit
+        FROM lineitem),
+    truth AS (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE EXISTS (SELECT 1 FROM bkeys WHERE k = l_partkey))
+    SELECT count(*) AS n_probed,
+           count(*) FILTER (WHERE nhit = {BLOOM_K}) AS n_passed,
+           (SELECT count(*) FROM truth) AS n_true_match,
+           count(*) FILTER (WHERE nhit = {BLOOM_K})
+               - (SELECT count(*) FROM truth) AS n_false_pos,
+           round((count(*) FILTER (WHERE nhit = {BLOOM_K})
+                  - (SELECT count(*) FROM truth))::DOUBLE
+                 / count(*), 6) AS fp_rate
+    FROM probe
+    """,
+)
+def bloom_semi_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter: build a 65536-bit / 3-hash
+    Bloom filter over the selective dimension side (parts with
+    p_size < 15), probe the fact side map-only, and account exactly
+    for what the filter admits — probed rows, passed rows, true
+    matches, and false positives. This is the classic shuffle-killer
+    for selective joins: the fact table is filtered BEFORE the join
+    shuffle by a sketch whose size is independent of either input.
+
+    Scale shape: the build side is one partial agg to <= 2^16
+    distinct bit positions collected into ONE array row (256 KB
+    ceiling — a metadata-sized collect_set, like the IVF centroid
+    broadcast) and cross-broadcast to the probe; the probe is
+    map-only (3 md5s + array_contains per row) with a single
+    counters-row partial agg at the end. No shuffle touches fact
+    rows. At 100 TB the array becomes a real bitmap (m ~ 2^27+,
+    BitArray in a UDF or Spark's own runtime
+    spark.sql.optimizer.runtime.bloomFilter) — the admission
+    arithmetic this entry pins is identical.
+
+    The exact-truth side (broadcast semi join on the same predicate)
+    quantifies the false-positive rate the m/k choice buys; Bloom
+    never yields false negatives, asserted by construction here
+    (n_passed >= n_true_match or the build is broken)."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    li = table(spark, sf_dir, "lineitem")
+
+    def pos(key, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.lit(j).cast("string"), key.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M
+        )
+
+    bpos = None
+    for j in range(BLOOM_K):
+        sel = part.select(pos(F.col("p_partkey"), j).alias("p"))
+        bpos = sel if bpos is None else bpos.unionAll(sel)
+    bits = bpos.distinct().agg(F.collect_set("p").alias("bits"))
+
+    probed = li.select("l_partkey").crossJoin(F.broadcast(bits))
+    passed = None
+    for j in range(BLOOM_K):
+        hit = F.array_contains(F.col("bits"), pos(F.col("l_partkey"), j))
+        passed = hit if passed is None else (passed & hit)
+    counts = probed.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(passed.cast("long")).alias("n_passed"),
+    )
+    truth = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_true_match"))
+    )
+    return (
+        counts.crossJoin(truth)
+        .select(
+            "n_probed",
+            "n_passed",
+            "n_true_match",
+            (F.col("n_passed") - F.col("n_true_match")).alias("n_false_pos"),
+            F.round(
+                (F.col("n_passed") - F.col("n_true_match")).cast("double")
+                / F.col("n_probed"),
+                6,
+            ).alias("fp_rate"),
+        )
+    )

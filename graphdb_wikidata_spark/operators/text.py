@@ -1961,3 +1961,93 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("used"), "piece")
         .limit(50)
     )
+
+
+WINNOW_K = 3  # word k-gram shingle width
+WINNOW_W = 4  # winnow window (guarantee t = W + K - 1 words)
+# pos packed into the low 20 bits of the tie-break key; corpora with
+# more shingles per doc than this need a wider pack (assert-guarded)
+WINNOW_POSCAP = 1 << 20
+
+
+@register(
+    "text_winnowing_fingerprints",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) >= {WINNOW_K}),
+    pos AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM toks),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT AS h
+        FROM pos WHERE i <= len(toks) - {WINNOW_K - 1}),
+    keyed AS (
+        SELECT doc_id, pos,
+               h * {WINNOW_POSCAP} + ({WINNOW_POSCAP - 1} - pos) AS key
+        FROM sh),
+    wins AS (
+        SELECT doc_id,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wkey,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wn
+        FROM keyed),
+    fp AS (
+        SELECT DISTINCT doc_id, wkey FROM wins WHERE wn = {WINNOW_W})
+    SELECT doc_id,
+           count(*) AS n_fp,
+           min(wkey // {WINNOW_POSCAP}) AS min_fp,
+           CAST(sum(wkey // {WINNOW_POSCAP}) % 1000003 AS BIGINT) AS fp_checksum
+    FROM fp GROUP BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every K-word shingle, slide
+    a W-shingle window, record the window minimum with the RIGHTMOST
+    tie broken deterministically, and dedup the selections. Winnowing
+    guarantees any shared run of W + K - 1 words between two documents
+    yields at least one shared fingerprint, at ~2/(W+1) the density of
+    full shingling — the standard local-fingerprint scheme for
+    plagiarism/near-dup detection over big corpora.
+
+    The rightmost-tie argmin is packed into ONE integer key
+    (h * 2^20 + (2^20 - 1 - pos)): min(key) over the window is then
+    exactly (min h, max pos), so a plain windowed MIN — one
+    partition-local sort per doc, no self-join — computes the
+    selection on both engines bit-identically. Scale shape: shingling
+    is a single posexplode projection; the window runs inside the
+    per-doc partition (docs partition the shuffle); output is 4 ints
+    per doc. 100 TB posture: identical — no all-pairs, no global
+    sort, fingerprint postings feed the same banded bucket joins as
+    MinHash (dedup.py)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= WINNOW_K)
+    sh = F.expr(
+        f"transform(sequence(1, size(toks) - {WINNOW_K - 1}),"
+        f" i -> array_join(slice(toks, i, {WINNOW_K}), ' '))"
+    )
+    seq = d.select("doc_id", F.posexplode(sh).alias("pos0", "sh")).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    key = (F.col("h") * WINNOW_POSCAP + (WINNOW_POSCAP - 1 - F.col("pos"))).alias("key")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wins = seq.select(
+        "doc_id", F.min(key).over(w).alias("wkey"), F.count(F.lit(1)).over(w).alias("wn")
+    )
+    fp = wins.filter(F.col("wn") == WINNOW_W).select("doc_id", "wkey").distinct()
+    fph = (F.col("wkey") - F.pmod(F.col("wkey"), F.lit(WINNOW_POSCAP))) / WINNOW_POSCAP
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min(fph.cast("long")).alias("min_fp"),
+        F.pmod(F.sum(fph.cast("long")), F.lit(1000003)).cast("long").alias("fp_checksum"),
+    )

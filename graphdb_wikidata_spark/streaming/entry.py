@@ -341,3 +341,28 @@ def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_update_keys=["user_id"],
         emission_ordinal="n_events",
     )
+
+
+def _hll_oracle() -> str:
+    from ..operators.events import ORACLES as EVENTS_ORACLES
+
+    return EVENTS_ORACLES["events_hll_registers"]
+
+
+@register("stream_hll_registers", _hll_oracle())
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL sketch (streams.hll_registers_stream): 256
+    registers of (max rho, n) state folded under
+    applyInPandasWithState. Cell-wise MAX is the HLL merge, so the
+    final update per register equals the batch sketch exactly —
+    this entry shares events_hll_registers' oracle VERBATIM, making
+    the mergeability claim a hashed driver check, not prose.
+    n_hashes is per-register cumulative, hence the emission ordinal."""
+    from .streams import hll_registers_stream
+
+    return run_available_now(
+        hll_registers_stream(events_stream(spark, sf_dir)),
+        output_mode="update",
+        last_update_keys=["register"],
+        emission_ordinal="n_hashes",
+    )

@@ -545,3 +545,59 @@ def topk_hitters(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HLL_SCHEMA = "register bigint, max_rho int, n_hashes bigint"
+_HLL_STATE = "max_rho int, n_hashes bigint"
+
+
+def _hll_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """One HLL register's state: (max rho seen, hash count). Union of
+    sketches is cell-wise MAX, so the streaming fold IS the merge —
+    the final update per register equals the batch-built sketch
+    bit-for-bit regardless of batching."""
+    if state.exists:
+        mr, n = state.get
+    else:
+        mr, n = 0, 0
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    mr = max(int(mr), int(batch["rho"].max()))
+    n = int(n) + len(batch)
+    state.update((mr, n))
+    yield pd.DataFrame(
+        {"register": [int(key[0])], "max_rho": [mr], "n_hashes": [n]}
+    )
+
+
+def hll_registers_stream(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog: route each event's md5-hashed user id to
+    one of 256 registers map-side (the same string-ops rho as the
+    batch operators.events.hll_registers — no log2, bit-identical
+    across engines), then fold (MAX rho, count) per register under
+    applyInPandasWithState. State is 2 ints x 256 keys TOTAL,
+    regardless of stream volume or user cardinality — the
+    distinct-count companion to topk_hitters' K counters."""
+    from ..operators.events import HLL_RHO_HEX
+
+    hx = F.md5(F.col("user_id").cast("string"))
+    trimmed = F.expr(
+        f"trim(LEADING '0' FROM substring(md5(CAST(user_id AS STRING)), 3, {HLL_RHO_HEX}))"
+    )
+    first = F.substring(trimmed, 1, 1)
+    bits = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    routed = events.select(
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("register"),
+        (4 * (HLL_RHO_HEX - F.length(trimmed)) + bits + 1).alias("rho"),
+    )
+    return routed.groupBy("register").applyInPandasWithState(
+        _hll_fn,
+        outputStructType=_HLL_SCHEMA,
+        stateStructType=_HLL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
