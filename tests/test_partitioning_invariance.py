@@ -34,6 +34,14 @@ ORDER_SENSITIVE_OPS = [
     "embedding_outlier_distance",  # per-cell moments of rounded distances
     "events_count_min_heavy_hitters",  # sketch cells + min readout
     "tpch_q2_min_cost_supplier",   # window-min equality over rounded costs
+    # round-8 registrations: MAX-merge cells, packed-key window argmin,
+    # per-block lead() neighbors, broadcast-set membership counts —
+    # each would flap under shuffle reshaping if its tie-breaks or
+    # merges were order-sensitive
+    "events_hll_registers",
+    "text_winnowing_fingerprints",
+    "dedup_sorted_neighborhood",
+    "bloom_semi_filter_probe",
 ]
 
 
