@@ -780,6 +780,20 @@ class ExprCompiler:
                 # (double), /0 -> error (try_divide NULLs it)
                 i_val = F.lit(None).cast("bigint")
                 d_val = F.when(both_int, F.try_divide(ld, rd)).otherwise(ieee)
+            # PERF (round 8 optimization): let-bind the two SCALAR
+            # results before building the term struct. The struct
+            # constructor references i_val once more for the type tag
+            # and once for the payload, and d_val three times — without
+            # binding, the physical Project evaluates the full promoted
+            # arithmetic (try_* + two promotion CASEs per operand) ~5x
+            # per row, and this Project sits OUTSIDE any whole-stage-
+            # codegen region (SortAggregate neighbors), so no CSE
+            # rescues it (measured: the sparql_tpch_q1 pre-aggregation
+            # stage at the 10x probe is pure per-row CPU). All scalar
+            # branches are try_-guarded or IEEE-safe, so eager
+            # evaluation as a bound column cannot raise.
+            i_val = self._bound(i_val)
+            d_val = self._bound(d_val)
             t_val = F.when(i_val.isNotNull(), F.lit("int")).when(
                 d_val.isNotNull(), F.lit("double")
             )
@@ -788,8 +802,8 @@ class ExprCompiler:
             )
         if isinstance(e, ENeg):
             at = self.col(e.arg)
-            ni = F.when(at["t"] == "int", F.try_subtract(F.lit(0), at["i"]))
-            nd = F.when(at["t"] == "double", -at["d"])
+            ni = self._bound(F.when(at["t"] == "int", F.try_subtract(F.lit(0), at["i"])))
+            nd = self._bound(F.when(at["t"] == "double", -at["d"]))
             nt = F.when(ni.isNotNull(), F.lit("int")).when(nd.isNotNull(), F.lit("double"))
             return self._bound(F.when(nt.isNotNull(), make_term(t=nt, i=ni, d=nd)))
         if isinstance(e, EExists):

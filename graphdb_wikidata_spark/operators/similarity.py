@@ -447,6 +447,60 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     """
 
 
+def _fold_best(scored_arr, better):
+    """Fold an array of (s, cid) structs to the single best element.
+    The array arrives in ascending-cid order and ``better(x, acc)``
+    is strict, so ties keep the earlier (lower) cid — the exact
+    tie-break the struct-extremum aggregate used."""
+    first = F.element_at(scored_arr, 1)
+    rest = F.slice(
+        scored_arr, F.lit(2), F.greatest(F.size(scored_arr) - 1, F.lit(0))
+    )
+    return F.aggregate(
+        rest, first, lambda acc, x: F.when(better(x, acc), x).otherwise(acc)
+    )
+
+
+def _scored_centroids(metric: str):
+    """(cents array<struct<cid,cv>>, v) -> per-centroid (s, cid) array
+    + the strict 'better' comparison replicating Spark's struct-
+    extremum ordering, NaN placement included (NaN sorts LAST, so max
+    prefers NaN and min avoids it)."""
+    if metric == "cosine":
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (
+                    dot(F.col("v"), c["cv"]) / (norm(F.col("v")) * norm(c["cv"]))
+                ).alias("s"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+        def better(x, acc):
+            return (x["s"] > acc["s"]) | (F.isnan(x["s"]) & ~F.isnan(acc["s"]))
+
+        return scored, better
+    if metric != "l2":
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), c["cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+    def better(x, acc):
+        return (x["s"] < acc["s"]) | (F.isnan(acc["s"]) & ~F.isnan(x["s"]))
+
+    return scored, better
+
+
 def assign_nearest(e: DataFrame, cent: DataFrame, metric: str = "l2") -> DataFrame:
     """(vec_id, v) x broadcast (cid, cv) -> (vec_id, cid, v): each
     vector assigned to its nearest centroid, ties broken toward the
@@ -454,31 +508,24 @@ def assign_nearest(e: DataFrame, cent: DataFrame, metric: str = "l2") -> DataFra
     `kmeans_fit` and `dedup.dedup_semantic`, kept in one place so the
     cross-engine bit-identical contract can't drift between copies.
 
-    One map-side broadcast cross join + one partial-agg struct-extremum
-    groupBy; linear, no vector shuffle beyond the groupBy."""
-    if metric == "cosine":
-        score = dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv")))
-        scored = e.crossJoin(F.broadcast(cent)).select("vec_id", "v", "cid", score.alias("s"))
-        # max over (sim, -cid): higher similarity first, then lower cid
-        return (
-            scored.groupBy("vec_id")
-            .agg(F.max(F.struct(F.col("s"), (-F.col("cid")).alias("ncid"), F.col("v"))).alias("m"))
-            .select("vec_id", (-F.col("m.ncid")).alias("cid"), F.col("m.v").alias("v"))
-        )
-    if metric != "l2":
-        raise ValueError(f"unknown metric {metric!r}")
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    Round 8 shape: the centroid table folds to ONE broadcast row
+    holding the ascending-cid array, and each vector picks its argmin
+    with a per-row fold over that array — a pure narrow map. The
+    former broadcast crossJoin (N x k rows) + struct-extremum groupBy
+    planned as SortAggregate (struct buffers are not hash-aggregable),
+    i.e. a full sort of N x k rows per call, with the vectors riding
+    the shuffle (guide §2.3/§2.4: the aggregation only undid the
+    crossJoin's fan-out — fold per row and neither exists). Scores,
+    comparison order and NaN placement replicate the struct extremum
+    exactly (tests/test_round8_opt.py pins fold == struct-extremum,
+    NaN vectors included)."""
+    cents = cent.select(F.struct("cid", "cv").alias("c")).agg(
+        F.array_sort(F.collect_list("c")).alias("cents")
     )
-    scored = e.crossJoin(F.broadcast(cent)).select("vec_id", "v", "cid", d2.alias("d2"))
-    # min over (d2, cid): smaller distance first, then lower cid
-    return (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
-        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.v").alias("v"))
-    )
+    withc = e.crossJoin(F.broadcast(cents)).filter(F.size("cents") > 0)
+    scored, better = _scored_centroids(metric)
+    best = _fold_best(scored, better)
+    return withc.select("vec_id", best["cid"].alias("cid"), "v")
 
 
 def kmeans_fit(e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
@@ -805,20 +852,19 @@ def _kmeans_grouped(es: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataF
     cent = es.join(F.broadcast(low), "vec_id").select(
         "grp", "cid", F.col("v").alias("cv")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     assigned = None
     for _ in range(iters):
-        scored = es.join(F.broadcast(cent), "grp").select(
-            "grp", "vec_id", "v", "cid", d2.alias("d2")
+        # same round-8 fold shape as assign_nearest, with the group id
+        # riding the (groups x 1 row) broadcast join key: no N x k row
+        # explosion, no struct-extremum SortAggregate per iteration
+        cent_arr = cent.groupBy("grp").agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
         )
-        assigned = (
-            scored.groupBy("grp", "vec_id")
-            .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
-            .select("grp", "vec_id", F.col("m.cid").alias("cid"), F.col("m.v").alias("v"))
+        withc = es.join(F.broadcast(cent_arr), "grp")
+        scored, better = _scored_centroids("l2")
+        best = _fold_best(scored, better)
+        assigned = withc.select(
+            "grp", "vec_id", best["cid"].alias("cid"), "v"
         )
         dims = assigned.select("grp", "cid", F.posexplode("v").alias("i", "x"))
         cent = (

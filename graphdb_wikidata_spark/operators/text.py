@@ -10,6 +10,7 @@ they scale linearly with input splits at 100 TB.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -1593,71 +1594,116 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     merges = []
+    # merge semantics: replace() TO FIXPOINT on the space-delimited
+    # symbol string — deterministic and engine-portable (DuckDB's
+    # replace() is the same greedy left-to-right non-overlap). One
+    # replace() pass can defer a site whose leading delimiter was
+    # consumed by the previous match (back-to-back sites share the
+    # space between them), but a deferred site is always caught by the
+    # next pass and no pass ever CREATES a site (the merged symbol
+    # l+r equals neither l nor r), so the fixpoint needs at most ~2-3
+    # passes: for l != r the sites are token-disjoint and pass 1 merges
+    # at least every other one; for l == r a run of k symbols resolves
+    # in <= 3 passes. Round 8 therefore applies BPE_MERGE_PASSES
+    # STACKED replace passes as pure narrow projections — no
+    # per-inner-iteration localCheckpoint job, no separate fixpoint
+    # action; extra passes are no-ops once converged so the end state
+    # is bit-identical to the while-loop it replaces
+    # (tests/test_bpe_trainer.py::test_bpe_merge_passes_match_fixpoint
+    # pins this against a direct Python replay, including adversarial
+    # l == r runs). Convergence is still VERIFIED, not assumed: the
+    # next round's argmax job carries an observe() counting rows that
+    # still contain the previous pattern; a non-zero count (never seen
+    # at any SF; would need a >3-pass chain) discards that argmax,
+    # applies further passes and re-runs — correctness never rests on
+    # the pass bound. Jobs per round: exactly ONE (the argmax collect),
+    # down from 2-4 (argmax + one checkpoint job per inner fixpoint
+    # iteration) — guide §1.2: remove passes, then per-task work. The
+    # merge application after the LAST round is dead work (only the
+    # argmax outputs leave this function) and is skipped outright.
+    pending: tuple[Observation, str] | None = None
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
-        toks = F.split(F.col("syms"), " ")
-        pairs = words.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(toks, 1, F.size(toks) - 1),
-                    F.slice(toks, 2, F.size(toks) - 1),
-                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                )
-            ).alias("pr"),
-            "freq",
-        ).filter(F.size(toks) >= 2)
-        top = (
-            pairs.groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
-        merges.append((rnd, l, r, l + r, cnt))
-        # merge semantics: replace() TO FIXPOINT on the space-delimited
-        # symbol string. A single replace() call misses back-to-back
-        # merge sites (the match consumes the trailing space the next
-        # site needs as its leading delimiter), so the merge repeats
-        # until no row still contains the pair — deterministic, engine-
-        # portable (DuckDB's replace() is the same greedy left-to-right
-        # non-overlap), and bounded by merges-per-word (<= len/2) inner
-        # iterations over the VOCAB-sized relation. The remaining-sites
-        # probe rides the SAME job that materializes the checkpoint via
-        # observe() — ONE job per inner iteration, no separate agg pass
-        # (VERDICT r07 #7; previously a tiny but separate .collect()
-        # after each checkpoint).
-        pat = f" {l} {r} "
-        inner = 0
         while True:
-            inner += 1
-            merged_syms = F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("syms"), F.lit(" ")),
-                    F.lit(pat),
-                    F.lit(f" {l}{r} "),
-                )
-            )
-            obs = Observation(f"bpe_sites_r{rnd}_i{inner}")
-            words = (
-                words.select(merged_syms.alias("syms"), "freq")
-                .observe(
-                    obs,
+            src = words
+            if pending is not None:
+                src = words.observe(
+                    pending[0],
                     F.sum(
                         F.when(
-                            F.concat(F.lit(" "), F.col("syms"), F.lit(" ")).contains(pat),
+                            F.concat(F.lit(" "), F.col("syms"), F.lit(" ")).contains(
+                                pending[1]
+                            ),
                             1,
                         ).otherwise(0)
                     ).alias("n"),
                 )
-                .localCheckpoint()
+            toks = F.split(F.col("syms"), " ")
+            pairs = src.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(toks, 1, F.size(toks) - 1),
+                        F.slice(toks, 2, F.size(toks) - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("pr"),
+                "freq",
+            ).filter(F.size(toks) >= 2)
+            top = (
+                pairs.groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "l", "r")
+                .limit(1)
+                .collect()
             )
-            if not obs.get["n"]:
+            if pending is None or not obs_unconverged(pending[0]):
+                pending = None
                 break
+            # slow path (never observed; kept for correctness): the
+            # previous merge needed more than BPE_MERGE_PASSES passes —
+            # apply another block and redo this round's argmax
+            words = _bpe_apply_passes(words, pending[1])
+            pending = (
+                Observation(f"bpe_sites_r{rnd}_retry{uuid.uuid4().hex[:8]}"),
+                pending[1],
+            )
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merges.append((rnd, l, r, l + r, cnt))
+        if rnd < BPE_TRAIN_ROUNDS:
+            pat = f" {l} {r} "
+            words = _bpe_apply_passes(words, pat)
+            pending = (Observation(f"bpe_sites_r{rnd}"), pat)
     return spark.createDataFrame(
         merges, "round int, left string, right string, merged string, pair_count bigint"
     )
+
+
+# stacked replace passes per merge application; fixpoint is reached in
+# <= ~3 (see bpe_train_merges) and verified by the riding observe()
+BPE_MERGE_PASSES = 4
+
+
+def obs_unconverged(obs: Observation) -> bool:
+    return bool(obs.get["n"])
+
+
+def _bpe_apply_passes(words: DataFrame, pat: str) -> DataFrame:
+    """Apply BPE_MERGE_PASSES greedy replace passes of ``pat`` ->
+    merged as stacked narrow projections (no action, no checkpoint);
+    a pass at fixpoint is a no-op, so stacking is exact."""
+    rep = " " + pat.replace(" ", "") + " "
+    out = words
+    for _ in range(BPE_MERGE_PASSES):
+        merged_syms = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), F.col("syms"), F.lit(" ")),
+                F.lit(pat),
+                F.lit(rep),
+            )
+        )
+        out = out.select(merged_syms.alias("syms"), "freq")
+    return out
 
 
 UNI_ROUNDS = 2
@@ -1868,12 +1914,13 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, c in rows
         }
 
-    score = _scores([(r.piece, int(r.pfreq)) for r in pieces.collect()])
-    # char fallbacks must always be present for segmentability
-    chars = {
-        r.piece
-        for r in pieces.filter(F.length("piece") == 1).collect()
-    }
+    piece_rows = pieces.collect()
+    score = _scores([(r.piece, int(r.pfreq)) for r in piece_rows])
+    # char fallbacks must always be present for segmentability —
+    # derived from the ONE collected piece table (a second
+    # pieces.filter(...).collect() used to re-run the whole substring
+    # explode + agg + top-k job for a subset of rows already in hand)
+    chars = {r.piece for r in piece_rows if len(r.piece) == 1}
 
     def viterbi_factory(piece_score):
         bscore = spark.sparkContext.broadcast(piece_score)
@@ -1929,22 +1976,28 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return fn
 
-    usage = None
+    rows: list[tuple[str, int]] = []
     for _ in range(UNI_ROUNDS):
         seg = words.mapInPandas(
             viterbi_factory(score),
             schema="word string, freq bigint, piece string, nll double",
         )
-        usage = (
-            seg.groupBy("piece").agg(F.sum("freq").alias("used")).localCheckpoint()
-        )
-        rows = [(r.piece, int(r.used)) for r in usage.collect()]
+        # ONE job per EM round: the usage counts are vocab-capped
+        # (<= UNI_VOCAB_CAP pieces), so collect them directly — the
+        # former localCheckpoint before the collect materialized the
+        # same tiny relation in a second, separate job per round
+        rows = [
+            (r.piece, int(r.used))
+            for r in seg.groupBy("piece").agg(F.sum("freq").alias("used")).collect()
+        ]
         # keep char fallbacks alive with +1 smoothing so rare chars
         # never drop out of the segmentable alphabet
         kept = {p: c for p, c in rows}
         for ch in chars:
             kept.setdefault(ch, 0)
         score = _scores([(p, c + 1) for p, c in kept.items()])
+    # the final usage relation is the just-collected vocab-capped rows
+    usage = spark.createDataFrame(rows, "piece string, used bigint")
     return (
         usage.join(
             spark.createDataFrame(
