@@ -15,117 +15,95 @@ from pyspark.sql import DataFrame, SparkSession
 # The external correctness gate hashes the FIRST 50 registry entries against
 # the DuckDB oracle each round.
 #
-# ROUND 8 WINDOW (rotated per VERDICT r07 next-round #1, honestly re-planned
-# per VERDICT r07 "What's wrong" #2: the r7 ledger wrongly claimed the sparql
-# function-family entries were already scheduled here — they were not; the
-# round-8 conformance fixes put them in CHANGED_ROWS, displacing 9 r03 rows):
-#   (a) 19 CHANGED_ROWS — code changed since last evidence, fresh evidence
-#       for changed code (see CHANGED_ROWS below for per-entry justification;
-#       the round-8 §18.5 aggregate-conformance fix added 5 entries
-#       mid-round and the §15.1 ORDER-class fix 3 more, displacing the
-#       last 8 unaffected r03 tail rows),
-#   (d) the 5 round-8 registrations (first evidence — never-evidenced
-#       entries may not wait outside the window),
-#   (b) the 8 r02 spillover rows (oldest evidence in the registry, age 6),
-#   (c) 19 of the 40-entry r03 cohort (CORRECTNESS_r03 ledger order,
-#       filtered to entries whose latest evidence is still r3; the
-#       aggregate/promotion-affected r03 rows keep their slots — they
-#       double as fresh-evidence-for-changed-code — and the displaced
-#       tail rows sparql_concat_case / sparql_coord_terms /
-#       sparql_in_filter / sparql_label_lookup / sparql_lang_funcs /
-#       sparql_optional_filter / sparql_regex_uri /
-#       sparql_spo_union_forms roll to round 9).
-# 19 + 5 + 8 + 18 = 50. The rotation-age invariant is ENFORCED by
-# tests/test_rotation_policy.py, which parses the shipped CORRECTNESS_r*.json
-# history and fails the suite if a registered entry goes never-evidenced or
-# over the age budget while a younger entry holds a window slot.
+# ROUND 9 WINDOW (rotated per the round-8 ledger as the round's FIRST
+# commit — VERDICT r08 next-round #9):
+#   (a) 18 CHANGED_ROWS — entries whose code this optimization round
+#       changes, re-oracled over the changed code (see CHANGED_ROWS
+#       below for per-entry justification: the SPARQL star-pivot/
+#       aggregate flattening per VERDICT r08 #1 holds the §18.5
+#       aggregate family in the window; the dedup/basket/pagerank/
+#       tokenizer optimizations hold their entries likewise),
+#   (b) the 22 r03 spillover rows written down in the round-8 ledger
+#       (oldest evidence among registered entries, age 6),
+#   (c) 11 of the r04 cohort to fill the remaining slots
+#       (CORRECTNESS_r04 ledger order, filtered to entries whose
+#       latest evidence is still r4; sparql_label_service and
+#       sparql_bgp_join — r04-evidenced — sit in the CHANGED block).
+# 17 + (22 incl. pagerank, also CHANGED) + 11 = 50. The rotation-age
+# invariant is ENFORCED by tests/test_rotation_policy.py, which parses
+# the shipped CORRECTNESS_r*.json history and fails the suite if a
+# registered entry goes never-evidenced or over the age budget while a
+# younger entry holds a window slot.
 PRIORITY_ENTRIES: tuple[str, ...] = (
-    # -- (a) CHANGED_ROWS (19): similarity rows changed in r7, sparql
-    #    function families changed by the r8 spec-conformance fixes,
-    #    bpe probe fold + cdc ascii guard changed in r8, the 5
-    #    out-of-window aggregate entries changed by the r8 §18.5
-    #    aggregate-conformance fix, and the 3 ORDER-BY entries changed
-    #    by the §15.1 cross-class rank fix:
-    "embedding_ivf_topk",
-    "embedding_ann_recall",
-    "embedding_mmr_diverse_topk",
-    "sparql_expr_calc",
-    "sparql_string_funcs",
-    "sparql_numeric_funcs",
-    "sparql_date_funcs",
-    "sparql_hash_funcs",
-    "sparql_term_funcs",
-    "bpe_train_merges",
-    "media_cdc_chunk_census",
+    # -- (a) CHANGED_ROWS (17 here + graph_pagerank_chain in the r03
+    #    block below):
     "sparql_filter_agg",
     "sparql_agg_suite",
     "sparql_group_concat",
     "sparql_subselect",
     "sparql_tpch_q1",
-    "sparql_order_limit",
-    "sparql_orderby_expr",
-    "sparql_distinct_offset",
-    # -- (d) round-8 registrations (first evidence, RULE A: a new
-    #    entry may never wait outside the window): winnowing
-    #    fingerprints, HLL register sketch (batch + its streaming
-    #    merge twin), Bloom semi-filter admission accounting,
-    #    blocked sorted-neighborhood dedup
-    "text_winnowing_fingerprints",
-    "events_hll_registers",
-    "bloom_semi_filter_probe",
-    "dedup_sorted_neighborhood",
-    "stream_hll_registers",
-    # -- (b) the 8 r02 spillover rows (age 6, oldest in the registry):
-    "sparql_describe",
-    "media_frame_sample",
-    "dedup_ngram_jaccard",
-    "sparql_path_sequence",
-    "sparql_path_negated",
-    "sparql_ps_pq_chain",
-    "sparql_qualifier_join",
-    "sparql_graph_empty",
-    # -- (c) 18 of the 40-entry r03 cohort (ledger order; the last 13
-    #    unaffected tail rows rolled to round 9 — see header):
-    "stream_sliding_avg",
-    "sparql_custom_func",
-    "sparql_custom_agg",
-    "sparql_service_federated",
-    "dedup_clusters",
-    "decontaminate_ngrams",
-    "quality_gopher_rules",
-    "events_cohort_retention",
-    "embedding_quantize_int8",
-    "pack_sequences_budget",
-    "sample_stratified_hash",
-    "corpus_quality_pack",
     "sparql_agg_distinct",
     "sparql_count_optional",
     "sparql_having_sample",
-    "sparql_int_cross_type",
     "sparql_quantity_terms",
     "sparql_sum_distinct",
-    # ROTATION LEDGER (evidence age after round 8, assuming this window
-    # lands green): max age = r04. ROUND 9 WINDOW, in order: (1) any
-    # rows whose code changes in round 8 after this ledger freezes,
-    # (2) the 22 r03 spillover rows displaced by this round's
-    # conformance-fix CHANGED_ROWS and new registrations
-    # (stream_dedup_exact, stream_session_stats, sparql_join_compat,
-    # sparql_optional_compat, sparql_minus_optional,
-    # sparql_path_zero_or_one, sparql_stmt_bind, stream_tumbling_counts,
-    # graph_pagerank_chain, the 8 displaced by the §18.5 aggregate and
-    # §15.1 order fixes: sparql_concat_case, sparql_coord_terms,
-    # sparql_in_filter, sparql_label_lookup, sparql_lang_funcs,
-    # sparql_optional_filter, sparql_regex_uri, sparql_spo_union_forms,
-    # and the 5 displaced by the round-8 registrations:
-    # agg_percentiles, agg_stats_suite, media_byte_hist_counts,
-    # sparql_bnode_list, sparql_bound_if),
-    # (3) the r04 cohort to fill the remaining ~28 slots
-    # (CORRECTNESS_r04 ledger order).
+    "sparql_label_service",
+    "sparql_bgp_join",
+    "dedup_clusters",
+    "market_basket_pairs",
+    "dedup_minhash_lsh",
+    "unigram_lm_tokenizer",
+    "stream_cusum_alerts",
+    # -- (b) the 22 r03 spillover rows from the round-8 ledger (age 6,
+    #    oldest evidence among registered entries; graph_pagerank_chain
+    #    doubles as a CHANGED row — the r9 PageRank evidence work):
+    "stream_dedup_exact",
+    "stream_session_stats",
+    "sparql_join_compat",
+    "sparql_optional_compat",
+    "sparql_minus_optional",
+    "sparql_path_zero_or_one",
+    "sparql_stmt_bind",
+    "stream_tumbling_counts",
+    "graph_pagerank_chain",
+    "sparql_concat_case",
+    "sparql_coord_terms",
+    "sparql_in_filter",
+    "sparql_label_lookup",
+    "sparql_lang_funcs",
+    "sparql_optional_filter",
+    "sparql_regex_uri",
+    "sparql_spo_union_forms",
+    "agg_percentiles",
+    "agg_stats_suite",
+    "media_byte_hist_counts",
+    "sparql_bnode_list",
+    "sparql_bound_if",
+    # -- (c) 11 r04-cohort fills (CORRECTNESS_r04 ledger order):
+    "media_feature_hist",
+    "dedup_containment",
+    "embedding_knn_join",
+    "events_topk_per_window",
+    "events_value_histogram",
+    "media_dedup_payload",
+    "stream_static_enrich",
+    "text_bigram_familiarity",
+    "sparql_from_merge",
+    "sparql_path_in_graph_var",
+    "text_chunk_dedup",
+    # ROTATION LEDGER (evidence age after round 9, assuming this window
+    # lands green): max age = r04 (the 33 remaining r04-cohort rows).
+    # ROUND 10 WINDOW, in order: (1) any rows whose code changes in
+    # round 9 after this ledger freezes, (2) the 33 remaining
+    # r04-evidenced rows (CORRECTNESS_r04 ledger order, starting
+    # text_intradoc_ngram_dedup, sparql_graph_named, sparql_dataset_from,
+    # sparql_path_transitive, sparql_path_alt_inverse, scan_project,
+    # filter_predicates, tpch_q1_agg, agg_full, agg_rollup, ...),
+    # (3) the r05 cohort to fill the remaining ~17 slots
+    # (CORRECTNESS_r05 ledger order).
     # Age invariant going forward: no registered entry's latest driver
-    # evidence older than the derived bound ceil(241/50)+2 = 7 rounds
-    # (tests/test_rotation_policy.py enforces this mechanically); after
-    # r9 the worst age is r05 and the window returns to steady-state
-    # oldest-first rotation.
+    # evidence older than the derived bound ceil(246/50)+2 = 7 rounds
+    # (tests/test_rotation_policy.py enforces this mechanically).
 )
 
 # Round 6's never-evidenced overflow — paid off in round 7's window.
@@ -138,51 +116,31 @@ DEFERRED_FIRST_EVIDENCE: tuple[str, ...] = ()
 # re-confirmation — tests/test_rotation_policy.py exempts exactly these
 # from the oldest-first precedence rule and requires each to hold a
 # window slot. Re-justify every round:
-#   embedding_ivf_topk / embedding_ann_recall — r7 ADVICE r06 fix:
-#       centroid dims round to KMEANS_ROUND, probe csim rounds to 6dp
-#       on both engines; evidenced last at r5/r6 over the old kernel
-#   embedding_mmr_diverse_topk — r7 rebuild: the K-step greedy chain
-#       became ONE single-partition mapInPandas kernel (VERDICT r06 #5)
-#   sparql_expr_calc / sparql_string_funcs / sparql_numeric_funcs /
-#   sparql_date_funcs / sparql_hash_funcs / sparql_term_funcs — r8
-#       spec-conformance fixes to the shared expression layer: error
-#       terms become fully-NULL structs so COALESCE skips them
-#       (§17.4.1.3), arithmetic follows the XPath promotion table
-#       (int op int stays int; int/0 errors; double/0 gives INF/NaN),
-#       SUBSTR/REGEX-flags/§17.4.3.1-compat error propagation
-#       (ADVICE r07); oracles updated to the spec-correct semantics
-#   bpe_train_merges — r8: remaining-sites probe folded into the
-#       checkpoint action (VERDICT r07 #7), one job per inner iteration
-#   media_cdc_chunk_census — r8: ASCII guard in the chunk kernel so a
-#       non-ASCII corpus fails loudly instead of silently diverging
-#       from the char-position oracle (ADVICE r07)
 #   sparql_filter_agg / sparql_agg_suite / sparql_group_concat /
 #   sparql_subselect / sparql_tpch_q1 / sparql_agg_distinct /
 #   sparql_count_optional / sparql_having_sample /
-#   sparql_quantity_terms / sparql_sum_distinct — r8 §18.5 aggregate
-#       conformance (review pass #3): an errored/unbound element makes
-#       Sum/Avg/Min/Max/GroupConcat error (unbound result) instead of
-#       being skipped; Sum follows op:numeric-add promotion (all-int
-#       stays xsd:integer); empty global Sum/Avg = 0, GroupConcat = "".
-#       The last 5 were already in-window from the r03 cohort; their
-#       slots now double as fresh-evidence-for-changed-code.
-#   sparql_order_limit / sparql_orderby_expr / sparql_distinct_offset —
-#       r8 §15.1 cross-class ORDER conformance: sort_key now ranks
-#       IRIs before literals (normative class order); these are the
-#       entries exercising engine ORDER BY (their single-class sort
-#       columns leave outputs unchanged, but the exercised code moved)
+#   sparql_quantity_terms / sparql_sum_distinct — r9 optimization:
+#       the SPARQL star-pivot/aggregate path is restructured for
+#       whole-stage-codegen execution (term scalars flattened to
+#       primitive columns around the aggregates, the statements cache
+#       subject-sorted) per VERDICT r08 next-round #1, which requires
+#       exactly these entries re-oracled over the changed code.
+#   sparql_label_service / sparql_bgp_join — r9 optimization: the
+#       core anti-scaling fix (partition sizing for the statements
+#       cache / small post-shuffle stages, VERDICT r08 #6) changes
+#       the plans under both entries (r04-evidenced, so they also
+#       stand as plain cohort fills).
+#   dedup_clusters — r9 optimization of the LSH-pairs -> connected-
+#       components loop (VERDICT r08 #4).
+#   market_basket_pairs — r9: a-priori support prune pushed below the
+#       in-basket pair explosion (VERDICT r08 #5).
+#   dedup_minhash_lsh — r9: band self-join skew posture (VERDICT r08
+#       #7).
+#   graph_pagerank_chain — r9: PageRank hoist proof + checkpoint
+#       cadence work (VERDICT r08 #8); also an r03 spillover row.
+#   unigram_lm_tokenizer / stream_cusum_alerts — r9: §4 Arrow sweep
+#       over the remaining Python row loops (VERDICT r08 #10).
 CHANGED_ROWS: tuple[str, ...] = (
-    "embedding_ivf_topk",
-    "embedding_ann_recall",
-    "embedding_mmr_diverse_topk",
-    "sparql_expr_calc",
-    "sparql_string_funcs",
-    "sparql_numeric_funcs",
-    "sparql_date_funcs",
-    "sparql_hash_funcs",
-    "sparql_term_funcs",
-    "bpe_train_merges",
-    "media_cdc_chunk_census",
     "sparql_filter_agg",
     "sparql_agg_suite",
     "sparql_group_concat",
@@ -193,9 +151,14 @@ CHANGED_ROWS: tuple[str, ...] = (
     "sparql_having_sample",
     "sparql_quantity_terms",
     "sparql_sum_distinct",
-    "sparql_order_limit",
-    "sparql_orderby_expr",
-    "sparql_distinct_offset",
+    "sparql_label_service",
+    "sparql_bgp_join",
+    "dedup_clusters",
+    "market_basket_pairs",
+    "dedup_minhash_lsh",
+    "graph_pagerank_chain",
+    "unigram_lm_tokenizer",
+    "stream_cusum_alerts",
 )
 
 
