@@ -354,9 +354,16 @@ def main() -> None:
             # against (within ~2x = the skew strategy held)
             "uniform_ref": {k: probe[k] for k in skew if k in probe},
         }
+    # per-run filename keyed on the core count (VERDICT r08 #3: the
+    # driver's 8-core scaling run overwrote the 32-core sidecar, so
+    # the 32-core scale-probe breach became unattributable); the env
+    # override still wins for callers that pin a path
     sidecar_path = os.environ.get(
         "SPARK_GRAFT_BENCH_SIDECAR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_SIDECAR_c{cpus}.json",
+        ),
     )
     try:
         with open(sidecar_path, "w") as f:
@@ -369,6 +376,20 @@ def main() -> None:
     # stay well under the driver's 2000-char stdout tail
     # (tests/test_bench_contract.py guards the budget)
     print(_final_line(timings, sf_val, consistency))
+
+
+def _calibration_sec() -> float:
+    """Fixed-work single-thread CPU probe: the same arithmetic loop
+    every round, so a disturbed/downclocked box is identifiable from
+    the artifact alone (VERDICT r08 #3 — the r08 run's uniform ~1.5x
+    shift had to be inferred from cross-round ratios). Bigger number =
+    slower box; compare across rounds before reading per-query deltas."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    assert x > 0
+    return round(time.perf_counter() - t0, 3)
 
 
 def _consistency(
@@ -396,11 +417,25 @@ def _consistency(
         for k in probe
         if ref_1x.get(k)
     )
-    return {
+    out = {
         "skew_within_bound": skew_ok,
         "scale_within_linear": scale_ok,
         "retries": retries,
     }
+    # name the WORST scale ratio in the final line itself: the r08
+    # artifact flagged scale_within_linear=false but the breaching
+    # query was truncated out of the driver's 2000-char stdout tail
+    # and the sidecar was overwritten by the later 8-core run —
+    # unattributable (VERDICT r08 #3). ratio = probe / (factor * 1x);
+    # > SCALE_SLACK is the breach.
+    ratios = {
+        k: probe[k] / (factor * ref_1x[k]) for k in probe if ref_1x.get(k)
+    }
+    if ratios:
+        worst = max(ratios, key=ratios.get)
+        out["scale_worst"] = {"query": worst, "ratio": round(ratios[worst], 2)}
+    out["calibration_sec"] = _calibration_sec()
+    return out
 
 
 def _final_line(timings: dict[str, float], sf, consistency: dict) -> str:

@@ -381,9 +381,15 @@ class Compiler:
         one shuffle where the join form is N."""
         from collections import defaultdict
 
-        if isinstance(self._graph_ctx, Var):
-            # inside GRAPH ?g every scan must bind the graph var; the
-            # star's single groupBy cannot, so fall back to plain scans
+        if self._graph_ctx is not None:
+            # inside GRAPH ?g every scan must bind the graph var; and
+            # inside GRAPH <iri> the functionality proof (which comes
+            # from DEFAULT-graph stats) says nothing about per-subject
+            # multiplicity in the named graph — a duplicated claim
+            # there must produce join fan-out, which the star's single
+            # groupBy cannot. Fall back to plain scans for any graph
+            # scope (round-9 tightening: previously a bound GRAPH took
+            # the star path on the default graph's proof).
             return [], patterns
         if self._dataset_ctx is not None:
             # FROM-merged default graphs: the functionality proof comes
@@ -418,20 +424,46 @@ class Compiler:
             ):
                 rest.extend(tps)
                 continue
-            from .scan import _graph_clause, ensure_term_columns
+            from .scan import OBJ_LEGS, _graph_clause, _object_term
 
             gcond, _ = _graph_clause(self._graph_ctx, self._dataset_ctx)
-            st = ensure_term_columns(self.statements).filter(
+            st = self.statements
+            if "graph_id" not in self._cols(st):
+                st = st.withColumn("graph_id", F.lit(None).cast("string"))
+            st = st.filter(
                 (F.col("pred_kind") == "P") & F.col("pred_id").isin(preds) & gcond
             )
-            aggs = [
-                F.max(F.when(F.col("pred_id") == p, F.col("__obj_term"))).alias(v)
-                for p, v in zip(preds, ovars)
-            ]
+            # FLAT-LEG pivot (round-9, guide §2/§1.2): aggregate the raw
+            # statement columns per pattern and rebuild the term struct
+            # once per GROUP, instead of max() over a pre-built 11-field
+            # term struct per ROW. The struct-valued max forced a Sort +
+            # SortAggregate over full structs (struct buffers are not
+            # hash-aggregable) and paid the _object_term CASE tower for
+            # every input row; the flat form pays trivial when(pred=p,
+            # leg) projections per row and builds structs only for the
+            # #subjects surviving rows. Functionality (exactly one row
+            # per subject per pred, proven from stats()) makes each
+            # per-leg max pick that single row's field — bit-identical
+            # to the struct max. The hit marker reproduces the old
+            # "aggregated struct is not null" inner-join filter (a
+            # matched row always yields a non-null struct, even for the
+            # obj_type->'null' tag branch).
+            aggs = []
+            for i, p in enumerate(preds):
+                hit = F.col("pred_id") == p
+                aggs.append(F.max(F.when(hit, F.lit(1))).alias(f"__s{i}_hit"))
+                aggs.extend(
+                    F.max(F.when(hit, F.col(leg))).alias(f"__s{i}_{leg}")
+                    for leg in OBJ_LEGS
+                )
             star = st.groupBy("subject_kind", "subject_id", "subject_stmt").agg(*aggs)
             cond = F.lit(True)
-            for v in ovars:
-                cond = cond & F.col(v).isNotNull()
+            for i in range(len(preds)):
+                cond = cond & (F.col(f"__s{i}_hit") == 1)
+            rebuilt = [
+                _object_term(lambda leg, _i=i: F.col(f"__s{_i}_{leg}")).alias(v)
+                for i, v in enumerate(ovars)
+            ]
             star = star.filter(cond).select(
                 F.when(
                     F.col("subject_kind") == "stmt",
@@ -443,7 +475,7 @@ class Compiler:
                     )
                 )
                 .alias(svar),
-                *ovars,
+                *rebuilt,
             )
             self._remember(star, [svar, *ovars])
             stars.append((min(self._pred_count(p) for p in preds), star))

@@ -60,7 +60,22 @@ def _predicate_term(as_pstmt: bool = False) -> Column:
     )
 
 
-def _object_term() -> Column:
+#: the flat statement columns _object_term reads — the star rewrite
+#: aggregates exactly these (plus a hit marker) per pattern and
+#: rebuilds the term struct once per GROUP instead of once per row
+OBJ_LEGS = (
+    "obj_type",
+    "obj_entity_kind",
+    "obj_entity_id",
+    "obj_string",
+    "obj_lang",
+    "obj_time",
+    "obj_qty",
+    "obj_coord",
+)
+
+
+def _object_term(c=F.col) -> Column:
     """Stored object -> canonical term struct (all typed branches).
 
     Built FIELD-WISE — one small conditional per struct field — rather
@@ -70,8 +85,13 @@ def _object_term() -> Column:
     whole plan eagerly on EVERY DataFrame transformation, and these
     term projections sit under every scan, so expression-tree size is
     directly query-compile latency (measured: ~1.2s per added operator
-    at the old size on a var-predicate plan, ~4x less after)."""
-    ot = F.col("obj_type")
+    at the old size on a var-predicate plan, ~4x less after).
+
+    ``c`` resolves an OBJ_LEGS name to its Column — the default reads
+    the statement columns in place; the star rewrite passes a resolver
+    over its per-pattern aggregated legs so the rebuild is this exact
+    expression (one shared definition, no drift)."""
+    ot = c("obj_type")
 
     def only(cond, col: Column, typ: str, name: str) -> Column:
         return F.when(cond, col).otherwise(F.lit(None)).cast(typ).alias(name)
@@ -89,25 +109,25 @@ def _object_term() -> Column:
         .alias("t"),
         # kind defaults to the plain-string subtype when the source
         # didn't record one (test DSL, minimal ingests)
-        F.when(ot == "entity", F.col("obj_entity_kind"))
-        .when(ot == "string", F.coalesce(F.col("obj_entity_kind"), F.lit("string")))
+        F.when(ot == "entity", c("obj_entity_kind"))
+        .when(ot == "string", F.coalesce(c("obj_entity_kind"), F.lit("string")))
         .otherwise(F.lit(None))
         .cast("string")
         .alias("k"),
-        only(ot == "entity", F.col("obj_entity_id"), "bigint", "e"),
-        only(ot.isin("string", "mono"), F.col("obj_string"), "string", "s"),
-        only(ot == "mono", F.col("obj_lang"), "string", "lang"),
-        only(ot == "int", F.col("obj_string").try_cast("long"), "bigint", "i"),
-        only(ot == "double", F.col("obj_string").try_cast("double"), "double", "d"),
+        only(ot == "entity", c("obj_entity_id"), "bigint", "e"),
+        only(ot.isin("string", "mono"), c("obj_string"), "string", "s"),
+        only(ot == "mono", c("obj_lang"), "string", "lang"),
+        only(ot == "int", c("obj_string").try_cast("long"), "bigint", "i"),
+        only(ot == "double", c("obj_string").try_cast("double"), "double", "d"),
         only(
             ot == "bool",
-            F.lower(F.col("obj_string")).try_cast("boolean"),
+            F.lower(c("obj_string")).try_cast("boolean"),
             "boolean",
             "b",
         ),
-        only(ot == "time", F.col("obj_time"), TIME_T, "time"),
-        only(ot == "qty", F.col("obj_qty"), QTY_T, "qty"),
-        only(ot == "coord", F.col("obj_coord"), COORD_T, "coord"),
+        only(ot == "time", c("obj_time"), TIME_T, "time"),
+        only(ot == "qty", c("obj_qty"), QTY_T, "qty"),
+        only(ot == "coord", c("obj_coord"), COORD_T, "coord"),
     )
 
 

@@ -369,11 +369,22 @@ def materialized_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         path = os.path.join(tmp, "statements.parquet")
         flat.write.mode("overwrite").parquet(path)
-        back = spark.read.parquet(path).repartition(
-            spark.sparkContext.defaultParallelism,
-            "subject_kind",
-            "subject_id",
-            "subject_stmt",
+        # subject sort WITHIN the cached partitions (round-9, guide
+        # §2.4): InMemoryRelation propagates its child plan's
+        # outputPartitioning AND outputOrdering, so with the cache both
+        # hash-partitioned and sorted on the subject key every star
+        # pivot / subject self-join downstream satisfies SortAggregate
+        # & sort-merge requirements with NO per-query Exchange and NO
+        # per-query Sort — the sort is paid once at cache build.
+        back = (
+            spark.read.parquet(path)
+            .repartition(
+                spark.sparkContext.defaultParallelism,
+                "subject_kind",
+                "subject_id",
+                "subject_stmt",
+            )
+            .sortWithinPartitions("subject_kind", "subject_id", "subject_stmt")
         )
         _MATERIALIZED[key] = back.persist()
     return _MATERIALIZED[key]

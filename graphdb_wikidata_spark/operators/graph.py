@@ -202,18 +202,24 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         # by the ContextCleaner when the frame goes out of scope,
         # while persist() pins blocks in the cache manager until an
         # explicit unpersist — across 50 rounds that leak OOMs a
-        # default-sized driver
-        new = (
-            new.join(c2, new["comp"] == c2["n2"], "left")
-            .select("node", F.least(F.col("comp"), F.coalesce(F.col("c2"), F.col("comp"))).alias("comp"))
-            .localCheckpoint()
-        )
+        # default-sized driver.
+        # Convergence detection RIDES the checkpoint job via observe()
+        # (round-9, guide §1.2 — same fold as the BPE trainer's
+        # remaining-sites probe): the former separate
+        # agg(sum).collect() was a second full scan-job per round;
         # exact decimal (node-id sums overflow a long at ~2^63 total):
         # equal sum <=> no label moved <=> hook fixpoint <=> every
         # component uniformly labeled with its min id
-        s = new.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).collect()[
-            0
-        ]["s"]
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new = (
+            new.join(c2, new["comp"] == c2["n2"], "left")
+            .select("node", F.least(F.col("comp"), F.coalesce(F.col("c2"), F.col("comp"))).alias("comp"))
+            .observe(obs, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"))
+            .localCheckpoint()
+        )
+        s = obs.get["s"]
         comp = new
         if s == prev_sum:
             return comp

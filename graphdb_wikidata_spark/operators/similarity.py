@@ -508,6 +508,14 @@ def assign_nearest(e: DataFrame, cent: DataFrame, metric: str = "l2") -> DataFra
     `kmeans_fit` and `dedup.dedup_semantic`, kept in one place so the
     cross-engine bit-identical contract can't drift between copies.
 
+    PRECONDITION (ADVICE r08): ``e``'s vec_ids must be unique. The
+    round-8 per-row fold emits exactly one output row per INPUT row,
+    where the pre-r8 groupBy('vec_id') formulation collapsed duplicate
+    vec_ids to one row; every current caller (kmeans_fit,
+    dedup_semantic, outlier z-scores) feeds a keyed vector table, so
+    the contract holds — a new caller with duplicate ids must dedup
+    first.
+
     Round 8 shape: the centroid table folds to ONE broadcast row
     holding the ascending-cid array, and each vector picks its argmin
     with a per-row fold over that array — a pure narrow map. The

@@ -1495,6 +1495,11 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE (ADVICE r08): `words` is never localCheckpointed across rounds,
+# so round N's argmax job re-executes the 4*(N-1) accumulated replace
+# projections — quadratic total replace work, acceptable ONLY because
+# the round count is this small constant. If BPE_TRAIN_ROUNDS is ever
+# raised past ~10, checkpoint `words` every few rounds.
 BPE_TRAIN_ROUNDS = 5
 
 
@@ -1609,7 +1614,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-inner-iteration localCheckpoint job, no separate fixpoint
     # action; extra passes are no-ops once converged so the end state
     # is bit-identical to the while-loop it replaces
-    # (tests/test_bpe_trainer.py::test_bpe_merge_passes_match_fixpoint
+    # (tests/test_round8_opt.py::test_bpe_stacked_passes_reach_the_fixpoint
     # pins this against a direct Python replay, including adversarial
     # l == r runs). Convergence is still VERIFIED, not assumed: the
     # next round's argmax job carries an observe() counting rows that

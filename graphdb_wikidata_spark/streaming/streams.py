@@ -301,6 +301,7 @@ def run_available_now(
     output_mode: str = "complete",
     last_update_keys: list[str] | None = None,
     emission_ordinal: str | None = None,
+    has_timeouts: bool = False,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion on the available
     data (Trigger.availableNow) into a memory sink; returns the result
@@ -339,13 +340,16 @@ def run_available_now(
         # availableNow runs one trailing NO-DATA micro-batch to advance
         # the watermark. Append-mode sinks need it (that batch emits the
         # now-finalized windows/joins); complete mode re-emits the full
-        # state every batch and update-mode operators here all use
-        # NoTimeout (no timeout firings, so a data-less batch emits
-        # nothing) — for those two modes the extra batch is a pure
-        # fixed cost (state store load/commit + batch planning per
+        # state every batch and update-mode NoTimeout operators emit
+        # nothing on a data-less batch — for those the extra batch is a
+        # pure fixed cost (state store load/commit + batch planning per
         # stateful partition) and is skipped. Guide §1.2: remove whole
-        # passes before tuning inside them.
-        if output_mode != "append":
+        # passes before tuning inside them. The skip is UNSAFE for an
+        # operator whose timeout branch emits rows (a TTL'd
+        # applyInPandasWithState): its firings ride exactly the no-data
+        # batch, so such callers must pass has_timeouts=True to keep it
+        # (ADVICE r08: previously an unenforced docstring invariant).
+        if output_mode != "append" and not has_timeouts:
             spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         q = (
             df.writeStream.format("memory")
@@ -446,21 +450,34 @@ def _cusum_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     statistic) plus the report counters — the smallest possible
     stateful operator. Same left-associated recurrence as the batch
     operator and its recursive-CTE oracle, so a finite replay emits the
-    identical final row per user."""
+    identical final row per user.
+
+    Round-9 (guide §4.2): the per-event Python statements collapse to
+    one ufunc.accumulate per batch plus vectorized max/alarm readouts —
+    the accumulate applies the IDENTICAL max(0, (s + v) - drift)
+    step left-to-right (the exact float trajectory the old loop and
+    the batch twin compute; ufunc.accumulate is strictly sequential),
+    so every emitted number is bit-equal while the per-row
+    interpreter overhead (branching, float boxing per statement)
+    drops to one lambda call per element."""
+    import numpy as np
+
     from ..operators.events import CUSUM_ALARM, CUSUM_DRIFT
 
+    step = np.frompyfunc(lambda s, v: max(0.0, (s + v) - CUSUM_DRIFT), 2, 1)
     s, n, mx, alarms = state.get if state.exists else (0.0, 0, 0.0, 0)
     for pdf in pdfs:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values(["ts", "event_id"])
-        for v in pdf["value"]:
-            s = s + float(v) - CUSUM_DRIFT
-            if s < 0.0:
-                s = 0.0
-            if s > mx:
-                mx = s
-            if s > CUSUM_ALARM:
-                alarms += 1
-            n += 1
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        traj = step.accumulate(
+            np.concatenate(([s], vals)), dtype=np.object_
+        )[1:].astype(np.float64)
+        s = float(traj[-1])
+        mx = max(mx, float(traj.max()))
+        alarms += int((traj > CUSUM_ALARM).sum())
+        n += len(vals)
     state.update((s, n, mx, alarms))
     yield pd.DataFrame(
         {

@@ -24,6 +24,9 @@ def test_final_line_fits_driver_tail():
         "skew_within_bound": False,
         "scale_within_linear": False,
         "retries": 99,
+        # worst-case-width round-9 provenance fields (VERDICT r08 #3)
+        "scale_worst": {"query": "a_longish_query_name_here", "ratio": 123.45},
+        "calibration_sec": 123.456,
     }
     line = bench._final_line(_fake_timings(), 0.1, consistency)
     # hard driver limit is 2000 chars of *tail*; leave headroom for a
@@ -63,6 +66,10 @@ def test_consistency_flags_skew_violation():
     assert c["skew_within_bound"] is False
     assert c["scale_within_linear"] is True  # 1.0 <= 1.5*10*0.1
     assert c["retries"] == 1
+    # worst ratio named in the artifact: a at 1.0/(10*0.1)=1.0 equals
+    # b at 2.0/(10*0.2)=1.0; max() takes the first
+    assert c["scale_worst"]["ratio"] == 1.0
+    assert c["calibration_sec"] > 0
 
 
 def test_consistency_flags_superlinear_scale():
@@ -76,6 +83,8 @@ def test_consistency_flags_superlinear_scale():
     )
     assert c["scale_within_linear"] is False
     assert c["skew_within_bound"] is True  # no skew block => no violation
+    # the breaching query is NAMED in the final line (VERDICT r08 #3)
+    assert c["scale_worst"] == {"query": "a", "ratio": 2.0}
 
 
 def test_consistency_all_green_within_bounds():
@@ -87,8 +96,10 @@ def test_consistency_all_green_within_bounds():
         ref_1x={"a": 1.0},
         retries=0,
     )
+    assert c.pop("calibration_sec") > 0
     assert c == {
         "skew_within_bound": True,
         "scale_within_linear": True,
         "retries": 0,
+        "scale_worst": {"query": "a", "ratio": 0.8},
     }
