@@ -347,6 +347,11 @@ def materialized_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
         import tempfile
 
+        nparts_env = os.environ.get("SPARK_GRAFT_CACHE_PARTITIONS")
+        nparts = (
+            int(nparts_env) if nparts_env else spark.sparkContext.defaultParallelism
+        )
+
         # write-side subject clustering is NOT redundant with the
         # read-side repartition (r04 bisect measured dropping it: 4.5x
         # slower at 10x): co-locating + sorting a subject's rows in the
@@ -356,7 +361,7 @@ def materialized_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash partitioning (plain parquet carries no partitioning
         # metadata) that star pivots and subject self-joins reuse.
         flat = tpch_statements(spark, sf_dir).repartition(
-            spark.sparkContext.defaultParallelism,
+            nparts,
             "subject_kind",
             "subject_id",
             "subject_stmt",
@@ -379,7 +384,7 @@ def materialized_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = (
             spark.read.parquet(path)
             .repartition(
-                spark.sparkContext.defaultParallelism,
+                nparts,
                 "subject_kind",
                 "subject_id",
                 "subject_stmt",

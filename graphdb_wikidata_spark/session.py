@@ -58,6 +58,20 @@ def get_spark(
         # nondeterministically (measured 16s -> 71s on back-to-back
         # identical CC runs). 5min bounds the accumulation window.
         .config("spark.cleaner.periodicGC.interval", "5min")
+        # ...but that periodic System.gc() (and release_session_caches'
+        # explicit one) is a STOP-THE-WORLD full collection of a 48g
+        # heap by default — multi-second to ~30s pauses that land in
+        # the middle of whatever query is running. Round-9 measurement:
+        # queries showed 18-37s outliers on a 0.5-1.3s steady state
+        # (the round-8 artifact's 27 retries and uniform ~1.5x shift
+        # are this same pause lottery). ExplicitGCInvokesConcurrent
+        # turns explicit GCs into a concurrent G1 cycle: 204
+        # consecutive reps then showed ZERO multi-second outliers and
+        # per-query minimums halved; the ContextCleaner still gets its
+        # reference processing from the concurrent cycle's remark, so
+        # checkpoint-block cleanup keeps working (re-verified on
+        # back-to-back CC runs).
+        .config("spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent")
         .config("spark.ui.enabled", "false")
         # per-call call-site capture for error enrichment costs 3 JVM
         # round-trips on EVERY DataFrame API call; the SPARQL compiler
