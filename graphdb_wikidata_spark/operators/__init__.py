@@ -17,19 +17,21 @@ from pyspark.sql import DataFrame, SparkSession
 #
 # ROUND 9 WINDOW (rotated per the round-8 ledger as the round's FIRST
 # commit — VERDICT r08 next-round #9):
-#   (a) 18 CHANGED_ROWS — entries whose code this optimization round
-#       changes, re-oracled over the changed code (see CHANGED_ROWS
-#       below for per-entry justification: the SPARQL star-pivot/
-#       aggregate flattening per VERDICT r08 #1 holds the §18.5
-#       aggregate family in the window; the dedup/basket/pagerank/
-#       tokenizer optimizations hold their entries likewise),
+#   (a) 15 CHANGED_ROWS — entries whose code this optimization round
+#       changed, re-oracled over the changed code (see CHANGED_ROWS
+#       below for per-entry justification: the SPARQL star-pivot
+#       flattening + sorted statements cache per VERDICT r08 #1 holds
+#       the §18.5 aggregate family and the two join-path entries in
+#       the window; the CC/pagerank/streaming-CUSUM changes hold
+#       theirs likewise; three planned slots were returned to the r04
+#       cohort when measurement showed no code change was warranted),
 #   (b) the 22 r03 spillover rows written down in the round-8 ledger
 #       (oldest evidence among registered entries, age 6),
-#   (c) 11 of the r04 cohort to fill the remaining slots
+#   (c) 14 of the r04 cohort to fill the remaining slots
 #       (CORRECTNESS_r04 ledger order, filtered to entries whose
 #       latest evidence is still r4; sparql_label_service and
 #       sparql_bgp_join — r04-evidenced — sit in the CHANGED block).
-# 17 + (22 incl. pagerank, also CHANGED) + 11 = 50. The rotation-age
+# 14 + (22 incl. pagerank, also CHANGED) + 14 = 50. The rotation-age
 # invariant is ENFORCED by tests/test_rotation_policy.py, which parses
 # the shipped CORRECTNESS_r*.json history and fails the suite if a
 # registered entry goes never-evidenced or over the age budget while a
@@ -50,9 +52,6 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_label_service",
     "sparql_bgp_join",
     "dedup_clusters",
-    "market_basket_pairs",
-    "dedup_minhash_lsh",
-    "unigram_lm_tokenizer",
     "stream_cusum_alerts",
     # -- (b) the 22 r03 spillover rows from the round-8 ledger (age 6,
     #    oldest evidence among registered entries; graph_pagerank_chain
@@ -79,7 +78,10 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "media_byte_hist_counts",
     "sparql_bnode_list",
     "sparql_bound_if",
-    # -- (c) 11 r04-cohort fills (CORRECTNESS_r04 ledger order):
+    # -- (c) 14 r04-cohort fills (CORRECTNESS_r04 ledger order; grew by
+    #    3 mid-round when measurement showed market_basket_pairs /
+    #    dedup_minhash_lsh / unigram_lm_tokenizer needed NO code change
+    #    — see CHANGED_ROWS notes — freeing their slots):
     "media_feature_hist",
     "dedup_containment",
     "embedding_knn_join",
@@ -91,6 +93,9 @@ PRIORITY_ENTRIES: tuple[str, ...] = (
     "sparql_from_merge",
     "sparql_path_in_graph_var",
     "text_chunk_dedup",
+    "text_intradoc_ngram_dedup",
+    "sparql_graph_named",
+    "sparql_dataset_from",
     # ROTATION LEDGER (evidence age after round 9, assuming this window
     # lands green): max age = r04 (the 33 remaining r04-cohort rows).
     # ROUND 10 WINDOW, in order: (1) any rows whose code changes in
@@ -130,16 +135,20 @@ DEFERRED_FIRST_EVIDENCE: tuple[str, ...] = ()
 #       cache / small post-shuffle stages, VERDICT r08 #6) changes
 #       the plans under both entries (r04-evidenced, so they also
 #       stand as plain cohort fills).
-#   dedup_clusters — r9 optimization of the LSH-pairs -> connected-
-#       components loop (VERDICT r08 #4).
-#   market_basket_pairs — r9: a-priori support prune pushed below the
-#       in-basket pair explosion (VERDICT r08 #5).
-#   dedup_minhash_lsh — r9: band self-join skew posture (VERDICT r08
-#       #7).
-#   graph_pagerank_chain — r9: PageRank hoist proof + checkpoint
-#       cadence work (VERDICT r08 #8); also an r03 spillover row.
-#   unigram_lm_tokenizer / stream_cusum_alerts — r9: §4 Arrow sweep
-#       over the remaining Python row loops (VERDICT r08 #10).
+#   dedup_clusters — r9 optimization: connected_components' convergence
+#       sum rides the checkpoint job via observe() (VERDICT r08 #4).
+#   graph_pagerank_chain — r9: checkpoint cadence re-bisected post-GC
+#       fix, 3 -> 5 (VERDICT r08 #8); also an r03 spillover row.
+#   stream_cusum_alerts — r9: the streaming CUSUM kernel's per-event
+#       Python loop became one bit-identical frompyfunc accumulate per
+#       Arrow batch (VERDICT r08 #10).
+#   (planned-then-dropped after measurement — NOT exempt, slots
+#   returned to the r04 cohort: market_basket_pairs' a-priori prune is
+#   a measured no-op on this corpus (every part frequent at every SF);
+#   dedup_minhash_lsh's signature pipeline already executes once via
+#   runtime ReusedExchange and its skew twin is inside the 2x bound;
+#   unigram_lm_tokenizer's Python DP runs over a 31-word vocab, ~0ms —
+#   their code is unchanged this round.)
 CHANGED_ROWS: tuple[str, ...] = (
     "sparql_filter_agg",
     "sparql_agg_suite",
@@ -154,10 +163,7 @@ CHANGED_ROWS: tuple[str, ...] = (
     "sparql_label_service",
     "sparql_bgp_join",
     "dedup_clusters",
-    "market_basket_pairs",
-    "dedup_minhash_lsh",
     "graph_pagerank_chain",
-    "unigram_lm_tokenizer",
     "stream_cusum_alerts",
 )
 

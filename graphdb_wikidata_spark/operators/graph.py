@@ -129,14 +129,15 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-        # lineage cut every 3rd round: each localCheckpoint runs one
-        # job over the plan accumulated since the last cut, so a longer
-        # cadence makes each cut job re-execute a deeper join chain —
-        # under cold-start driver conditions (BENCH_r02) cadence 5 cost
-        # 3.2x vs cadence 3, far outweighing the ~10% steady-state win
-        # it was picked for; redistribute's dangling aggregate rides in
-        # the same plan either way
-        if it % 3 == 2 or it == iterations - 1:
+        # lineage cut every 5th round. r02 bisected cadence 3 < 5, but
+        # that measurement was taken under the full-GC pause regime the
+        # round-9 ExplicitGCInvokesConcurrent fix removed (each extra
+        # checkpoint job was another chance to eat a pause); re-bisected
+        # post-fix on the chain bench: cadence 5 min 1.92s vs cadence 3
+        # min 2.13s vs cadence 10 min 2.09s (interleaved same-session
+        # mins of 5). Redistribute's dangling aggregate rides in the
+        # same plan either way.
+        if it % 5 == 4 or it == iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks
 
