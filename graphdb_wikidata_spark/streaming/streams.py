@@ -389,7 +389,18 @@ def run_available_now(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    return out
+    # materialize the (aggregate-sized) result and DROP the memory sink:
+    # the sink's temp view and its in-driver rows were never released, so
+    # every harness call leaked one sink for the session lifetime —
+    # across a bench run that is 100+ retained sinks whose old-gen
+    # residency feeds exactly the GC pressure the round-9 pause fix
+    # removed (guide §5). Streaming results here are bounded aggregates
+    # (windows / top-k / per-key reports), so the local copy is small by
+    # construction; production paths use real sinks, not this harness.
+    schema = out.schema
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 _EWMA_SCHEMA = "event_id bigint, user_id bigint, ewma double"
